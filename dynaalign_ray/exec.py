@@ -1,0 +1,45 @@
+"""Execution-context helpers.
+
+The engine standardizes on Ray Data's hash-shuffle strategy so that
+``repartition(keys=[...])`` (hash partitioning), ``groupby`` and ``join``
+all share one partitioning model — the single partitioning-key-reuse story
+SURVEY.md §4 calls for.  Every wide op takes an explicit ``num_partitions``
+(Ray's default of 200 partitions is pathological for small inputs and too
+small for 100 TB).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def configure_context() -> None:
+    """Idempotently switch the current DataContext to hash shuffling and
+    quiet logging. Safe to call from the driver or from tests."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def ensure_schema(ds):
+    """Force schema resolution (cheap metadata fetch for parquet reads, a
+    one-block prefix execution otherwise).  Ray's ``Dataset.join`` with
+    ``validate_schemas=True`` — required: without it, join partitions that
+    receive zero rows of one side crash on a schema-less empty table —
+    needs both operand schemas known up front."""
+    ds.schema()
+    return ds
+
+
+def pick_num_partitions(approx_rows: int | None, rows_per_partition: int = 250_000) -> int:
+    """Heuristic partition count for shuffles: ~rows_per_partition rows per
+    partition, clamped to [1, 4096].  At 100 TB the caller should pass the
+    real row estimate (or a byte-based estimate); at test scale this keeps
+    partition counts tiny so task overhead doesn't dominate."""
+    if not approx_rows or approx_rows <= 0:
+        return 16
+    return max(1, min(4096, math.ceil(approx_rows / rows_per_partition)))

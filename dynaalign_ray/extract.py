@@ -1,0 +1,83 @@
+"""Canonical HTML -> text extraction.
+
+The reference has NO extractor (its inputs are raw peptide strings); the
+north-star's per-url byte-identity invariant is therefore defined against
+this module's single canonical pure-Python ``extract_text`` — used both as
+the row-wise oracle in pytest and inside the batched Ray kernel
+(SURVEY.md §2.5 "Per-record maps").
+
+Extraction contract:
+  1. decode bytes as UTF-8 (errors="replace"),
+  2. strip <script>/<style>/<!--comments-->,
+  3. main content = inner HTML of the first <main>...</main> element when
+     present (site chrome/boilerplate lives outside it), else the whole
+     document,
+  4. paragraphs = <p>...</p> runs inside the main content; each paragraph is
+     tag-stripped, entity-unescaped, whitespace-collapsed; paragraphs join
+     with "\n".  If the main content has no <p>, the whole main content is
+     treated as one paragraph.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.I | re.S)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_MAIN_RE = re.compile(r"<main\b[^>]*>(.*?)</main\s*>", re.I | re.S)
+_P_RE = re.compile(r"<p\b[^>]*>(.*?)</p\s*>", re.I | re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _clean_fragment(fragment: str) -> str:
+    """Tag-strip, unescape, collapse whitespace of one HTML fragment."""
+    text = _TAG_RE.sub(" ", fragment)
+    text = _htmlmod.unescape(text)
+    return " ".join(text.split())
+
+
+def extract_text(html: bytes | str) -> str:
+    """Canonical extractor — the per-url byte-identity oracle."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    html = _SCRIPT_RE.sub(" ", html)
+    html = _COMMENT_RE.sub(" ", html)
+    m = _MAIN_RE.search(html)
+    content = m.group(1) if m else html
+    paragraphs = _P_RE.findall(content)
+    if not paragraphs:
+        return _clean_fragment(content)
+    return "\n".join(_clean_fragment(p) for p in paragraphs)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """Batched kernel for ``Dataset.map_batches(..., batch_format="pyarrow")``.
+
+    pages(url, warc_ts, html, text?, lang) -> docs(doc_id, url, text, lang,
+    n_chars).  The wide ``html`` binary column is DROPPED here, immediately
+    after extraction, so downstream blocks stay narrow (SURVEY.md §7 hard
+    part 4).  Per-row regex work is the unit of vectorization for opaque
+    blobs; the regex engine runs in C.
+    """
+    from dynaalign_ray.hashing import doc_id_from_urls
+
+    html_col = batch.column("html")
+    texts = [extract_text(v) for v in html_col.to_pylist()]
+    urls = batch.column("url")
+    doc_id = doc_id_from_urls(urls.to_pylist())
+    out = pa.table(
+        {
+            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "url": urls,
+            "text": pa.array(texts, type=pa.string()),
+            "lang": batch.column("lang"),
+            "n_chars": pa.array(
+                np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+            ),
+        }
+    )
+    return out

@@ -1,0 +1,148 @@
+"""Distributed joins for the engine.
+
+The reference has no joins inside the package (its workspace evaluation uses
+``dplyr::left_join``, /root/reference/workspace/troyWspc.Rmd:153); the engine
+needs them on the hot path (pair -> sketch lookup, label propagation, final
+cluster assignment).  Ray 2.49's ``Dataset.join`` crashes whenever a join
+partition receives zero rows of one side (its ArrowBlockBuilder produces a
+schema-less empty table that pyarrow's join rejects), so the engine carries
+its own:
+
+- :func:`hash_join` — portable partitioned hash join: tag each side, union,
+  ONE hash shuffle on the key, then a pyarrow (C++) join per partition
+  block.  Explicit schemas make empty partitions well-typed.
+- :func:`broadcast_join` — small right side: ``ray.put`` the built right
+  table once, pyarrow-join against it inside every map task (no shuffle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SIDE_COL = "__daside"
+_KEY_COL = "__dakey"
+
+
+def _widen(
+    batch: pa.Table, *, key: str, lfields: list, rfields: list, side: int
+) -> pa.Table:
+    """Project one side onto the combined (key, side, left..., right...)
+    schema — identical column order on both sides so unioned block schemas
+    line up.  ``lfields``/``rfields`` are the non-key fields of each side."""
+    n = batch.num_rows
+    own = {f.name for f in (lfields if side == 0 else rfields)}
+    cols: dict = {
+        _KEY_COL: batch.column(key).cast(pa.int64()),
+        _SIDE_COL: pa.array([side] * n, type=pa.int8()),
+    }
+    for f in lfields + rfields:
+        cols[f.name] = (
+            batch.column(f.name).cast(f.type) if f.name in own else pa.nulls(n, type=f.type)
+        )
+    return pa.table(cols)
+
+
+def _merge_block(
+    batch: pa.Table,
+    *,
+    lfields: list,
+    rfields: list,
+    left_key: str,
+    right_key: str,
+    how: str,
+) -> pa.Table:
+    left_mask = pc.equal(batch.column(_SIDE_COL), 0)
+    left_rows = batch.filter(left_mask)
+    right_rows = batch.filter(pc.invert(left_mask))
+    left_tbl = pa.table(
+        {left_key: left_rows.column(_KEY_COL)}
+        | {f.name: left_rows.column(f.name) for f in lfields}
+    )
+    right_tbl = pa.table(
+        {right_key: right_rows.column(_KEY_COL)}
+        | {f.name: right_rows.column(f.name) for f in rfields}
+    )
+    joined = left_tbl.join(
+        right_tbl,
+        keys=[left_key],
+        right_keys=[right_key],
+        join_type=how,
+        right_suffix="_r",
+    )
+    return joined.combine_chunks()
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    *,
+    left_on: str,
+    right_on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    num_partitions: int,
+    how: str = "inner",
+):
+    """Partitioned hash join on int64 keys.
+
+    ``left_schema`` / ``right_schema`` describe each side INCLUDING the key
+    column — passed explicitly so empty partitions stay typed (the stages
+    know their schemas statically).  ``how`` is pyarrow's join_type
+    ("inner", "left outer", ...).  Non-key column names must not overlap.
+    """
+    lfields = [f for f in left_schema if f.name != left_on]
+    rfields = [f for f in right_schema if f.name != right_on]
+    overlap = {f.name for f in lfields} & {f.name for f in rfields}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {overlap}")
+    lt = left_ds.map_batches(
+        functools.partial(_widen, key=left_on, lfields=lfields, rfields=rfields, side=0),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rt = right_ds.map_batches(
+        functools.partial(_widen, key=right_on, lfields=lfields, rfields=rfields, side=1),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    unioned = lt.union(rt).repartition(num_blocks=num_partitions, keys=[_KEY_COL])
+    return unioned.map_batches(
+        functools.partial(
+            _merge_block,
+            lfields=lfields,
+            rfields=rfields,
+            left_key=left_on,
+            right_key=right_on,
+            how=how,
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def broadcast_join(
+    left_ds,
+    right_table: pa.Table,
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+):
+    """Join against a SMALL right side: the built table is put in the object
+    store once and every map task joins its batch against it — no shuffle
+    (the broadcast-lookup pattern for dimension tables / label maps)."""
+    import ray
+
+    ref = ray.put(right_table)
+
+    def _join(batch: pa.Table) -> pa.Table:
+        right = ray.get(ref)
+        return batch.join(
+            right, keys=[left_on], right_keys=[right_on], join_type=how, right_suffix="_r"
+        ).combine_chunks()
+
+    return left_ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,212 @@
+"""LSH band stage — replaces the reference's all-pairs similarity matrix
+(/root/reference/src/minHash.cpp:160-178, R/minHash.R:166-182) with a keyed
+shuffle: signature -> (band_key, doc_id) rows -> hash-partition on band_key
+-> per-bucket candidate-pair emission.
+
+Skew handling (SURVEY.md §4): buckets produced by boilerplate-heavy pages
+are the known hot keys.  Two-phase salted emission: phase 1 counts bucket
+sizes (small groupby), hot keys (> salt_cap) are broadcast; phase 2 salts a
+hot bucket into ``n_salts`` sub-buckets keyed by doc hash, each doc emitted
+into its own sub-bucket AND the next one (ring overlap), so the sub-buckets
+stay connected for the union-find step while no single bucket exceeds
+~2/n_salts of the original.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dynaalign_ray.config import DedupConfig
+from dynaalign_ray.hashing import U64, make_band_salts, mix64, poly_powers, to_id63
+
+
+def band_keys_matrix(sig: np.ndarray, num_bands: int, salts: np.ndarray) -> np.ndarray:
+    """(n_docs, num_perm) signatures -> (n_docs, num_bands) band keys.
+
+    Band key = mix64(polynomial-combine of the band's row slice ^ band salt)
+    — docs agreeing on every row of a band collide into one bucket.
+    """
+    n, num_perm = sig.shape
+    r = num_perm // num_bands
+    pows = poly_powers(r)
+    acc = (sig.reshape(n, num_bands, r) * pows[np.newaxis, np.newaxis, :]).sum(
+        axis=2, dtype=U64
+    )
+    # int63 keys: Ray-native groupby/aggregate handles int64 keys natively
+    # (uint64 >= 2^63 falls back to a slow object path)
+    return to_id63(mix64(acc ^ salts[np.newaxis, :]))
+
+
+def explode_bands(
+    batch: pa.Table,
+    *,
+    cfg: DedupConfig,
+    hot_keys: np.ndarray | None = None,
+    n_salts: int = 16,
+) -> pa.Table:
+    """signatures -> band_entries(band_key, doc_id).
+
+    Docs with an empty shingle set are skipped (their sentinel signatures
+    would otherwise all collide into one giant bogus bucket); they surface
+    as singletons downstream — same semantics as the reference's
+    never-matching "infinity" signature (src/minHash.cpp:148).
+    """
+    mask = np.asarray(batch.column("n_shingles")) > 0
+    doc_id = np.asarray(batch.column("doc_id")).astype(np.int64)[mask]
+    n = int(mask.sum())
+    if n == 0:
+        return pa.table(
+            {
+                "band_key": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+    mh = batch.column("minhash").combine_chunks()
+    sig = np.asarray(mh.values).reshape(-1, cfg.num_perm)[mask]
+    salts = make_band_salts(cfg.num_bands, cfg.seed)
+    keys = band_keys_matrix(sig, cfg.num_bands, salts)  # (n, num_bands)
+
+    flat_keys = keys.reshape(-1)
+    flat_docs = np.repeat(doc_id, cfg.num_bands)
+
+    if hot_keys is not None and len(hot_keys):
+        hot = np.isin(flat_keys, hot_keys)
+        if hot.any():
+            cold_k, cold_d = flat_keys[~hot], flat_docs[~hot]
+            hk = flat_keys[hot].astype(U64)
+            hd = flat_docs[hot]
+            salt = mix64(hd.astype(U64)) % U64(n_salts)
+            k1 = to_id63(mix64(hk ^ (salt + U64(1))))
+            salt2 = (salt + U64(1)) % U64(n_salts)
+            k2 = to_id63(mix64(hk ^ (salt2 + U64(1))))
+            flat_keys = np.concatenate([cold_k, k1, k2])
+            flat_docs = np.concatenate([cold_d, hd, hd])
+
+    return pa.table(
+        {
+            "band_key": pa.array(flat_keys, type=pa.int64()),
+            "doc_id": pa.array(flat_docs, type=pa.int64()),
+        }
+    )
+
+
+def find_hot_band_keys(bands_ds, cfg: DedupConfig, num_partitions: int) -> np.ndarray:
+    """Phase-1 of the salted two-phase emission: bucket histogram -> keys
+    whose count exceeds salt_cap.  The result is tiny (hot keys only) and is
+    broadcast to the phase-2 mappers."""
+    from ray.data.aggregate import Count
+
+    counts = bands_ds.groupby("band_key", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n")
+    )
+    hot = counts.filter(expr=f"n > {cfg.salt_cap}")
+    rows = hot.take_all()  # tiny by construction
+    return np.array([r["band_key"] for r in rows], dtype=np.int64)
+
+
+def emit_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
+    """Per-hash-partition candidate-pair emission (runs after
+    ``repartition(keys=["band_key"])``, whole block per call).
+
+    Within a bucket of m distinct docs: all C(m,2) pairs while m <= pair_cap
+    (exactly what the reference's dense matrix encodes, but only inside the
+    bucket), else star edges around the bucket-min doc — preserves
+    connected-component structure with m-1 edges (the recursion-free analog
+    of clusterbreak's size_max split, R/clusterbreak.R:246-254).  Pairs are
+    canonical (a < b).
+    """
+    keys = np.asarray(batch.column("band_key")).astype(np.int64)
+    docs = np.asarray(batch.column("doc_id")).astype(np.int64)
+    if len(keys) == 0:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
+    order = np.lexsort((docs, keys))
+    keys, docs = keys[order], docs[order]
+    # drop (band_key, doc_id) duplicates (salted double-emission)
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])
+    keys, docs = keys[first], docs[first]
+    boundary = np.ones(len(keys), dtype=bool)
+    boundary[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(boundary)
+    ends = np.append(starts[1:], len(keys))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        bucket = docs[s:e]  # sorted ascending, distinct
+        if m <= pair_cap:
+            ai, bi = np.triu_indices(m, k=1)
+            out_a.append(bucket[ai])
+            out_b.append(bucket[bi])
+        else:
+            out_a.append(np.full(m - 1, bucket[0], dtype=np.int64))
+            out_b.append(bucket[1:])
+    if not out_a:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        }
+    )
+
+
+def dedup_pairs_block(batch: pa.Table) -> pa.Table:
+    """Global pair dedup: runs after ``repartition(keys=["a","b"])`` so every
+    copy of a pair lands in the same block."""
+    a = np.asarray(batch.column("a")).astype(np.int64)
+    b = np.asarray(batch.column("b")).astype(np.int64)
+    if len(a) == 0:
+        return batch
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table(
+        {"a": pa.array(a[first], type=pa.int64()), "b": pa.array(b[first], type=pa.int64())}
+    )
+
+
+def candidate_pairs(sigs_ds, cfg: DedupConfig, num_partitions: int, salt_hot: bool = True):
+    """signatures -> deduplicated candidate_pairs(a, b).  One hash shuffle on
+    band_key (+ a small counting groupby when salting) + one on (a, b)."""
+    import functools
+
+    plain = sigs_ds.map_batches(
+        functools.partial(explode_bands, cfg=cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hot_keys = None
+    if salt_hot and cfg.salt_cap:
+        hot_keys = find_hot_band_keys(plain, cfg, num_partitions)
+        if len(hot_keys) == 0:
+            hot_keys = None
+    bands = (
+        plain
+        if hot_keys is None
+        else sigs_ds.map_batches(
+            functools.partial(explode_bands, cfg=cfg, hot_keys=hot_keys),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    pairs = bands.repartition(num_blocks=num_partitions, keys=["band_key"]).map_batches(
+        functools.partial(emit_pairs_block, pair_cap=cfg.pair_cap),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pairs.repartition(num_blocks=num_partitions, keys=["a", "b"]).map_batches(
+        dedup_pairs_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
