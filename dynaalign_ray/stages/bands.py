@@ -42,8 +42,7 @@ def explode_bands(
     batch: pa.Table,
     *,
     cfg: DedupConfig,
-    hot_keys: np.ndarray | None = None,
-    n_salts: int = 16,
+    hot_keys: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pa.Table:
     """signatures -> band_entries(band_key, doc_id).
 
@@ -70,15 +69,27 @@ def explode_bands(
     flat_keys = keys.reshape(-1)
     flat_docs = np.repeat(doc_id, cfg.num_bands)
 
-    if hot_keys is not None and len(hot_keys):
-        hot = np.isin(flat_keys, hot_keys)
+    if hot_keys is not None and len(hot_keys[0]):
+        hot_sorted, hot_counts = hot_keys  # sorted keys + bucket sizes
+        pos = np.searchsorted(hot_sorted, flat_keys)
+        pos_c = np.minimum(pos, len(hot_sorted) - 1)
+        hot = hot_sorted[pos_c] == flat_keys
         if hot.any():
             cold_k, cold_d = flat_keys[~hot], flat_docs[~hot]
             hk = flat_keys[hot].astype(U64)
             hd = flat_docs[hot]
-            salt = mix64(hd.astype(U64)) % U64(n_salts)
+            # sub-bucket count per hot key: ceil(count / salt_cap) keeps the
+            # expected sub-bucket size ~salt_cap, so the overlap ring stays
+            # dense (no empty sub-bucket breaking connectivity)
+            m = np.maximum(
+                (hot_counts[pos_c[hot]] + cfg.salt_cap - 1) // cfg.salt_cap, 2
+            ).astype(U64)
+            # salt depends on doc AND band key: each band splits the hot
+            # cluster differently, so a pair separated in one band stays
+            # together in another
+            salt = mix64(hd.astype(U64) ^ hk) % m
             k1 = to_id63(mix64(hk ^ (salt + U64(1))))
-            salt2 = (salt + U64(1)) % U64(n_salts)
+            salt2 = (salt + U64(1)) % m
             k2 = to_id63(mix64(hk ^ (salt2 + U64(1))))
             flat_keys = np.concatenate([cold_k, k1, k2])
             flat_docs = np.concatenate([cold_d, hd, hd])
@@ -91,10 +102,12 @@ def explode_bands(
     )
 
 
-def find_hot_band_keys(bands_ds, cfg: DedupConfig, num_partitions: int) -> np.ndarray:
-    """Phase-1 of the salted two-phase emission: bucket histogram -> keys
-    whose count exceeds salt_cap.  The result is tiny (hot keys only) and is
-    broadcast to the phase-2 mappers."""
+def find_hot_band_keys(
+    bands_ds, cfg: DedupConfig, num_partitions: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Phase-1 of the salted two-phase emission: bucket histogram -> (keys,
+    counts) for buckets exceeding salt_cap, sorted by key.  The result is
+    tiny (hot keys only) and is broadcast to the phase-2 mappers."""
     from ray.data.aggregate import Count
 
     counts = bands_ds.groupby("band_key", num_partitions=num_partitions).aggregate(
@@ -102,7 +115,10 @@ def find_hot_band_keys(bands_ds, cfg: DedupConfig, num_partitions: int) -> np.nd
     )
     hot = counts.filter(expr=f"n > {cfg.salt_cap}")
     rows = hot.take_all()  # tiny by construction
-    return np.array([r["band_key"] for r in rows], dtype=np.int64)
+    keys = np.array([r["band_key"] for r in rows], dtype=np.int64)
+    ns = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(keys)
+    return keys[order], ns[order]
 
 
 def emit_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
@@ -187,7 +203,7 @@ def candidate_pairs(sigs_ds, cfg: DedupConfig, num_partitions: int, salt_hot: bo
     hot_keys = None
     if salt_hot and cfg.salt_cap:
         hot_keys = find_hot_band_keys(plain, cfg, num_partitions)
-        if len(hot_keys) == 0:
+        if len(hot_keys[0]) == 0:
             hot_keys = None
     bands = (
         plain
