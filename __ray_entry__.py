@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup pipeline on sf0.001; ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names both sides).  Non-SQL-expressible
+entries (MinHash/SimHash/substring dedup, heuristic scoring) are present in
+``queries()`` only — the driver records rows-only checks; their semantic
+correctness is covered by the pytest oracle suite (tests/test_pipeline.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,192 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_NUM_PARTITIONS = 8
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup pipeline over /root/testdata/sf0.001 documents."""
+    from dynaalign_ray.pipelines.curation import doc_neardup_clusters
+
+    return doc_neardup_clusters("/root/testdata/sf0.001", num_partitions=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dynaalign_ray.pipelines import curation as c
+    from dynaalign_ray.pipelines import relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- dedup family (SURVEY.md §2.5 set-ops/dedup; engine additions)
+        "doc_exact_dedup": c.doc_exact_dedup,
+        "doc_norm_dedup": c.doc_norm_dedup,
+        "doc_neardup_clusters": c.doc_neardup_clusters,  # rows-only
+        "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only
+        "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
+        "doc_substring_pairs": c.doc_substring_pairs,  # rows-only
+        # --- text analysis
+        "doc_token_counts": c.doc_token_counts,
+        "doc_shingle_counts": c.doc_shingle_counts,
+        "doc_lang_stats": c.doc_lang_stats,
+        "doc_top_longest": c.doc_top_longest,
+        "doc_source_stats": c.doc_source_stats,
+        "doc_quality": c.doc_quality,  # rows-only (heuristic composite)
+        "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
+        "doc_fingerprints": c.doc_fingerprints,  # rows-only
+        # --- similarity search
+        "embedding_topk": c.embedding_topk,
+        "embedding_label_norms": c.embedding_label_norms,
+        # --- relational operator surface
+        "q1_pricing": r.q1_pricing,
+        "revenue_by_nation": r.revenue_by_nation,
+        "top_customers": r.top_customers,
+        "events_hourly": r.events_hourly,
+        "part_type_stats": r.part_type_stats,
+        "supplier_volume": r.supplier_volume,
+        "high_value_order_counts": r.high_value_order_counts,
+        "lineitem_topk_price": r.lineitem_topk_price,
+        "orders_customer_hashjoin": r.orders_customer_hashjoin,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "doc_norm_dedup": """
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_shingle_counts": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   ))) AS BIGINT) AS n_shingles
+            FROM t WHERE len(toks) >= 3
+        """,
+        "doc_lang_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round((avg(n_chars)) * 10000) / 10000 AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_top_longest": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "doc_source_stats": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "embedding_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q, embeddings e WHERE e.vec_id <> q.qid
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_label_norms": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> x * x)))) * 10000) / 10000 AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round((sum(l_quantity)) * 10000) / 10000 AS sum_qty,
+                   round((sum(l_extendedprice)) * 10000) / 10000 AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000 AS sum_disc_price,
+                   round((avg(l_quantity)) * 10000) / 10000 AS avg_qty,
+                   round((avg(l_discount)) * 10000) / 10000 AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round((sum(o_totalprice)) * 10000) / 10000 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            SELECT o_custkey,
+                   round((sum(o_totalprice)) * 10000) / 10000 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+            ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round((sum(value)) * 10000) / 10000 AS sum_value,
+                   round((avg(value)) * 10000) / 10000 AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   round((avg(p_retailprice)) * 10000) / 10000 AS avg_price,
+                   CAST(max(p_size) AS INTEGER) AS max_size
+            FROM part GROUP BY p_type
+        """,
+        "supplier_volume": """
+            SELECT s_name,
+                   round((sum(l_quantity)) * 10000) / 10000 AS total_qty,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+        """,
+        "high_value_order_counts": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round((sum(o_totalprice)) * 10000) / 10000 AS total
+            FROM orders WHERE o_totalprice > 200000
+            GROUP BY o_orderstatus
+        """,
+        "lineitem_topk_price": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+        """,
+        "orders_customer_hashjoin": """
+            SELECT c_mktsegment,
+                   round((sum(o_totalprice)) * 10000) / 10000 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+    }

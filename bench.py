@@ -1,0 +1,159 @@
+"""Benchmark driver (BASELINE.md protocol).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "n_pages": ...}
+
+The headline is the flagship near-dup pipeline (extract -> minhash -> LSH ->
+verify -> connected components) over a deterministic synthetic web-page
+corpus sized to the scale factor (FIXTURES.md F1; generation is untimed and
+cached under /tmp).  Secondary timings cover the relational/curation
+operator surface on the driver testdata.
+
+--scaling: run the headline twice in FRESH processes at num_cpus=8 and 32
+on the same corpus and report both throughputs + scaling efficiency
+( (t8/t32)/4 ; 1.0 = linear ) — the sandbox evidence for the N->4N-node
+criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 200_000  # sf0.1 -> 20k pages
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus(sf: float) -> tuple[str, int]:
+    from dynaalign_ray.fixtures import write_pages_dir
+
+    n_pages = max(200, int(PAGES_PER_SF * sf))
+    out_dir = f"/tmp/dynaalign_bench/corpus_n{n_pages}_s42"
+    pages_dir, _ = write_pages_dir(out_dir, n_pages, seed=42, num_shards=32)
+    return pages_dir, n_pages
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    from dynaalign_ray.config import DedupConfig
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.pipelines import curation as c
+    from dynaalign_ray.pipelines import relational as r
+    from dynaalign_ray.pipelines.neardup import near_dedup
+
+    configure_context()
+    sf = _sf_from_dir(SF_DIR)
+    pages_dir, n_pages = _corpus(sf)
+
+    # warm OS page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(pages_dir).count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # --- headline: flagship near-dup over the synthetic page corpus
+    P = max(8, NUM_CPUS)
+    t0 = time.time()
+    res = near_dedup(
+        pages_ds=rd.read_parquet(pages_dir),
+        cfg=DedupConfig(),
+        num_partitions=P,
+        salt_hot=True,
+    )
+    n_out = res.clusters.count()
+    headline = time.time() - t0
+    queries["neardup_pages"] = round(headline, 3)
+    assert n_out == n_pages, (n_out, n_pages)
+
+    # --- operator surface over the driver testdata
+    timed("doc_neardup_clusters", lambda: c.doc_neardup_clusters(SF_DIR, P).count())
+    timed("doc_exact_dedup", lambda: c.doc_exact_dedup(SF_DIR, P).count())
+    timed("q1_pricing", lambda: r.q1_pricing(SF_DIR, P).count())
+    timed("orders_customer_hashjoin", lambda: r.orders_customer_hashjoin(SF_DIR, P).count())
+    timed("events_hourly", lambda: r.events_hourly(SF_DIR, P).count())
+    timed("embedding_topk", lambda: c.embedding_topk(SF_DIR).num_rows)
+    timed("top_customers", lambda: r.top_customers(SF_DIR, 10, P).count())
+
+    result = {
+        "metric": "neardup_pages_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / headline, 1),
+        "cc": res.stats["cc"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on the same input."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "sf": r_lo["sf"],
+        "n_pages": r_lo["n_pages"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,249 @@
+"""Training-data curation pipelines over the driver ``documents`` /
+``embeddings`` tables (TESTDATA.md) — the operator surface a large-scale
+curation pipeline needs: exact/normalized/near dedup, SimHash and substring
+dedup, text statistics, language ID, fingerprints, shingle statistics, and
+similarity search.  Each function takes ``sf_dir`` and returns a result the
+driver can compare (column names match the oracle SQL in __ray_entry__)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dynaalign_ray.config import DedupConfig
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_exact_dedup(sf_dir: str, num_partitions: int = 8):
+    """(doc_id=min per identical text, n_dups) — the distinct() analog."""
+    from dynaalign_ray.stages.dedup import exact_dedup_groups
+
+    groups = exact_dedup_groups(
+        _docs(sf_dir, ["doc_id", "text"]), num_partitions
+    )
+    return groups.select_columns(["doc_id", "n_dups"])
+
+
+def doc_norm_dedup(sf_dir: str, num_partitions: int = 8):
+    """Dedup on lower+whitespace-collapsed text."""
+    from dynaalign_ray.stages.dedup import exact_dedup_groups
+
+    groups = exact_dedup_groups(
+        _docs(sf_dir, ["doc_id", "text"]), num_partitions, normalize=True
+    )
+    return groups.select_columns(["doc_id", "n_dups"])
+
+
+def doc_token_counts(sf_dir: str):
+    from dynaalign_ray.functions.textstats import token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_lang_stats(sf_dir: str, num_partitions: int = 8):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    agg = ds.groupby("lang", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+
+    from dynaalign_ray.pipelines.relational import _round_cols
+
+    return _round_cols(agg, ["avg_chars"])
+
+
+def doc_top_longest(sf_dir: str, k: int = 10):
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_source_stats(sf_dir: str, num_partitions: int = 8):
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source", num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+
+
+def doc_shingle_counts(sf_dir: str, k: int = 3):
+    """Distinct word-k-shingles per doc — operator #1/#2 parity
+    (R/minHash.R:12-41) computed by the engine's vectorized kernel; docs
+    with fewer than k tokens are excluded (both sides of the oracle)."""
+    import functools
+
+    from dynaalign_ray.shingles import batch_shingle_hashes, bottomk_sketches
+
+    def kern(batch: pa.Table, *, k: int) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hashes, counts = batch_shingle_hashes(texts, k, "word")
+        _, _, distinct = bottomk_sketches(hashes, counts, cap=1 << 62)
+        keep = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(batch.column("doc_id")).astype(np.int64)[keep]
+                ),
+                "n_shingles": pa.array(distinct[keep], type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        functools.partial(kern, k=k), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_quality(sf_dir: str):
+    from dynaalign_ray.functions.textstats import quality_score_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_langid_counts(sf_dir: str, num_partitions: int = 8):
+    """Predicted-language histogram from the heuristic LangIdActor."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.functions.textstats import LangIdActor
+
+    pred = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdActor, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+    return pred.groupby("pred_lang", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    from dynaalign_ray.functions.textstats import fingerprint_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_neardup_clusters(sf_dir: str, num_partitions: int = 8):
+    """Flagship MinHash-LSH pipeline over the documents table
+    (k=3 word shingles for the short synthetic docs)."""
+    from dynaalign_ray.pipelines.neardup import near_dedup
+
+    cfg = DedupConfig(shingle_k=3)
+    res = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=cfg,
+        num_partitions=num_partitions,
+    )
+    return res.clusters.select_columns(["doc_id", "cluster_id", "keep"])
+
+
+def doc_minhash_signatures(sf_dir: str):
+    """Deterministic signature table (doc_id, simhash, n_shingles)."""
+    from dynaalign_ray.stages.minhash import signatures_dataset
+
+    cfg = DedupConfig(shingle_k=3)
+    sigs = signatures_dataset(_docs(sf_dir, ["doc_id", "text"]), cfg)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": batch.column("simhash").cast(pa.uint64()),
+                "n_shingles": batch.column("n_shingles"),
+            }
+        )
+
+    return sigs.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_simhash_pairs(sf_dir: str, num_partitions: int = 8, max_hamming: int = 8):
+    """SimHash near-dup edges over documents."""
+    from dynaalign_ray.stages.minhash import signatures_dataset
+    from dynaalign_ray.stages.simhash_stage import simhash_edges
+
+    cfg = DedupConfig(shingle_k=3)
+    sigs = signatures_dataset(_docs(sf_dir, ["doc_id", "text"]), cfg).materialize()
+    return simhash_edges(sigs, cfg, num_partitions, max_hamming=max_hamming)
+
+
+def doc_substring_pairs(sf_dir: str, num_partitions: int = 8, min_len: int = 120):
+    """Exact long-match (substring) dup edges over documents."""
+    from dynaalign_ray.stages.substring import substring_edges
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    return substring_edges(docs, num_partitions, min_len=min_len)
+
+
+def embedding_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
+    """Exact cosine top-k: queries are the embeddings of vec_id < n_queries;
+    the query's own vector is excluded.  Returns (query_id, rank, vec_id)."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in emb.filter(expr=f"vec_id < {n_queries}").take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    from dynaalign_ray.functions.similarity_search import brute_force_topk
+
+    out = brute_force_topk(emb, qm, k=k, exclude_ids=qids)
+    # map positional query index -> vec_id of the query
+    qcol = np.asarray(out.column("query_id"))
+    return pa.table(
+        {
+            "query_id": pa.array(qids[qcol], type=pa.int64()),
+            "rank": out.column("rank"),
+            "vec_id": out.column("vec_id"),
+        }
+    )
+
+
+def embedding_label_norms(sf_dir: str, num_partitions: int = 8):
+    """Per-label mean L2 norm of embeddings (list-column numeric kernel)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        arr = batch.column("embedding").combine_chunks()
+        vals = np.asarray(arr.values, dtype=np.float64)
+        dim = len(arr[0]) if len(arr) else 1
+        m = vals.reshape(-1, dim)
+        return pa.table(
+            {
+                "label": batch.column("label").cast(pa.int64()),
+                "norm": pa.array(np.sqrt((m * m).sum(axis=1)), type=pa.float64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_vecs"), Mean("norm", alias_name="avg_norm"))
+    )
+
+    from dynaalign_ray.pipelines.relational import _round_cols
+
+    return _round_cols(agg, ["avg_norm"])

@@ -1,0 +1,267 @@
+"""Relational operator coverage over the driver testdata (TESTDATA.md):
+filters, multi-key groupby aggregates, broadcast joins, sorts/top-k, and a
+tumbling-window aggregate on the events stream table — the engine's
+general-purpose operator surface (SURVEY.md §2.5 aggregation/sort/join rows),
+each with a DuckDB-checkable result (column names match the oracle SQL in
+__ray_entry__).
+
+Conventions:
+- column pruning at the read (``read_parquet(columns=[...])``);
+- aggregates rounded to 4 decimals on BOTH sides of the compare;
+- dimension-table joins are broadcast (ray.put once), never shuffled;
+- groupby keys are int64/string (engine-wide key rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def round4(col) -> pa.Array:
+    """Bit-reproducible 4-decimal rounding: rint(x * 10^4) / 10^4.
+
+    The oracle SQL uses ``round(x * 10000) / 10000`` — both sides divide the
+    SAME exact integer by 10^4, so the resulting doubles are bit-identical
+    (pc.round / duckdb round(x, 4) disagree in the last ulp and break
+    value-hash comparison)."""
+    x = np.asarray(col, dtype=np.float64)
+    scaled = x * 10_000.0
+    # half-away-from-zero ties, matching SQL round() (np.rint is half-to-even)
+    rounded = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+    return pa.array(rounded / 10_000.0, type=pa.float64())
+
+
+def _round_cols(ds, cols: list[str]):
+    def r(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            batch = batch.set_column(batch.column_names.index(c), c, round4(batch.column(c)))
+        return batch
+
+    return ds.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q1_pricing(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q1-style pricing summary: filter on ship date, two-key groupby,
+    five aggregates over computed columns."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = np.datetime64("1998-09-01T00:00:00")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
+        t = batch.filter(mask)
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "l_quantity": t.column("l_quantity"),
+                "l_extendedprice": t.column("l_extendedprice"),
+                "l_discount": t.column("l_discount"),
+                "disc_price": disc_price,
+            }
+        )
+
+    agg = (
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=num_partitions)
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return _round_cols(
+        agg, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"]
+    )
+
+
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
+    """orders ⋈ customer ⋈ nation via BROADCAST joins (both dimension sides
+    are small), then a one-key aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    cust_tbl = pa.table(
+        {
+            "c_custkey": pa.array([r["c_custkey"] for r in customer], pa.int64()),
+            "c_nationkey": pa.array(
+                [r["c_nationkey"] for r in customer], pa.int64()
+            ),
+        }
+    )
+    nation_tbl = pa.table(
+        {
+            "n_nationkey": pa.array([r["n_nationkey"] for r in nation], pa.int64()),
+            "n_name": pa.array([r["n_name"] for r in nation], pa.string()),
+        }
+    )
+    j1 = broadcast_join(orders, cust_tbl, left_on="o_custkey", right_on="c_custkey")
+    j2 = broadcast_join(j1, nation_tbl, left_on="c_nationkey", right_on="n_nationkey")
+    agg = j2.groupby("n_name", num_partitions=num_partitions).aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return _round_cols(agg, ["revenue"])
+
+
+def top_customers(sf_dir: str, k: int = 10, num_partitions: int = 8):
+    """Per-customer revenue -> global top-k (sort + limit), deterministic
+    tie-break on custkey via a two-key sort."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey", num_partitions=num_partitions).aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    top = agg.sort(["revenue", "o_custkey"], descending=[True, False]).limit(k)
+    return _round_cols(top, ["revenue"])
+
+
+def events_hourly(sf_dir: str, num_partitions: int = 8):
+    """Tumbling 1-hour window aggregate over the events stream table —
+    event-time windowing as groupby(floor(ts)) (Ray Data has no watermarks;
+    the batch-table semantics are exact).  Window key is epoch-micros int64."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return pa.table(
+            {
+                "hour_us": hour,
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = (
+        ev.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour_us", "event_type"], num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Mean("value", alias_name="avg_value"),
+        )
+    )
+    return _round_cols(agg, ["sum_value", "avg_value"])
+
+
+def part_type_stats(sf_dir: str, num_partitions: int = 8):
+    from ray.data.aggregate import Count, Max, Mean
+
+    part = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+    agg = part.groupby("p_type", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"),
+    )
+    return _round_cols(agg, ["avg_price"])
+
+
+def supplier_volume(sf_dir: str, num_partitions: int = 8):
+    """lineitem ⋈ supplier (broadcast: 10..10k rows) -> per-supplier totals."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
+    supp_tbl = pa.table(
+        {
+            "s_suppkey": pa.array([r["s_suppkey"] for r in supp], pa.int64()),
+            "s_name": pa.array([r["s_name"] for r in supp], pa.string()),
+        }
+    )
+    j = broadcast_join(li, supp_tbl, left_on="l_suppkey", right_on="s_suppkey")
+    agg = j.groupby("s_name", num_partitions=num_partitions).aggregate(
+        Sum("l_quantity", alias_name="total_qty"),
+        Count(alias_name="n_items"),
+    )
+    return _round_cols(agg, ["total_qty"])
+
+
+def high_value_order_counts(sf_dir: str, threshold: float = 200_000.0, num_partitions: int = 8):
+    """Vectorized filter inside map_batches + groupby count."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("o_totalprice"), threshold))
+
+    agg = (
+        orders.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+    )
+    return _round_cols(agg, ["total"])
+
+
+def lineitem_topk_price(sf_dir: str, k: int = 10):
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return li.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(k)
+
+
+def orders_customer_hashjoin(sf_dir: str, num_partitions: int = 8):
+    """The engine's own partitioned hash join on two fact-ish tables (orders
+    ⋈ customer on custkey), demonstrating the shuffle-join path; per-segment
+    revenue."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = hash_join(
+        orders,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema([("o_custkey", pa.int64()), ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+        num_partitions=num_partitions,
+    )
+    agg = j.groupby("c_mktsegment", num_partitions=num_partitions).aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return _round_cols(agg, ["revenue"])

@@ -1,0 +1,197 @@
+"""Needleman–Wunsch exact rescorer — re-expresses the reference's
+``calculate_similarity`` / ``similarityNW``
+(/root/reference/src/pairwiseSeqAlign.cpp:209-313, 331-365) for sequence
+payloads: global alignment with affine gaps (M/Ix/Iy three-matrix DP),
+traceback counting exact matches, similarity = matches / alignment_length.
+
+Differences from the reference by design:
+- never all-pairs: scoring runs only over candidate pairs that survive the
+  LSH stage (``nw_rescore_edges``), as a ``map_batches`` kernel;
+- the DP inner loop is vectorized over one axis with numpy (the reference
+  uses scalar C++ loops + an outer OpenMP ``parallel for``).
+
+Substitution matrices: BLOSUM62 (the reference's default, embedded from the
+public NCBI table) plus a parameterizable match/mismatch ("IDENTITY")
+matrix.  The reference additionally ships BLOSUM45/50/80/90/100
+(pairwiseSeqAlign.cpp:23-186); those tables are not embedded here — pass a
+custom (alphabet, matrix) pair to use them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+AA_ALPHABET = "ARNDCQEGHILKMFPSTWYVBZX*"  # aa_to_index order, pairwiseSeqAlign.cpp:15-21
+
+_BLOSUM62 = np.array(
+    [
+        [4,-1,-2,-2,0,-1,-1,0,-2,-1,-1,-1,-1,-2,-1,1,0,-3,-2,0,-2,-1,0,-4],
+        [-1,5,0,-2,-3,1,0,-2,0,-3,-2,2,-1,-3,-2,-1,-1,-3,-2,-3,-1,0,-1,-4],
+        [-2,0,6,1,-3,0,0,0,1,-3,-3,0,-2,-3,-2,1,0,-4,-2,-3,3,0,-1,-4],
+        [-2,-2,1,6,-3,0,2,-1,-1,-3,-4,-1,-3,-3,-1,0,-1,-4,-3,-3,4,1,-1,-4],
+        [0,-3,-3,-3,9,-3,-4,-3,-3,-1,-1,-3,-1,-2,-3,-1,-1,-2,-2,-1,-3,-3,-2,-4],
+        [-1,1,0,0,-3,5,2,-2,0,-3,-2,1,0,-3,-1,0,-1,-2,-1,-2,0,3,-1,-4],
+        [-1,0,0,2,-4,2,5,-2,0,-3,-3,1,-2,-3,-1,0,-1,-3,-2,-2,1,4,-1,-4],
+        [0,-2,0,-1,-3,-2,-2,6,-2,-4,-4,-2,-3,-3,-2,0,-2,-2,-3,-3,-1,-2,-1,-4],
+        [-2,0,1,-1,-3,0,0,-2,8,-3,-3,-1,-2,-1,-2,-1,-2,-2,2,-3,0,0,-1,-4],
+        [-1,-3,-3,-3,-1,-3,-3,-4,-3,4,2,-3,1,0,-3,-2,-1,-3,-1,3,-3,-3,-1,-4],
+        [-1,-2,-3,-4,-1,-2,-3,-4,-3,2,4,-2,2,0,-3,-2,-1,-2,-1,1,-4,-3,-1,-4],
+        [-1,2,0,-1,-3,1,1,-2,-1,-3,-2,5,-1,-3,-1,0,-1,-3,-2,-2,0,1,-1,-4],
+        [-1,-1,-2,-3,-1,0,-2,-3,-2,1,2,-1,5,0,-2,-1,-1,-1,-1,1,-3,-1,-1,-4],
+        [-2,-3,-3,-3,-2,-3,-3,-3,-1,0,0,-3,0,6,-4,-2,-2,1,3,-1,-3,-3,-1,-4],
+        [-1,-2,-2,-1,-3,-1,-1,-2,-2,-3,-3,-1,-2,-4,7,-1,-1,-4,-3,-2,-2,-1,-2,-4],
+        [1,-1,1,0,-1,0,0,0,-1,-2,-2,0,-1,-2,-1,4,1,-3,-2,-2,0,0,0,-4],
+        [0,-1,0,-1,-1,-1,-1,-2,-2,-1,-1,-1,-1,-2,-1,1,5,-2,-2,0,-1,-1,0,-4],
+        [-3,-3,-4,-4,-2,-2,-3,-2,-2,-3,-2,-3,-1,1,-4,-3,-2,11,2,-3,-4,-3,-2,-4],
+        [-2,-2,-2,-3,-2,-1,-2,-3,2,-1,-1,-2,-1,3,-3,-2,-2,2,7,-1,-3,-2,-1,-4],
+        [0,-3,-3,-3,-1,-2,-2,-3,-3,3,1,-2,1,-1,-2,-2,0,-3,-1,4,-3,-2,-1,-4],
+        [-2,-1,3,4,-3,0,1,-1,0,-3,-4,0,-3,-3,-2,0,-1,-4,-3,-3,4,1,-1,-4],
+        [-1,0,0,1,-3,3,4,-2,0,-3,-3,1,-1,-3,-1,0,-1,-3,-2,-2,1,4,-1,-4],
+        [0,-1,-1,-1,-2,-1,-1,-1,-1,-1,-1,-1,-1,-1,-2,0,0,-2,-1,-1,-1,-1,-1,-4],
+        [-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,1],
+    ],
+    dtype=np.int32,
+)
+
+_AA_INDEX = {c: i for i, c in enumerate(AA_ALPHABET)}
+_NEG_INF = -(10**9)
+
+
+def get_substitution_matrix(name: str) -> tuple[str, np.ndarray]:
+    """Analog of getSubstitutionMatrix (pairwiseSeqAlign.cpp:190-206);
+    errors on unknown names like the reference."""
+    if name == "BLOSUM62":
+        return AA_ALPHABET, _BLOSUM62
+    if name == "IDENTITY":
+        m = np.full((24, 24), -1, dtype=np.int32)
+        np.fill_diagonal(m, 1)
+        return AA_ALPHABET, m
+    raise ValueError(
+        f"Unknown substitution matrix: {name!r} (supported here: BLOSUM62, "
+        "IDENTITY; pass a custom (alphabet, matrix) for others)"
+    )
+
+
+def _encode(seq: str, index: dict[str, int]) -> np.ndarray:
+    try:
+        return np.fromiter((index[c] for c in seq), dtype=np.int64, count=len(seq))
+    except KeyError as e:
+        # same guard as the reference (pairwiseSeqAlign.cpp:240-250)
+        raise ValueError(f"invalid character {e.args[0]!r} in sequence") from None
+
+
+def nw_similarity(
+    s1: str,
+    s2: str,
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    custom: tuple[str, np.ndarray] | None = None,
+) -> float:
+    """Global-alignment similarity = exact matches / alignment length.
+
+    Affine gap: opening costs gap_open, each extension gap_ext (same
+    parameter convention as the reference's defaults 10/4).
+    """
+    alphabet, sub = custom if custom is not None else get_substitution_matrix(matrix_name)
+    index = {c: i for i, c in enumerate(alphabet)}
+    x, y = _encode(s1, index), _encode(s2, index)
+    n, m = len(x), len(y)
+    if n == 0 or m == 0:
+        return 0.0 if (n or m) else 1.0
+
+    # three-matrix DP, vectorized over the j axis per row
+    M = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)
+    Ix = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)  # gap in y (up moves)
+    Iy = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)  # gap in x (left moves)
+    M[0, 0] = 0
+    Ix[1:, 0] = -gap_open - gap_ext * np.arange(n, dtype=np.int64)
+    Iy[0, 1:] = -gap_open - gap_ext * np.arange(m, dtype=np.int64)
+    scores = sub[x][:, y].astype(np.int64)  # (n, m)
+    for i in range(1, n + 1):
+        prev_best = np.maximum(np.maximum(M[i - 1], Ix[i - 1]), Iy[i - 1])
+        M[i, 1:] = prev_best[:-1] + scores[i - 1]
+        Ix[i, 1:] = np.maximum(M[i - 1, 1:] - gap_open, Ix[i - 1, 1:] - gap_ext)
+        Ix[i, 0] = -gap_open - gap_ext * (i - 1)
+        # Iy has an intra-row dependency; resolve with a running scan
+        open_cand = M[i, :-1] - gap_open
+        iy = _NEG_INF
+        row = Iy[i]
+        for j in range(1, m + 1):
+            iy = max(open_cand[j - 1], iy - gap_ext)
+            row[j] = iy
+    # traceback counting matches (pairwiseSeqAlign.cpp:283-308)
+    i, j = n, m
+    state = int(np.argmax([M[n, m], Ix[n, m], Iy[n, m]]))
+    matches = 0
+    length = 0
+    while i > 0 or j > 0:
+        length += 1
+        if state == 0 and i > 0 and j > 0:
+            if x[i - 1] == y[j - 1]:
+                matches += 1
+            cand = [M[i - 1, j - 1], Ix[i - 1, j - 1], Iy[i - 1, j - 1]]
+            state = int(np.argmax(cand))
+            i, j = i - 1, j - 1
+        elif state == 1 and i > 0:  # up: gap in y
+            state = 0 if M[i - 1, j] - gap_open >= Ix[i - 1, j] - gap_ext else 1
+            i -= 1
+        elif state == 2 and j > 0:  # left: gap in x
+            state = 0 if M[i, j - 1] - gap_open >= Iy[i, j - 1] - gap_ext else 2
+            j -= 1
+        else:
+            state = 1 if i > 0 else 2
+    return matches / length if length else 0.0
+
+
+def nw_rescore_batch(
+    batch: pa.Table,
+    *,
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    col_a: str = "text_a",
+    col_b: str = "text_b",
+) -> pa.Table:
+    """(a, b, text_a, text_b) -> (a, b, nw_similarity) — the candidate-pair
+    exact rescorer (never all-pairs; cf. similarityNW's O(n^2) loop)."""
+    sims = np.empty(batch.num_rows, dtype=np.float64)
+    ca, cb = batch.column(col_a), batch.column(col_b)
+    for i in range(batch.num_rows):
+        sims[i] = nw_similarity(
+            ca[i].as_py(), cb[i].as_py(), matrix_name, gap_open, gap_ext
+        )
+    return pa.table(
+        {
+            "a": batch.column("a"),
+            "b": batch.column("b"),
+            "nw_similarity": pa.array(sims, type=pa.float64()),
+        }
+    )
+
+
+class NWRescorer:
+    """Actor-pool form: substitution matrix resolved once per actor
+    (the stateful-stage analog of HashFamily, src/minHash.cpp:67-89)."""
+
+    def __init__(self, matrix_name: str = "BLOSUM62", gap_open: int = 10, gap_ext: int = 4):
+        self.custom = get_substitution_matrix(matrix_name)
+        self.gap_open = gap_open
+        self.gap_ext = gap_ext
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sims = np.empty(batch.num_rows, dtype=np.float64)
+        ca, cb = batch.column("text_a"), batch.column("text_b")
+        for i in range(batch.num_rows):
+            sims[i] = nw_similarity(
+                ca[i].as_py(), cb[i].as_py(), custom=self.custom,
+                gap_open=self.gap_open, gap_ext=self.gap_ext,
+            )
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "nw_similarity": pa.array(sims, type=pa.float64()),
+            }
+        )

@@ -1,0 +1,102 @@
+"""Driver-style correctness harness: run each queries() entry and its
+oracle_sql() side by side on one sf dir, compare row count + schema names +
+order-insensitive values (sorted by all columns, floats rounded)."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # strict: no normalization beyond column order + row sort — mimics a
+    # value-hash compare, so engine and oracle must emit identical values
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, only: list[str]) -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            res = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(res)} (rows-only, {dt:.1f}s)")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle raised {e}")
+            failures += 1
+            continue
+        a, b = canon(res.copy()), canon(exp.copy())
+        ok_rows = len(a) == len(b)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+                ok_vals = True
+            except AssertionError as e:
+                msg = str(e).splitlines()[0]
+        if ok_rows and ok_cols and ok_vals:
+            print(f"ok   {name}: rows={len(a)} match ({dt:.1f}s)")
+        else:
+            failures += 1
+            print(
+                f"FAIL {name}: rows {len(a)}/{len(b)} cols_ok={ok_cols} "
+                f"({list(a.columns)} vs {list(b.columns)})"
+            )
+            if ok_rows and ok_cols:
+                print("     first diff:", msg)
+                print(a.head(3).to_string())
+                print(b.head(3).to_string())
+    ray.shutdown()
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if main(sf, sys.argv[2:]) else 0)
