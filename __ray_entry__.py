@@ -48,9 +48,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": c.doc_quality,  # rows-only (heuristic composite)
         "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
         "doc_fingerprints": c.doc_fingerprints,  # rows-only
+        "doc_vocab": c.doc_vocab,
         # --- similarity search
         "embedding_topk": c.embedding_topk,
         "embedding_label_norms": c.embedding_label_norms,
+        # --- streaming-shaped (session windows)
+        "events_user_sessions": c.events_user_sessions,
         # --- relational operator surface
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -109,6 +112,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS BIGINT) AS min_chars,
                    CAST(max(n_chars) AS BIGINT) AS max_chars
             FROM documents GROUP BY source
+        """,
+        "doc_vocab": """
+            WITH t AS (
+                SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents
+            )
+            SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+            FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+            WHERE len(toks) >= 3
+        """,
+        "events_user_sessions": """
+            WITH e AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+            ),
+            m AS (
+                SELECT user_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            ),
+            s AS (
+                SELECT user_id, ts_us,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT user_id, min(ts_us) AS session_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "embedding_topk": """
             WITH q AS (

@@ -83,8 +83,10 @@ def run_bench() -> dict:
         queries[name] = round(dt, 3)
         return out
 
-    # --- headline: flagship near-dup over the synthetic page corpus
-    P = max(8, NUM_CPUS)
+    # --- headline: flagship near-dup over the synthetic page corpus.
+    # Partition count scales with DATA (fixed across CPU levels so the
+    # scaling run compares identical plans), parallelism with CPUs.
+    P = max(8, min(64, n_pages // 2000))
     t0 = time.time()
     res = near_dedup(
         pages_ds=rd.read_parquet(pages_dir),

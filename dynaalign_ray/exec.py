@@ -23,6 +23,18 @@ def configure_context() -> None:
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # Cap shuffle aggregator actors: each hash-shuffle op otherwise spawns
+    # min(num_partitions, 64) actors, and a pipeline chaining several
+    # shuffles oversubscribes a single node with hundreds of worker
+    # processes (measured 118s -> 25s on the 20k-page bench).  One
+    # aggregator can own many partitions; cap to ~half the CPUs.
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    ctx.max_hash_shuffle_aggregators = max(4, min(16, cpus // 2))
 
 
 def ensure_schema(ds):

@@ -158,7 +158,9 @@ def generate_pages(
                 # distinct doc + a long copied run (>=200 bytes) from the seed
                 other = _make_doc(rng, vocab)
                 flat = [t for par in seed_doc for t in par]
-                run_len = 40  # ~40 tokens * ~6 chars >= 200 bytes
+                # 60 tokens * >=4 chars + 59 spaces >= 299 bytes: safely above
+                # the 200-byte substring-dedup detection guarantee
+                run_len = 60
                 if len(flat) > run_len:
                     start = int(rng.integers(0, len(flat) - run_len))
                     other[len(other) // 2] = flat[start : start + run_len]

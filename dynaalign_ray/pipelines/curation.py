@@ -247,3 +247,40 @@ def embedding_label_norms(sf_dir: str, num_partitions: int = 8):
     from dynaalign_ray.pipelines.relational import _round_cols
 
     return _round_cols(agg, ["avg_norm"])
+
+
+def doc_vocab(sf_dir: str, k: int = 3, num_partitions: int = 8):
+    """Global sorted distinct shingle vocabulary — the reference's
+    ``create_vocab`` (R/minHash.R:38-41) as a distributed distinct: emit
+    word-k-shingle STRINGS per doc, hash-aggregate distinct, sort.
+    (Only used for R-path parity/oracles; the production path hashes
+    shingles and never materializes a global vocab.)"""
+    from ray.data.aggregate import Count
+
+    def emit(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            toks = text.split()
+            out.extend(
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            )
+        return pa.table({"shingle": pa.array(out, type=pa.string())})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        ds.groupby("shingle", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["shingle"])
+    )
+
+
+def events_user_sessions(sf_dir: str, num_partitions: int = 8):
+    """Session windows (30-min gap) per user over the events table."""
+    import ray.data as rd
+
+    from dynaalign_ray.stages.windows import user_sessions
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return user_sessions(ev, num_partitions)

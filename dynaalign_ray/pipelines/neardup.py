@@ -45,6 +45,7 @@ def near_dedup(
     num_partitions: int | None = None,
     approx_rows: int | None = None,
     salt_hot: bool = True,
+    similarity_backend: str = "minhash",
 ) -> NearDupResult:
     """Run the flagship pipeline.
 
@@ -80,12 +81,65 @@ def near_dedup(
         # signatures fan out to: hot-key count, band explode, verify join ×2
         sigs = sigs.materialize()
 
-    pairs, fp_pairs = ckpt.run_stage(
-        "pairs", fp_sigs, lambda: candidate_pairs(sigs, cfg, P, salt_hot=salt_hot)
-    )
-    edges, fp_edges = ckpt.run_stage(
-        "edges", fp_pairs, lambda: verified_edges(pairs, sigs, cfg, P)
-    )
+    # pluggable similarity backend (the reference's sim_fn injection point,
+    # R/clusterbreak.R:185-188): minhash (LSH + exact-Jaccard verify,
+    # default), simhash (banded Hamming), substring (winnowing long-match)
+    if similarity_backend == "minhash":
+        pairs, fp_pairs = ckpt.run_stage(
+            "pairs",
+            fp_sigs,
+            lambda: candidate_pairs(sigs, cfg, P, salt_hot=salt_hot, dedup=False),
+        )
+        edges, fp_edges = ckpt.run_stage(
+            "edges", fp_pairs, lambda: verified_edges(pairs, sigs, cfg, P)
+        )
+    elif similarity_backend == "simhash":
+        from dynaalign_ray.stages.simhash_stage import simhash_edges
+
+        def _simhash_edges():
+            import pyarrow as _pa
+
+            raw = simhash_edges(sigs, cfg, P)
+
+            def to_weight(batch):
+                import numpy as _np
+
+                ham = _np.asarray(batch.column("hamming")).astype(_np.float64)
+                return _pa.table(
+                    {
+                        "a": batch.column("a"),
+                        "b": batch.column("b"),
+                        "jaccard": _pa.array(1.0 - ham / 64.0),
+                    }
+                )
+
+            return raw.map_batches(to_weight, batch_format="pyarrow", zero_copy_batch=True)
+
+        edges, fp_edges = ckpt.run_stage("edges", fp_sigs, _simhash_edges)
+    elif similarity_backend == "substring":
+        from dynaalign_ray.stages.substring import substring_edges
+
+        def _sub_edges():
+            import pyarrow as _pa
+
+            raw = substring_edges(docs_ds, P)
+
+            def to_weight(batch):
+                return _pa.table(
+                    {
+                        "a": batch.column("a"),
+                        "b": batch.column("b"),
+                        "jaccard": _pa.array(
+                            [1.0] * batch.num_rows, type=_pa.float64()
+                        ),
+                    }
+                )
+
+            return raw.map_batches(to_weight, batch_format="pyarrow", zero_copy_batch=True)
+
+        edges, fp_edges = ckpt.run_stage("edges", fp_docs, _sub_edges)
+    else:
+        raise ValueError(f"unknown similarity_backend {similarity_backend!r}")
     if checkpoint_dir is None:
         edges = edges.materialize()
 
@@ -127,6 +181,37 @@ def _approx_quantile(ds, col: str, q: float) -> float:
     if len(vals) == 0:
         return 0.0
     return float(np.quantile(vals, q))
+
+
+def write_run_report(res: NearDupResult, path: str) -> dict:
+    """Driver-side run report — the scalable stand-in for the reference's
+    plotting outputs (consensusplot / plot_similarity_matrix,
+    R/clusterbreak.R:379-399, R/plotting.R:14-29): cluster-size histogram,
+    edge-weight stats, per-stage counters.  Small aggregates only."""
+    import json
+
+    from ray.data.aggregate import Count
+
+    sizes = (
+        res.clusters.groupby("cluster_id", num_partitions=8)
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["n"])
+        .take_all()
+    )
+    hist: dict[int, int] = {}
+    for r in sizes:
+        hist[r["n"]] = hist.get(r["n"], 0) + 1
+    report = {
+        "n_docs": int(sum(k * v for k, v in hist.items())),
+        "n_clusters": int(sum(hist.values())),
+        "n_dup_docs": int(sum(k * v for k, v in hist.items() if k > 1)),
+        "cluster_size_histogram": {str(k): v for k, v in sorted(hist.items())},
+        "edge_stats": dedup_stats(res.edges),
+        "stages": res.stats,
+    }
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    return report
 
 
 def dedup_stats(edges_ds) -> dict:

@@ -190,9 +190,19 @@ def dedup_pairs_block(batch: pa.Table) -> pa.Table:
     )
 
 
-def candidate_pairs(sigs_ds, cfg: DedupConfig, num_partitions: int, salt_hot: bool = True):
-    """signatures -> deduplicated candidate_pairs(a, b).  One hash shuffle on
-    band_key (+ a small counting groupby when salting) + one on (a, b)."""
+def candidate_pairs(
+    sigs_ds,
+    cfg: DedupConfig,
+    num_partitions: int,
+    salt_hot: bool = True,
+    dedup: bool = True,
+):
+    """signatures -> candidate_pairs(a, b).  One hash shuffle on band_key
+    (+ a small counting groupby when salting); with ``dedup=True`` a second
+    shuffle on (a, b) removes cross-band duplicates.  The flagship pipeline
+    passes ``dedup=False`` — the verify stage's second join partitions on
+    ``b``, so duplicates of a pair colocate there and are dropped inside the
+    verify kernel, saving a full shuffle."""
     import functools
 
     plain = sigs_ds.map_batches(
@@ -220,6 +230,8 @@ def candidate_pairs(sigs_ds, cfg: DedupConfig, num_partitions: int, salt_hot: bo
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if not dedup:
+        return pairs
     return pairs.repartition(num_blocks=num_partitions, keys=["a", "b"]).map_batches(
         dedup_pairs_block,
         batch_size=None,

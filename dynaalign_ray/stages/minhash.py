@@ -77,10 +77,17 @@ def signatures_dataset(docs_ds, cfg: DedupConfig, concurrency=None):
     elif cfg.minhash_concurrency is not None:
         kwargs["concurrency"] = cfg.minhash_concurrency
     else:
-        # default: small autoscaling actor pool; permutation arrays are cheap
-        # to build, so a task pool would also work — the actor pool matters
+        # autoscaling actor pool sized to the cluster so the signature stage
+        # doesn't bottleneck behind a fixed small pool; setup (permutation
+        # arrays) is cheap here but the actor-pool shape is what matters
         # when num_perm is large or a model/tokenizer must be loaded.
-        kwargs["concurrency"] = (1, 8)
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        kwargs["concurrency"] = (1, max(4, cpus // 2))
     return docs_ds.map_batches(
         MinHashActor,
         fn_constructor_args=(cfg,),

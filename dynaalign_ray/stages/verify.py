@@ -41,6 +41,17 @@ def verify_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
                 "jaccard": pa.array([], type=pa.float64()),
             }
         )
+    # drop cross-band duplicate pairs: the upstream join partitions on `b`,
+    # so every copy of (a, b) lands in this block (saves the dedicated
+    # pair-dedup shuffle)
+    aa = np.asarray(batch.column("a")).astype(np.int64)
+    bb = np.asarray(batch.column("b")).astype(np.int64)
+    order = np.lexsort((bb, aa))
+    uniq = np.ones(n, dtype=bool)
+    uniq[1:] = (aa[order][1:] != aa[order][:-1]) | (bb[order][1:] != bb[order][:-1])
+    if not uniq.all():
+        batch = batch.take(pa.array(order[uniq]))
+        n = batch.num_rows
     va, oa = _sketch_arrays(batch.column("sketch_a"))
     vb, ob = _sketch_arrays(batch.column("sketch_b"))
     cap = cfg.sketch_cap

@@ -1,0 +1,174 @@
+"""Tests for the per-cluster consensus reduce, session/sliding windows, and
+the pluggable similarity backends of the flagship pipeline."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dynaalign_ray.config import DedupConfig
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+class TestConsensus:
+    def test_representative_longest(self, rd):
+        from dynaalign_ray.stages.consensus import cluster_consensus
+
+        clusters = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "cluster_id": pa.array([1, 1, 1, 4], pa.int64()),
+            }
+        )
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": ["short", "the longest text here", "medium txt", "solo"],
+            }
+        )
+        out = cluster_consensus(
+            rd.from_arrow(clusters), rd.from_arrow(docs), 2
+        ).take_all()
+        assert len(out) == 1  # singleton skipped
+        row = out[0]
+        assert row["cluster_id"] == 1
+        assert row["consensus"] == "the longest text here"
+        assert row["representative_doc"] == 2
+        assert row["n_members"] == 3
+
+    def test_majority_vote(self):
+        from dynaalign_ray.stages.consensus import consensus_majority_vote
+
+        g = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "cluster_id": [1, 1, 1],
+                "text": ["AAB", "AAB", "ACB"],
+                "n_chars": [3, 3, 3],
+            }
+        )
+        out = consensus_majority_vote(g)
+        assert out["consensus"].iloc[0] == "AAB"
+
+
+class TestWindows:
+    def test_sessions(self, rd):
+        from dynaalign_ray.stages.windows import user_sessions
+
+        us = 1_000_000
+        tbl = pa.table(
+            {
+                "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+                "ts": pa.array(
+                    [0, 60 * us, 3 * 3600 * us, 50 * us], pa.timestamp("us")
+                ),
+            }
+        )
+        rows = sorted(
+            (r["user_id"], r["session_start_us"], r["n_events"])
+            for r in user_sessions(rd.from_arrow(tbl), 2).take_all()
+        )
+        assert rows == [(7, 0, 2), (7, 3 * 3600 * us, 1), (8, 50 * us, 1)]
+
+    def test_sliding(self, rd):
+        from dynaalign_ray.stages.windows import sliding_window_counts
+
+        us = 1_000_000
+        tbl = pa.table(
+            {
+                "ts": pa.array([0, 30 * us, 90 * us], pa.timestamp("us")),
+                "event_type": pa.array(["x", "x", "x"], pa.string()),
+            }
+        )
+        # window size 60s, step 30s
+        rows = {
+            r["window_start_us"]: r["n_events"]
+            for r in sliding_window_counts(
+                rd.from_arrow(tbl), 2, 60 * us, 30 * us
+            ).take_all()
+        }
+        # event@0 -> windows [-30, 0]; event@30 -> [0, 30]; event@90 -> [60, 90]
+        assert rows[0] == 2 and rows[30 * us] == 1 and rows[90 * us] == 1
+
+
+class TestBackends:
+    def test_simhash_backend(self, rd, small_corpus):
+        from dynaalign_ray.pipelines.neardup import near_dedup
+
+        pages, truth = small_corpus
+        res = near_dedup(
+            pages_ds=rd.from_arrow(pages),
+            cfg=DedupConfig(),
+            num_partitions=4,
+            similarity_backend="simhash",
+        )
+        clusters = {r["doc_id"]: r["cluster_id"] for r in res.clusters.take_all()}
+        assert len(clusters) == pages.num_rows
+        # exact copies must cluster together under simhash (Hamming 0)
+        from dynaalign_ray.hashing import doc_id_from_urls
+
+        ids = doc_id_from_urls(pages.column("url").to_pylist()).tolist()
+        url_to_id = dict(zip(pages.column("url").to_pylist(), ids))
+        by_cluster = {}
+        for u, tc, ch in zip(
+            truth.column("doc_url").to_pylist(),
+            truth.column("true_cluster").to_pylist(),
+            truth.column("channel").to_pylist(),
+        ):
+            by_cluster.setdefault(tc, []).append((u, ch))
+        for members in by_cluster.values():
+            seeds = [u for u, ch in members if ch == "seed"]
+            for u, ch in members:
+                if ch == "exact" and seeds:
+                    assert clusters[url_to_id[u]] == clusters[url_to_id[seeds[0]]]
+
+    def test_unknown_backend(self, rd, small_corpus):
+        from dynaalign_ray.pipelines.neardup import near_dedup
+
+        pages, _ = small_corpus
+        with pytest.raises(ValueError, match="unknown similarity_backend"):
+            near_dedup(
+                pages_ds=rd.from_arrow(pages),
+                cfg=DedupConfig(),
+                num_partitions=2,
+                similarity_backend="nope",
+            )
+
+    def test_run_report(self, rd, small_corpus, tmp_path):
+        from dynaalign_ray.pipelines.neardup import near_dedup, write_run_report
+
+        pages, _ = small_corpus
+        res = near_dedup(
+            pages_ds=rd.from_arrow(pages), cfg=DedupConfig(), num_partitions=4
+        )
+        report = write_run_report(res, str(tmp_path / "report.json"))
+        assert report["n_docs"] == pages.num_rows
+        assert report["n_clusters"] < report["n_docs"]
+        assert (tmp_path / "report.json").exists()
+
+
+class TestQuantileThreshold:
+    def test_tau_quantile_mode(self, rd, small_corpus):
+        # the reference's per-subset quantile threshold (clusterbreak
+        # thresh_p, R/clusterbreak.R:219) as an approximate global aggregate:
+        # a high quantile keeps only the strongest edges
+        from dynaalign_ray.pipelines.neardup import near_dedup
+
+        pages, _ = small_corpus
+        res_fixed = near_dedup(
+            pages_ds=rd.from_arrow(pages), cfg=DedupConfig(), num_partitions=4
+        )
+        res_q = near_dedup(
+            pages_ds=rd.from_arrow(pages),
+            cfg=DedupConfig(tau_quantile=0.95),
+            num_partitions=4,
+        )
+        n_fixed = sum(1 for r in res_fixed.clusters.take_all() if not r["keep"])
+        n_q = sum(1 for r in res_q.clusters.take_all() if not r["keep"])
+        assert 0 < n_q <= n_fixed  # stricter threshold -> fewer dups removed
