@@ -71,8 +71,12 @@ def run_bench() -> dict:
     sf = _sf_from_dir(SF_DIR)
     pages_dir, n_pages = _corpus(sf)
 
-    # warm OS page cache so we measure compute + shuffle, not first disk read
+    # warm-up: OS page cache + Ray worker/aggregator-actor spawn, so the
+    # timed run measures steady-state compute + shuffle (cluster cold-start
+    # is a per-job constant, not a per-doc cost)
     rd.read_parquet(pages_dir).count()
+    warm = rd.read_parquet(pages_dir).limit(500).materialize()
+    near_dedup(pages_ds=warm, cfg=DedupConfig(), num_partitions=8).clusters.count()
 
     queries: dict[str, float] = {}
 

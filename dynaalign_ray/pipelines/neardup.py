@@ -71,6 +71,11 @@ def near_dedup(
                 extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
             ),
         )
+        if checkpoint_dir is None:
+            # docs fan out to the signature stage and the final cluster
+            # assignment join; pin the (narrow, html-free) table so extract
+            # doesn't re-run per consumer
+            docs_ds = docs_ds.materialize()
     else:
         fp_docs = "docs-input"
 
@@ -85,10 +90,21 @@ def near_dedup(
     # R/clusterbreak.R:185-188): minhash (LSH + exact-Jaccard verify,
     # default), simhash (banded Hamming), substring (winnowing long-match)
     if similarity_backend == "minhash":
+        # row-count hint lets hot-key detection pick the no-shuffle
+        # driver-merge plan at small scale (sigs is materialized or a
+        # checkpoint read here, so count() is metadata-cheap)
+        n_band_rows = None
+        try:
+            n_band_rows = sigs.count() * cfg.num_bands
+        except Exception:
+            pass
         pairs, fp_pairs = ckpt.run_stage(
             "pairs",
             fp_sigs,
-            lambda: candidate_pairs(sigs, cfg, P, salt_hot=salt_hot, dedup=False),
+            lambda: candidate_pairs(
+                sigs, cfg, P, salt_hot=salt_hot, dedup=False,
+                approx_band_rows=n_band_rows,
+            ),
         )
         edges, fp_edges = ckpt.run_stage(
             "edges", fp_pairs, lambda: verified_edges(pairs, sigs, cfg, P)

@@ -100,7 +100,7 @@ def minhash_signatures(
     counts: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    perm_chunk: int = 16,
+    perm_chunk: int = 8,
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 signature matrix.
 
@@ -129,9 +129,18 @@ def minhash_signatures(
     return sig
 
 
-def simhash_signatures(shingle_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+def simhash_signatures(
+    shingle_hashes: np.ndarray, counts: np.ndarray, bit_chunk: int = 16
+) -> np.ndarray:
     """64-bit SimHash per doc: bit j of the fingerprint is the sign of the
-    sum over shingles of (2*bit_j(shingle_hash) - 1).  Empty docs -> 0."""
+    sum over shingles of (2*bit_j(shingle_hash) - 1).  Empty docs -> 0.
+
+    Bits are processed in chunks of ``bit_chunk`` so the temporary bit
+    matrix stays small ((n_shingles, 16) instead of (n_shingles, 64)·2 —
+    first-touch page faults on fresh worker heaps dominate otherwise).
+    sum(2b-1) > 0  <=>  2*sum(b) > count, so only the 0/1 bit sums are
+    accumulated.
+    """
     n_docs = len(counts)
     out = np.zeros(n_docs, dtype=U64)
     nonempty = counts > 0
@@ -139,11 +148,15 @@ def simhash_signatures(shingle_hashes: np.ndarray, counts: np.ndarray) -> np.nda
         return out
     seg_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
     np.cumsum(counts[nonempty][:-1], out=seg_starts[1:])
-    shifts = np.arange(64, dtype=U64)
-    bits = ((shingle_hashes[:, np.newaxis] >> shifts) & U64(1)).astype(np.int32)
-    contrib = bits * 2 - 1
-    sums = np.add.reduceat(contrib, seg_starts, axis=0)
-    packed = ((sums > 0).astype(U64) << shifts).sum(axis=1, dtype=U64)
+    seg_counts = counts[nonempty].astype(np.int64)
+    packed = np.zeros(int(nonempty.sum()), dtype=U64)
+    for c0 in range(0, 64, bit_chunk):
+        c1 = min(c0 + bit_chunk, 64)
+        shifts = np.arange(c0, c1, dtype=U64)
+        bits = ((shingle_hashes[:, np.newaxis] >> shifts) & U64(1)).astype(np.int32)
+        sums = np.add.reduceat(bits, seg_starts, axis=0)
+        pos = (2 * sums) > seg_counts[:, np.newaxis]
+        packed |= (pos.astype(U64) << shifts).sum(axis=1, dtype=U64)
     out[nonempty] = packed
     return out
 

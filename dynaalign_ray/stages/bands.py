@@ -102,12 +102,49 @@ def explode_bands(
     )
 
 
+_DRIVER_MERGE_LIMIT = 50_000_000  # band rows below this merge on the driver
+
+
 def find_hot_band_keys(
-    bands_ds, cfg: DedupConfig, num_partitions: int
+    bands_ds, cfg: DedupConfig, num_partitions: int, approx_rows: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Phase-1 of the salted two-phase emission: bucket histogram -> (keys,
     counts) for buckets exceeding salt_cap, sorted by key.  The result is
-    tiny (hot keys only) and is broadcast to the phase-2 mappers."""
+    tiny (hot keys only) and is broadcast to the phase-2 mappers.
+
+    Two physical plans: when the band table is known-small, per-block
+    partial counts merge on the driver (no shuffle, no aggregator actors);
+    otherwise a distributed count groupby (the 100 TB path).
+    """
+    if approx_rows is not None and approx_rows <= _DRIVER_MERGE_LIMIT:
+        import ray
+
+        def partial_counts(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch.column("band_key")).astype(np.int64)
+            u, c = np.unique(k, return_counts=True)
+            return pa.table(
+                {"band_key": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+            )
+
+        refs = bands_ds.map_batches(
+            partial_counts, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+        tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+        if not tables:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        merged = pa.concat_tables(tables)
+        k = np.asarray(merged.column("band_key")).astype(np.int64)
+        n = np.asarray(merged.column("n")).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, n = k[order], n[order]
+        boundary = np.ones(len(k), dtype=bool)
+        boundary[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(boundary)
+        totals = np.add.reduceat(n, starts)
+        keys = k[starts]
+        hot = totals > cfg.salt_cap
+        return keys[hot], totals[hot]
+
     from ray.data.aggregate import Count
 
     counts = bands_ds.groupby("band_key", num_partitions=num_partitions).aggregate(
@@ -196,6 +233,7 @@ def candidate_pairs(
     num_partitions: int,
     salt_hot: bool = True,
     dedup: bool = True,
+    approx_band_rows: int | None = None,
 ):
     """signatures -> candidate_pairs(a, b).  One hash shuffle on band_key
     (+ a small counting groupby when salting); with ``dedup=True`` a second
@@ -212,7 +250,9 @@ def candidate_pairs(
     )
     hot_keys = None
     if salt_hot and cfg.salt_cap:
-        hot_keys = find_hot_band_keys(plain, cfg, num_partitions)
+        hot_keys = find_hot_band_keys(
+            plain, cfg, num_partitions, approx_rows=approx_band_rows
+        )
         if len(hot_keys[0]) == 0:
             hot_keys = None
     bands = (
