@@ -43,7 +43,9 @@ def _sf_from_dir(sf_dir: str) -> float:
 def _corpus(sf: float) -> tuple[str, int]:
     from dynaalign_ray.fixtures import write_pages_dir
 
-    n_pages = max(200, int(PAGES_PER_SF * sf))
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0")) or max(
+        200, int(PAGES_PER_SF * sf)
+    )
     out_dir = f"/tmp/dynaalign_bench/corpus_n{n_pages}_s42"
     pages_dir, _ = write_pages_dir(out_dir, n_pages, seed=42, num_shards=32)
     return pages_dir, n_pages
@@ -128,10 +130,24 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Fresh-process runs at 8 and 32 CPUs on the same input."""
+    """Fresh-process runs at 8 and 32 CPUs on the same input.
+
+    The scaling corpus is larger than the default headline corpus
+    (GRAFT_SCALING_PAGES, default 100k pages) so per-doc compute dominates
+    the per-job orchestration constant — the quantity the N->4N criterion
+    is about is steady-state throughput, not job-setup latency (which is
+    amortized to nothing over a 10^12-doc run).
+    """
+
+    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "100000")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_PAGES=scaling_pages,
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env,

@@ -27,14 +27,22 @@ def configure_context() -> None:
     # min(num_partitions, 64) actors, and a pipeline chaining several
     # shuffles oversubscribes a single node with hundreds of worker
     # processes (measured 118s -> 25s on the 20k-page bench).  One
-    # aggregator can own many partitions; cap to ~half the CPUs.
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        cpus = 8
-    ctx.max_hash_shuffle_aggregators = max(4, min(16, cpus // 2))
+    # aggregator can own many partitions.  The cap is a CONSTANT (not a
+    # function of CPUs) so the per-job orchestration cost is identical
+    # across parallelism levels — on a real multi-node cluster raise it to
+    # ~nodes (aggregators are the shuffle's reduce side).
+    ctx.max_hash_shuffle_aggregators = 8
+    # Aggregator actors otherwise reserve (cluster_CPU/2)/num_partitions
+    # CPUs per partition; with several shuffle ops alive in one streaming
+    # DAG they can reserve every CPU on a small node and starve the map
+    # side (observed: 8-CPU run deadlocked at ~0 load).  Pin the tiny
+    # single-node default so aggregators never crowd out compute.
+    # 0.01 CPU/partition: a 3-shuffle DAG over 50 partitions reserves 1.5
+    # CPUs total instead of 9+ (which deadlocks an 8-CPU node).  The
+    # reservation is a scheduling hint, not a throughput cap — aggregator
+    # finalize work still uses real cores.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
 
 
 def ensure_schema(ds):

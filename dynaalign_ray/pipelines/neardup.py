@@ -98,11 +98,16 @@ def near_dedup(
             n_band_rows = sigs.count() * cfg.num_bands
         except Exception:
             pass
+        # dedup=True: cross-band duplicate pairs (a near-dup pair matches in
+        # many of the 32 bands) are deduplicated BEFORE the verify joins —
+        # the extra (a,b) shuffle on narrow pair rows is far cheaper than
+        # dragging per-doc sketches through the joins once per duplicate
+        # (measured 6x join volume at 100k pages without it)
         pairs, fp_pairs = ckpt.run_stage(
             "pairs",
             fp_sigs,
             lambda: candidate_pairs(
-                sigs, cfg, P, salt_hot=salt_hot, dedup=False,
+                sigs, cfg, P, salt_hot=salt_hot, dedup=True,
                 approx_band_rows=n_band_rows,
             ),
         )
@@ -176,8 +181,11 @@ def near_dedup(
     labels, cc_info = connected_components(
         edges, P, cfg.max_cc_rounds, cfg.small_cc_limit
     )
+    labels_table = cc_info.pop("labels_table", None)
     clusters, _ = ckpt.run_stage(
-        "clusters", fp_edges, lambda: assign_clusters(docs_ds, labels, P)
+        "clusters",
+        fp_edges,
+        lambda: assign_clusters(docs_ds, labels, P, labels_table=labels_table),
     )
     stats = {"cc": cc_info, "stages": ckpt.counters, "num_partitions": P}
     return NearDupResult(

@@ -165,7 +165,11 @@ def connected_components_small(edges_ds) -> pa.Table:
 
 
 def connected_components(edges_ds, num_partitions: int, max_rounds: int, small_limit: int):
-    """Dispatch small/distributed. Returns (labels Dataset, info dict)."""
+    """Dispatch small/distributed. Returns (labels Dataset, info dict).
+
+    On the driver-union-find path the label table is also placed in
+    ``info["labels_table"]`` so the final assignment can run as a broadcast
+    lookup instead of a shuffle join."""
     import ray.data as rd
 
     n_edges = edges_ds.count()
@@ -173,7 +177,7 @@ def connected_components(edges_ds, num_partitions: int, max_rounds: int, small_l
         table = connected_components_small(edges_ds)
         labels = rd.from_arrow(table)
         return labels, {"n_edges": n_edges, "mode": "driver_union_find", "rounds": 1,
-                        "converged": True}
+                        "converged": True, "labels_table": table}
     labels, rounds, converged = connected_components_distributed(
         edges_ds, num_partitions, max_rounds
     )
@@ -181,12 +185,48 @@ def connected_components(edges_ds, num_partitions: int, max_rounds: int, small_l
                     "converged": converged}
 
 
-def assign_clusters(docs_ds, labels_ds, num_partitions: int):
+def _decide(batch: pa.Table) -> pa.Table:
+    doc = np.asarray(batch.column("doc_id")).astype(np.int64)
+    lbl = batch.column("label").combine_chunks()
+    cluster = np.asarray(lbl.fill_null(0)).astype(np.int64).copy()
+    missing = np.asarray(lbl.is_null())
+    cluster[missing] = doc[missing]
+    keep = cluster == doc
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "cluster_id": pa.array(cluster, type=pa.int64()),
+            "keep": pa.array(keep),
+            "duplicate_of": pa.array(cluster, type=pa.int64()),
+        }
+    )
+
+
+def assign_clusters(docs_ds, labels_ds, num_partitions: int, labels_table=None):
     """docs ⋈ labels (left outer on doc_id) -> clusters(doc_id, cluster_id,
     keep, duplicate_of).  Docs in no verified edge are their own cluster.
     ``keep`` = doc is the component representative (min doc_id), the analog
     of the reference's per-cluster consensus representative
-    (R/clusterbreak.R:309-320) for web dedup."""
+    (R/clusterbreak.R:309-320) for web dedup.
+
+    With ``labels_table`` (driver union-find output, dup docs only) the
+    lookup is BROADCAST — ray.put once, per-batch Arrow join, no shuffle."""
+    if labels_table is not None:
+        import ray
+
+        ref = ray.put(labels_table)
+
+        def decide_broadcast(batch: pa.Table) -> pa.Table:
+            labels = ray.get(ref)
+            joined = pa.table({"doc_id": batch.column("doc_id")}).join(
+                labels, keys=["doc_id"], right_keys=["node"], join_type="left outer"
+            )
+            return _decide(joined)
+
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            decide_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     from dynaalign_ray.joins import hash_join
 
     joined = hash_join(
@@ -200,20 +240,4 @@ def assign_clusters(docs_ds, labels_ds, num_partitions: int):
         how="left outer",
     )
 
-    def decide(batch: pa.Table) -> pa.Table:
-        doc = np.asarray(batch.column("doc_id")).astype(np.int64)
-        lbl = batch.column("label").combine_chunks()
-        cluster = np.asarray(lbl.fill_null(0)).astype(np.int64).copy()
-        missing = np.asarray(lbl.is_null())
-        cluster[missing] = doc[missing]
-        keep = cluster == doc
-        return pa.table(
-            {
-                "doc_id": pa.array(doc, type=pa.int64()),
-                "cluster_id": pa.array(cluster, type=pa.int64()),
-                "keep": pa.array(keep),
-                "duplicate_of": pa.array(cluster, type=pa.int64()),
-            }
-        )
-
-    return joined.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)
+    return joined.map_batches(_decide, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,91 @@
+"""Job driver for the flagship near-dup pipeline — the ``ray job submit``
+entry point (BASELINE.md protocol; on a real cluster:
+``ray job submit --working-dir . -- python scripts/run_dedup.py --input ...``).
+
+Owns its Ray session (library code never calls ray.init).  Resumable: rerun
+with the same --checkpoint dir and completed stages are skipped via their
+lineage fingerprints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Ray-Data near-duplicate dedup job")
+    ap.add_argument("--input", required=True, help="pages Parquet dir (url, warc_ts, html, text, lang)")
+    ap.add_argument("--output", required=True, help="output dir for clusters/edges Parquet")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint root (enables resume)")
+    ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--shingle-k", type=int, default=5)
+    ap.add_argument("--shingle-mode", default="word", choices=["word", "char"])
+    ap.add_argument("--num-perm", type=int, default=128)
+    ap.add_argument("--num-bands", type=int, default=32)
+    ap.add_argument("--tau", type=float, default=0.7)
+    ap.add_argument("--tau-quantile", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--backend", default="minhash", choices=["minhash", "simhash", "substring"])
+    ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        init_kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                           logging_level="ERROR")
+        if args.num_cpus:
+            init_kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**init_kwargs)
+
+    import ray.data as rd
+
+    from dynaalign_ray.config import DedupConfig
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.pipelines.neardup import near_dedup, write_run_report
+
+    configure_context()
+    cfg = DedupConfig(
+        shingle_k=args.shingle_k,
+        shingle_mode=args.shingle_mode,
+        num_perm=args.num_perm,
+        num_bands=args.num_bands,
+        tau=args.tau,
+        tau_quantile=args.tau_quantile,
+        seed=args.seed,
+    )
+    t0 = time.time()
+    res = near_dedup(
+        pages_ds=rd.read_parquet(args.input),
+        cfg=cfg,
+        checkpoint_dir=args.checkpoint,
+        num_partitions=args.num_partitions,
+        similarity_backend=args.backend,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    res.clusters.write_parquet(os.path.join(args.output, "clusters"))
+    res.edges.write_parquet(os.path.join(args.output, "edges"))
+    n_docs = res.clusters.count()
+    wall = time.time() - t0
+    report = write_run_report(res, os.path.join(args.output, "report.json"))
+    summary = {
+        "n_docs": n_docs,
+        "n_clusters": report["n_clusters"],
+        "n_dup_docs": report["n_dup_docs"],
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "config_hash": cfg.config_hash(),
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,6 +77,24 @@ class TestFlagshipCorrectness:
         c3, r3 = _run(pages, DedupConfig(tau=0.8), num_partitions=4, checkpoint_dir=ck)
         assert not any(v.get("resumed") for v in r3.stats["stages"].values())
 
+    def test_resume_after_partial_failure(self, corpus_and_oracle, tmp_path):
+        # simulate a crash between stages: later-stage checkpoints are
+        # missing, earlier ones valid -> rerun resumes the prefix and
+        # rebuilds the rest, producing identical output
+        import os
+        import shutil as sh
+
+        pages, cfg, *_ = corpus_and_oracle
+        ck = str(tmp_path / "ck2")
+        c1, r1 = _run(pages, cfg, num_partitions=4, checkpoint_dir=ck)
+        sh.rmtree(os.path.join(ck, "edges"))
+        sh.rmtree(os.path.join(ck, "clusters"))
+        c2, r2 = _run(pages, cfg, num_partitions=4, checkpoint_dir=ck)
+        assert c1 == c2
+        stages = r2.stats["stages"]
+        assert stages["signatures"].get("resumed") and stages["pairs"].get("resumed")
+        assert not stages["edges"].get("resumed")
+
     def test_truth_exact_copies_clustered(self, corpus_and_oracle, small_corpus):
         # every 'exact' channel member must share a cluster with its seed
         pages, cfg, ids, tp, oracle = corpus_and_oracle
