@@ -139,7 +139,7 @@ def run_scaling() -> dict:
     amortized to nothing over a 10^12-doc run).
     """
 
-    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "100000")
+    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "600000")
 
     def run(ncpu: int) -> dict:
         env = dict(

@@ -27,11 +27,17 @@ def configure_context() -> None:
     # min(num_partitions, 64) actors, and a pipeline chaining several
     # shuffles oversubscribes a single node with hundreds of worker
     # processes (measured 118s -> 25s on the 20k-page bench).  One
-    # aggregator can own many partitions.  The cap is a CONSTANT (not a
-    # function of CPUs) so the per-job orchestration cost is identical
-    # across parallelism levels — on a real multi-node cluster raise it to
-    # ~nodes (aggregators are the shuffle's reduce side).
-    ctx.max_hash_shuffle_aggregators = 8
+    # aggregator can own many partitions.  Aggregators ARE the shuffle's
+    # reduce side, so their count scales with the cluster (CPUs here, nodes
+    # on a real cluster) — capping it constant caps reduce parallelism and
+    # destroys scaling.
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    ctx.max_hash_shuffle_aggregators = max(4, cpus // 2)
     # Aggregator actors otherwise reserve (cluster_CPU/2)/num_partitions
     # CPUs per partition; with several shuffle ops alive in one streaming
     # DAG they can reserve every CPU on a small node and starve the map

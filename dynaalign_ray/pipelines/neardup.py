@@ -111,8 +111,17 @@ def near_dedup(
                 approx_band_rows=n_band_rows,
             ),
         )
+        if checkpoint_dir is None:
+            pairs = pairs.materialize()
+        n_pairs = None
+        try:
+            n_pairs = pairs.count()
+        except Exception:
+            pass
         edges, fp_edges = ckpt.run_stage(
-            "edges", fp_pairs, lambda: verified_edges(pairs, sigs, cfg, P)
+            "edges",
+            fp_pairs,
+            lambda: verified_edges(pairs, sigs, cfg, P, approx_pairs=n_pairs),
         )
     elif similarity_backend == "simhash":
         from dynaalign_ray.stages.simhash_stage import simhash_edges

@@ -122,6 +122,13 @@ def find_hot_band_keys(
         def partial_counts(batch: pa.Table) -> pa.Table:
             k = np.asarray(batch.column("band_key")).astype(np.int64)
             u, c = np.unique(k, return_counts=True)
+            # keys appearing once in a block can't decide hotness and
+            # dominate the transfer — a key with global count C over B
+            # blocks has some block count >= 2 whenever C > B, and the
+            # driver-merge path is only taken when blocks << salt_cap, so
+            # every truly hot key survives this filter
+            m = c >= 2
+            u, c = u[m], c[m]
             return pa.table(
                 {"band_key": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
             )

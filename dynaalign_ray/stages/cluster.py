@@ -126,40 +126,38 @@ def connected_components_distributed(
 
 
 def connected_components_small(edges_ds) -> pa.Table:
-    """Driver-side union-find (path-halving) — used when the verified edge
-    count is under ``DedupConfig.small_cc_limit``.  Streams edge batches to
-    the driver; never materializes doc payloads."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        a = np.asarray(batch.column("a")).astype(np.int64)
-        b = np.asarray(batch.column("b")).astype(np.int64)
-        for x, y in zip(a.tolist(), b.tolist()):
-            if x not in parent:
-                parent[x] = x
-            if y not in parent:
-                parent[y] = y
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                # union by min so the root IS the min doc_id of the component
-                if rx < ry:
-                    parent[ry] = rx
-                else:
-                    parent[rx] = ry
-    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
-    labels = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes))
+    """Driver-side connected components — used when the verified edge count
+    is under ``DedupConfig.small_cc_limit``.  Streams edge batches to the
+    driver (never doc payloads) and solves CC fully vectorized: index-space
+    min-label propagation with pointer jumping (``label = label[label]``),
+    O(E) numpy work per round, O(log n) rounds.  np.unique's ascending node
+    order makes index order == doc_id order, so the converged root index
+    maps back to the component's min doc_id."""
+    parts_a, parts_b = [], []
+    for batch in edges_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        parts_a.append(np.asarray(batch.column("a")).astype(np.int64))
+        parts_b.append(np.asarray(batch.column("b")).astype(np.int64))
+    if not parts_a:
+        return pa.table(
+            {"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())}
+        )
+    a = np.concatenate(parts_a)
+    b = np.concatenate(parts_b)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src = inv[: len(a)]
+    dst = inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        np.minimum.at(label, dst, label[src])
+        np.minimum.at(label, src, label[dst])
+        label = label[label]  # pointer jumping
+        if np.array_equal(label, before):
+            break
     return pa.table(
         {
             "node": pa.array(nodes, type=pa.int64()),
-            "label": pa.array(labels, type=pa.int64()),
+            "label": pa.array(nodes[label], type=pa.int64()),
         }
     )
 

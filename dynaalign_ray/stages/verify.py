@@ -70,22 +70,54 @@ def verify_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
     )
 
 
-def verified_edges(pairs_ds, sigs_ds, cfg: DedupConfig, num_partitions: int):
+_SEMI_JOIN_LIMIT = 20_000_000  # pair rows under which the pair-doc set fits the driver
+
+
+def verified_edges(
+    pairs_ds, sigs_ds, cfg: DedupConfig, num_partitions: int, approx_pairs: int | None = None
+):
     """candidate_pairs ⋈ signatures (×2, on doc_id) -> verify kernel.
 
     Two hash joins ship only (doc_id, sketch) — the narrow projection of the
     signature table — to the pair rows; column pruning before a shuffle is
-    deliberate (SURVEY.md §7 hard part 4).
+    deliberate (SURVEY.md §7 hard part 4).  When the candidate set is
+    known-small, a broadcast SEMI-JOIN first drops every sketch whose doc
+    appears in no pair (typically the vast majority of the corpus), cutting
+    the join shuffle volume by the duplicate rate.
     """
     import functools
 
     from dynaalign_ray.joins import hash_join
 
+    pair_doc_ref = None
+    if approx_pairs is not None and approx_pairs <= _SEMI_JOIN_LIMIT:
+        import ray
+
+        cols = pairs_ds.select_columns(["a", "b"])
+        ids = []
+        for b in cols.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            ids.append(np.asarray(b.column("a")).astype(np.int64))
+            ids.append(np.asarray(b.column("b")).astype(np.int64))
+        pair_docs = (
+            np.unique(np.concatenate(ids)) if ids else np.empty(0, dtype=np.int64)
+        )
+        pair_doc_ref = ray.put(pair_docs)
+
     def _sk(name):
         def project(batch: pa.Table) -> pa.Table:
-            return pa.table(
+            tbl = pa.table(
                 {"doc_id": batch.column("doc_id"), name: batch.column("sketch")}
             )
+            if pair_doc_ref is not None:
+                import ray
+
+                wanted = ray.get(pair_doc_ref)
+                if len(wanted) == 0:
+                    return tbl.slice(0, 0)
+                ids_np = np.asarray(tbl.column("doc_id")).astype(np.int64)
+                pos = np.minimum(np.searchsorted(wanted, ids_np), len(wanted) - 1)
+                tbl = tbl.filter(pa.array(wanted[pos] == ids_np))
+            return tbl
 
         return sigs_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
