@@ -17,6 +17,9 @@ from dynaalign_ray.config import DedupConfig
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()  # datasets capture the DataContext at creation
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
@@ -198,6 +201,9 @@ def embedding_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     the query's own vector is excluded.  Returns (query_id, rank, vec_id)."""
     import ray.data as rd
 
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qrows = sorted(
         (r for r in emb.filter(expr=f"vec_id < {n_queries}").take_all()),
@@ -224,6 +230,9 @@ def embedding_label_norms(sf_dir: str, num_partitions: int = 8):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean
 
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def norms(batch: pa.Table) -> pa.Table:
@@ -280,7 +289,9 @@ def events_user_sessions(sf_dir: str, num_partitions: int = 8):
     """Session windows (30-min gap) per user over the events table."""
     import ray.data as rd
 
+    from dynaalign_ray.exec import configure_context
     from dynaalign_ray.stages.windows import user_sessions
 
+    configure_context()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return user_sessions(ev, num_partitions)

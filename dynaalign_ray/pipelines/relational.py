@@ -22,6 +22,9 @@ import pyarrow.compute as pc
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()  # datasets capture the DataContext at creation
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
