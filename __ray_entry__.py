@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": c.doc_quality,  # rows-only (heuristic composite)
         "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
         "doc_fingerprints": c.doc_fingerprints,  # rows-only
+        "doc_char_classes": c.doc_char_classes,
         "doc_vocab": c.doc_vocab,
         # --- similarity search
         "embedding_topk": c.embedding_topk,
@@ -94,6 +95,15 @@ def oracle_sql() -> dict[str, str]:
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                    ))) AS BIGINT) AS n_shingles
             FROM t WHERE len(toks) >= 3
+        """,
+        "doc_char_classes": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+                   CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+            FROM documents
         """,
         "doc_lang_stats": """
             SELECT lang,

@@ -295,3 +295,27 @@ def events_user_sessions(sf_dir: str, num_partitions: int = 8):
     configure_context()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return user_sessions(ev, num_partitions)
+
+
+def doc_char_classes(sf_dir: str):
+    """Per-doc character-class counts (punct/digit/upper + chars/tokens) —
+    the integer-valued core of the quality features, bit-exact checkable
+    against DuckDB (both regex engines are RE2)."""
+    def kern(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+                "n_tokens": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+                "n_punct": pc.count_substring_regex(
+                    text, r"[!-/:-@\[-`{-~]"
+                ).cast(pa.int64()),
+                "n_digit": pc.count_substring_regex(text, r"[0-9]").cast(pa.int64()),
+                "n_upper": pc.count_substring_regex(text, r"[A-Z]").cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    )
