@@ -117,9 +117,52 @@ def connected_components_distributed(
         updated = joined.map_batches(
             update, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
-        n_changed = updated.sum("changed")
-        labels = updated.select_columns(["node", "label"]).materialize()
-        if not n_changed:
+        prop_changed = updated.sum("changed")
+        labels = updated.select_columns(["node", "label"])
+
+        # pointer jumping: label <- label[label], collapsing chains
+        # exponentially so rounds stay O(log diameter) (SURVEY.md §7 hard
+        # part 1) — without it a path graph needs O(diameter) rounds and
+        # the driver-side plan chain grows unboundedly
+        def ref_rename(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"jnode": batch.column("node"), "jlabel": batch.column("label")}
+            )
+
+        labels_ref = labels.map_batches(
+            ref_rename, batch_format="pyarrow", zero_copy_batch=True
+        )
+        jumped = hash_join(
+            labels,
+            labels_ref,
+            left_on="label",
+            right_on="jnode",
+            left_schema=pa.schema([("label", pa.int64()), ("node", pa.int64())]),
+            right_schema=pa.schema([("jnode", pa.int64()), ("jlabel", pa.int64())]),
+            num_partitions=num_partitions,
+            how="left outer",
+        )
+
+        def jump(batch: pa.Table) -> pa.Table:
+            node = np.asarray(batch.column("node")).astype(np.int64)
+            label = np.asarray(batch.column("label")).astype(np.int64)
+            jl = batch.column("jlabel").combine_chunks()
+            jl_np = np.asarray(jl.fill_null(np.iinfo(np.int64).max)).astype(np.int64)
+            new = np.minimum(label, jl_np)
+            return pa.table(
+                {
+                    "node": pa.array(node, type=pa.int64()),
+                    "label": pa.array(new, type=pa.int64()),
+                    "changed": pa.array((new < label).astype(np.int64)),
+                }
+            )
+
+        jumped_m = jumped.map_batches(
+            jump, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        jump_changed = jumped_m.sum("changed")
+        labels = jumped_m.select_columns(["node", "label"]).materialize()
+        if not prop_changed and not jump_changed:
             converged = True
             break
     return labels, rounds, converged
