@@ -29,7 +29,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-PAGES_PER_SF = 200_000  # sf0.1 -> 20k pages
+PAGES_PER_SF = 1_000_000  # sf0.1 -> 100k pages (steady-state-dominated run)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
