@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_norms": c.embedding_label_norms,
         # --- streaming-shaped (session windows)
         "events_user_sessions": c.events_user_sessions,
+        "events_sliding_counts": c.events_sliding_counts,
+        "embedding_topk_lsh": c.embedding_topk_lsh,  # rows-only (ANN)
         # --- relational operator surface
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -130,6 +132,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
             FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
             WHERE len(toks) >= 3
+        """,
+        "events_sliding_counts": """
+            WITH e AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) AS us, event_type FROM events
+            )
+            SELECT (us // 1800000000) * 1800000000 - j * 1800000000 AS window_start_us,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM e, unnest(generate_series(0, 1)) AS g(j)
+            GROUP BY 1, 2
         """,
         "events_user_sessions": """
             WITH e AS (

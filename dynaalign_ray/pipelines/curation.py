@@ -319,3 +319,37 @@ def doc_char_classes(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         kern, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def events_sliding_counts(sf_dir: str, num_partitions: int = 8):
+    """Sliding windows (size 1h, step 30min) over events: window-explode +
+    keyed count (stages.windows.sliding_window_counts)."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.stages.windows import sliding_window_counts
+
+    configure_context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return sliding_window_counts(
+        ev, num_partitions, size_us=3_600_000_000, step_us=1_800_000_000
+    )
+
+
+def embedding_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5):
+    """Approximate (sign-LSH bucketed, multiprobe) cosine top-k — the ANN
+    scale path; rows-only check (approximation is evaluated vs the exact
+    path in tests)."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.similarity_search import lsh_bucket_topk
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in emb.filter(expr=f"vec_id < {n_queries}").take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return lsh_bucket_topk(emb, qm, k=k, n_bits=6)
