@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": c.doc_fingerprints,  # rows-only
         "doc_char_classes": c.doc_char_classes,
         "doc_vocab": c.doc_vocab,
+        "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
+        "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
         # --- similarity search
         "embedding_topk": c.embedding_topk,
         "embedding_label_norms": c.embedding_label_norms,

@@ -1,0 +1,86 @@
+"""Mergeable sketches — the partial+final aggregation pattern for
+cardinality at 100 TB (emit one small sketch per batch, merge in a tiny
+final step; no shuffle of raw values).
+
+HyperLogLog (public algorithm: Flajolet et al. 2007) with 2^p registers,
+fully vectorized: register index = low p bits of the 64-bit hash, rho =
+1 + leading-zero count of the remaining bits.  Standard bias correction for
+the small-range regime (linear counting) is included; error ~1.04/sqrt(2^p)
+(~0.8% at p=14).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dynaalign_ray.hashing import hash_strings
+
+
+def hll_from_hashes(hashes: np.ndarray, p: int = 14) -> np.ndarray:
+    """uint64 hashes -> HLL register array (uint8, length 2^p)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    h = np.asarray(hashes, dtype=np.uint64)
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(p)
+    # rho = position of first set bit in the remaining (64-p) bits, 1-based;
+    # all-zero rest -> 64 - p + 1
+    width = 64 - p
+    rho = np.full(len(h), width + 1, dtype=np.uint8)
+    nz = rest != 0
+    # count trailing zeros via bit tricks: x & -x isolates lowest set bit
+    low = (rest[nz] & (~rest[nz] + np.uint64(1))).astype(np.uint64)
+    rho[nz] = (np.log2(low.astype(np.float64)).astype(np.uint8)) + 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = sketches[0].copy()
+    for s in sketches[1:]:
+        np.maximum(out, s, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = np.count_nonzero(regs == 0)
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))  # linear counting regime
+    return float(est)
+
+
+def approx_distinct_strings(ds, col: str, p: int = 14, flatten_tokens: bool = False):
+    """Approximate distinct count of a string column (or of its whitespace
+    tokens with ``flatten_tokens``) — per-batch HLL partials merged on the
+    driver.  Only 2^p bytes per batch leave the workers."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        values = batch.column(col).to_pylist()
+        if flatten_tokens:
+            flat: list[str] = []
+            for v in values:
+                flat.extend(v.split())
+            values = flat
+        h = hash_strings(np.array(values, dtype=object), seed=0x5EE7) if values else np.empty(0, np.uint64)
+        regs = hll_from_hashes(h, p)
+        return pa.table({"sketch": pa.array([regs.tobytes()], type=pa.binary())})
+
+    import ray
+
+    parts = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    sketches = []
+    for ref in parts:
+        tbl = ray.get(ref)
+        for b in tbl.column("sketch").to_pylist():
+            sketches.append(np.frombuffer(b, dtype=np.uint8))
+    if not sketches:
+        return 0.0
+    return hll_estimate(hll_merge(sketches))

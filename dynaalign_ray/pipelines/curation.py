@@ -353,3 +353,43 @@ def embedding_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5):
     )
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     return lsh_bucket_topk(emb, qm, k=k, n_bits=6)
+
+
+def doc_corpus_stats(sf_dir: str):
+    """Corpus-level metrics: doc count + HLL approximate distinct tokens
+    (mergeable-sketch aggregation; deterministic, rows-only check)."""
+    from dynaalign_ray.functions.sketches import approx_distinct_strings
+
+    ds = _docs(sf_dir, ["text"])
+    n_docs = ds.count()
+    approx_tokens = approx_distinct_strings(ds, "text", flatten_tokens=True)
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "approx_distinct_tokens": pa.array([round(approx_tokens)], pa.int64()),
+        }
+    )
+
+
+def doc_similarity_stats(sf_dir: str, num_partitions: int = 8):
+    """The reference's compute_similarity_stats (R/similarity.R:11-34) over
+    the verified near-dup edge set of the documents table: one row of
+    mean/min/max edge Jaccard + edge count (rows-only check)."""
+    from dynaalign_ray.pipelines.neardup import dedup_stats, near_dedup
+
+    cfg = DedupConfig(shingle_k=3)
+    res = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]), cfg=cfg,
+        num_partitions=num_partitions,
+    )
+    s = dedup_stats(res.edges)
+    from dynaalign_ray.pipelines.relational import round4
+
+    return pa.table(
+        {
+            "n_edges": pa.array([s.get("n_edges", 0)], pa.int64()),
+            "mean_jaccard": round4([s.get("mean_jaccard", 0.0)]),
+            "min_jaccard": round4([s.get("min_jaccard", 0.0)]),
+            "max_jaccard": round4([s.get("max_jaccard", 0.0)]),
+        }
+    )

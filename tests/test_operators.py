@@ -295,3 +295,38 @@ class TestMultimodal:
         assert resized.column("width").to_pylist() == [224] * 5
         plan = frame_sample_plan_batch(media, every_n=10)
         assert plan.num_rows >= 5
+
+
+class TestSketchOps:
+    def test_hll_accuracy_and_merge(self):
+        import numpy as np
+
+        from dynaalign_ray.functions.sketches import (
+            hll_estimate,
+            hll_from_hashes,
+            hll_merge,
+        )
+
+        rng = np.random.default_rng(3)
+        a = np.unique(rng.integers(0, 2**63, 80_000, dtype=np.uint64))
+        b = np.unique(
+            np.concatenate([a[:40_000], rng.integers(0, 2**63, 40_000, dtype=np.uint64)])
+        )
+        merged = hll_merge([hll_from_hashes(a), hll_from_hashes(b)])
+        union = len(np.union1d(a, b))
+        assert abs(hll_estimate(merged) - union) / union < 0.05
+
+    def test_approx_distinct_over_dataset(self, rd):
+        import duckdb
+
+        from dynaalign_ray.functions.sketches import approx_distinct_strings
+
+        sf = "/root/testdata/sf0.01"
+        ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        est = approx_distinct_strings(ds, "text", flatten_tokens=True)
+        exact = duckdb.sql(
+            f"""SELECT count(DISTINCT t) FROM (
+                 SELECT unnest(regexp_extract_all(text, '\\S+')) t
+                 FROM '{sf}/documents.parquet')"""
+        ).fetchone()[0]
+        assert abs(est - exact) / exact < 0.05
