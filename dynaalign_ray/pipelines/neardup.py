@@ -46,6 +46,7 @@ def near_dedup(
     approx_rows: int | None = None,
     salt_hot: bool = True,
     similarity_backend: str = "minhash",
+    cluster_backend=None,
 ) -> NearDupResult:
     """Run the flagship pipeline.
 
@@ -174,8 +175,11 @@ def near_dedup(
         edges = edges.materialize()
 
     if cfg.tau_quantile is not None:
-        # reference parity: quantile-based threshold over the edge weight
-        # distribution (R/clusterbreak.R:219) — recompute tau and re-filter.
+        # reference parity: quantile-based threshold over the similarity
+        # distribution (R/clusterbreak.R:219).  The quantile is taken over
+        # the CANDIDATE-pair similarities (the sparse analog of the upper
+        # triangle; sub-candidate pairs have similarity below the LSH
+        # operating point by construction) and then applied on top of tau.
         import pyarrow.compute as pc
 
         q = _approx_quantile(edges, "jaccard", cfg.tau_quantile)
@@ -187,10 +191,18 @@ def near_dedup(
         if checkpoint_dir is None:
             edges = edges.materialize()
 
-    labels, cc_info = connected_components(
-        edges, P, cfg.max_cc_rounds, cfg.small_cc_limit
-    )
-    labels_table = cc_info.pop("labels_table", None)
+    if cluster_backend is not None:
+        # the reference's cluster_fn injection point (R/clusterbreak.R:185-188,
+        # netcluster's cluster_func): any callable (edges_ds, num_partitions)
+        # -> labels Dataset(node, label)
+        labels = cluster_backend(edges, P)
+        cc_info = {"mode": "custom", "n_edges": edges.count()}
+        labels_table = None
+    else:
+        labels, cc_info = connected_components(
+            edges, P, cfg.max_cc_rounds, cfg.small_cc_limit
+        )
+        labels_table = cc_info.pop("labels_table", None)
     clusters, _ = ckpt.run_stage(
         "clusters",
         fp_edges,

@@ -172,3 +172,31 @@ class TestQuantileThreshold:
         n_fixed = sum(1 for r in res_fixed.clusters.take_all() if not r["keep"])
         n_q = sum(1 for r in res_q.clusters.take_all() if not r["keep"])
         assert 0 < n_q <= n_fixed  # stricter threshold -> fewer dups removed
+
+
+class TestClusterBackendHook:
+    def test_custom_cluster_backend(self, rd, small_corpus):
+        # the reference's cluster_fn injection: plug a custom clustering
+        # callable (here: the engine's own small-CC wrapped) and get the
+        # same result as the default path
+        import ray.data as rdm
+
+        from dynaalign_ray.pipelines.neardup import near_dedup
+        from dynaalign_ray.stages.cluster import connected_components_small
+
+        pages, _ = small_corpus
+
+        def my_backend(edges_ds, num_partitions):
+            return rdm.from_arrow(connected_components_small(edges_ds))
+
+        res_custom = near_dedup(
+            pages_ds=rd.from_arrow(pages), cfg=DedupConfig(), num_partitions=4,
+            cluster_backend=my_backend,
+        )
+        res_default = near_dedup(
+            pages_ds=rd.from_arrow(pages), cfg=DedupConfig(), num_partitions=4
+        )
+        c1 = {r["doc_id"]: r["cluster_id"] for r in res_custom.clusters.take_all()}
+        c2 = {r["doc_id"]: r["cluster_id"] for r in res_default.clusters.take_all()}
+        assert res_custom.stats["cc"]["mode"] == "custom"
+        assert c1 == c2
