@@ -113,7 +113,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   round((avg(n_chars)) * 10000) / 10000 AS avg_chars
+                   round((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_chars
             FROM documents GROUP BY lang
         """,
         "doc_top_longest": """
@@ -197,8 +197,8 @@ def oracle_sql() -> dict[str, str]:
                    round((sum(l_quantity)) * 10000) / 10000 AS sum_qty,
                    round((sum(l_extendedprice)) * 10000) / 10000 AS sum_base_price,
                    round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000 AS sum_disc_price,
-                   round((avg(l_quantity)) * 10000) / 10000 AS avg_qty,
-                   round((avg(l_discount)) * 10000) / 10000 AS avg_disc,
+                   round((round(sum(l_quantity) * 10000) / 10000 / count(*)) * 10000) / 10000 AS avg_qty,
+                   round((round(sum(l_discount) * 10000) / 10000 / count(*)) * 10000) / 10000 AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -225,13 +225,13 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
                    round((sum(value)) * 10000) / 10000 AS sum_value,
-                   round((avg(value)) * 10000) / 10000 AS avg_value
+                   round((round(sum(value) * 10000) / 10000 / count(*)) * 10000) / 10000 AS avg_value
             FROM events GROUP BY 1, 2
         """,
         "part_type_stats": """
             SELECT p_type,
                    CAST(count(*) AS BIGINT) AS n_parts,
-                   round((avg(p_retailprice)) * 10000) / 10000 AS avg_price,
+                   round((round(sum(p_retailprice) * 10000) / 10000 / count(*)) * 10000) / 10000 AS avg_price,
                    CAST(max(p_size) AS INTEGER) AS max_size
             FROM part GROUP BY p_type
         """,

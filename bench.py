@@ -148,14 +148,18 @@ def run_scaling() -> dict:
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_BENCH_PAGES=scaling_pages,
         )
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        last_err = None
+        for _attempt in range(2):  # one retry for transient Ray startup failures
+            proc = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            last_err = proc.stderr[-2000:]
+        raise RuntimeError(f"bench child (num_cpus={ncpu}) failed twice; stderr tail:\n{last_err}")
 
     lo, hi = 8, 32
     r_lo = run(lo)

@@ -52,18 +52,30 @@ def doc_token_counts(sf_dir: str):
 
 
 def doc_lang_stats(sf_dir: str, num_partitions: int = 8):
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     ds = _docs(sf_dir, ["lang", "n_chars"])
     agg = ds.groupby("lang", num_partitions=num_partitions).aggregate(
         Count(alias_name="n_docs"),
         Sum("n_chars", alias_name="total_chars"),
-        Mean("n_chars", alias_name="avg_chars"),
     )
 
-    from dynaalign_ray.pipelines.relational import _round_cols
+    from dynaalign_ray.pipelines.relational import round4
 
-    return _round_cols(agg, ["avg_chars"])
+    def finish(batch: pa.Table) -> pa.Table:
+        total = np.asarray(batch.column("total_chars"), dtype=np.float64)
+        n = np.asarray(batch.column("n_docs"), dtype=np.float64)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_docs"),
+                "total_chars": batch.column("total_chars").cast(pa.int64()),
+                # exact-int inputs: identical doubles on both sides pre-round
+                "avg_chars": round4(total / np.maximum(n, 1.0)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def doc_top_longest(sf_dir: str, k: int = 10):

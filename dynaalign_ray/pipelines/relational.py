@@ -51,6 +51,22 @@ def _round_cols(ds, cols: list[str]):
     return ds.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def derived_avg(sum_col, count_col) -> pa.Array:
+    """Average derived as round4(round4(sum) / count).
+
+    A direct Mean of fixed-decimal data lands EXACTLY on .5e-4 rounding ties
+    (e.g. 2-decimal values averaged over 40 rows), where the engine's and the
+    oracle's last-ulp summation noise round in different directions.  The
+    rounded sum is bit-identical on both sides, integer division of identical
+    doubles is deterministic, and both sides round half-away — so the derived
+    average is bit-identical too.  Oracle form:
+    ``round((round(sum(x)*10000)/10000 / count(*)) * 10000) / 10000``.
+    """
+    s = np.asarray(round4(sum_col), dtype=np.float64)
+    n = np.asarray(count_col, dtype=np.float64)
+    return round4(s / np.maximum(n, 1.0))
+
+
 def q1_pricing(sf_dir: str, num_partitions: int = 8):
     """TPC-H Q1-style pricing summary: filter on ship date, two-key groupby,
     five aggregates over computed columns."""
@@ -95,14 +111,27 @@ def q1_pricing(sf_dir: str, num_partitions: int = 8):
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("l_extendedprice", alias_name="sum_base_price"),
             Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("l_discount", alias_name="sum_disc"),
             Count(alias_name="count_order"),
         )
     )
-    return _round_cols(
-        agg, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"]
-    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("count_order")
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": round4(batch.column("sum_qty")),
+                "sum_base_price": round4(batch.column("sum_base_price")),
+                "sum_disc_price": round4(batch.column("sum_disc_price")),
+                "avg_qty": derived_avg(batch.column("sum_qty"), n),
+                "avg_disc": derived_avg(batch.column("sum_disc"), n),
+                "count_order": n,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
@@ -177,22 +206,48 @@ def events_hourly(sf_dir: str, num_partitions: int = 8):
         .aggregate(
             Count(alias_name="n_events"),
             Sum("value", alias_name="sum_value"),
-            Mean("value", alias_name="avg_value"),
         )
     )
-    return _round_cols(agg, ["sum_value", "avg_value"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour_us": batch.column("hour_us"),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events"),
+                "sum_value": round4(batch.column("sum_value")),
+                "avg_value": derived_avg(
+                    batch.column("sum_value"), batch.column("n_events")
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def part_type_stats(sf_dir: str, num_partitions: int = 8):
-    from ray.data.aggregate import Count, Max, Mean
+    from ray.data.aggregate import Count, Max, Sum
 
     part = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
     agg = part.groupby("p_type", num_partitions=num_partitions).aggregate(
         Count(alias_name="n_parts"),
-        Mean("p_retailprice", alias_name="avg_price"),
+        Sum("p_retailprice", alias_name="sum_price"),
         Max("p_size", alias_name="max_size"),
     )
-    return _round_cols(agg, ["avg_price"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_type": batch.column("p_type"),
+                "n_parts": batch.column("n_parts"),
+                "avg_price": derived_avg(
+                    batch.column("sum_price"), batch.column("n_parts")
+                ),
+                "max_size": batch.column("max_size"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def supplier_volume(sf_dir: str, num_partitions: int = 8):
