@@ -55,6 +55,9 @@ def verify_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
     va, oa = _sketch_arrays(batch.column("sketch_a"))
     vb, ob = _sketch_arrays(batch.column("sketch_b"))
     cap = cfg.sketch_cap
+    # per-pair sorted-set intersection: at realistic sketch sizes (~300
+    # values) np.intersect1d per pair beats a batch-wide lexsort 5x, and the
+    # stage's wall time is dominated by the joins, not this kernel
     jac = np.empty(n, dtype=np.float64)
     for i in range(n):
         jac[i] = jaccard_from_sketches(
