@@ -74,6 +74,9 @@ def verify_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
 
 
 _SEMI_JOIN_LIMIT = 20_000_000  # pair rows under which the pair-doc set fits the driver
+_BROADCAST_DOC_LIMIT = 400_000  # pair-member docs under which the filtered
+# sketch table is broadcast (plasma is shared memory: ONE zero-copy replica
+# per node) and verify needs NO shuffle at all
 
 
 def verified_edges(
@@ -81,18 +84,21 @@ def verified_edges(
 ):
     """candidate_pairs ⋈ signatures (×2, on doc_id) -> verify kernel.
 
-    Two hash joins ship only (doc_id, sketch) — the narrow projection of the
-    signature table — to the pair rows; column pruning before a shuffle is
-    deliberate (SURVEY.md §7 hard part 4).  When the candidate set is
-    known-small, a broadcast SEMI-JOIN first drops every sketch whose doc
-    appears in no pair (typically the vast majority of the corpus), cutting
-    the join shuffle volume by the duplicate rate.
+    Three physical plans, picked by candidate-set size:
+    1. pair-member docs <= _BROADCAST_DOC_LIMIT: the semi-join-filtered
+       (doc_id, sketch) table is broadcast and every pairs block verifies
+       with two in-block Arrow joins — zero shuffles;
+    2. pairs <= _SEMI_JOIN_LIMIT: two hash joins, sketch side semi-join
+       reduced to pair-member docs;
+    3. otherwise (the 100 TB path): two full hash joins of the narrow
+       (doc_id, sketch) projection (SURVEY.md §7 hard part 4).
     """
     import functools
 
     from dynaalign_ray.joins import hash_join
 
     pair_doc_ref = None
+    pair_docs = None
     if approx_pairs is not None and approx_pairs <= _SEMI_JOIN_LIMIT:
         import ray
 
@@ -105,6 +111,9 @@ def verified_edges(
             np.unique(np.concatenate(ids)) if ids else np.empty(0, dtype=np.int64)
         )
         pair_doc_ref = ray.put(pair_docs)
+
+    if pair_docs is not None and len(pair_docs) <= _BROADCAST_DOC_LIMIT:
+        return _broadcast_verify(pairs_ds, sigs_ds, cfg, pair_doc_ref, pair_docs)
 
     def _sk(name):
         def project(batch: pa.Table) -> pa.Table:
@@ -148,6 +157,55 @@ def verified_edges(
     )
     return j2.map_batches(
         functools.partial(verify_pairs_batch, cfg=cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _broadcast_verify(pairs_ds, sigs_ds, cfg: DedupConfig, pair_doc_ref, pair_docs):
+    """Zero-shuffle verify: collect the semi-join-filtered (doc_id, sketch)
+    table (pair-member docs only), ray.put it once, and verify each pairs
+    block with two in-block pyarrow joins against the broadcast table."""
+    import functools
+
+    import ray
+
+    def project_filtered(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(pair_doc_ref)
+        tbl = pa.table(
+            {"doc_id": batch.column("doc_id"), "sketch": batch.column("sketch")}
+        )
+        if len(wanted) == 0:
+            return tbl.slice(0, 0)
+        ids_np = np.asarray(tbl.column("doc_id")).astype(np.int64)
+        pos = np.minimum(np.searchsorted(wanted, ids_np), len(wanted) - 1)
+        return tbl.filter(pa.array(wanted[pos] == ids_np))
+
+    refs = sigs_ds.map_batches(
+        project_filtered, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    if parts:
+        sketch_table = pa.concat_tables(parts).combine_chunks()
+    else:
+        sketch_table = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "sketch": pa.array([], pa.binary())}
+        )
+    sk_ref = ray.put(sketch_table)
+
+    def verify_block(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
+        sk = ray.get(sk_ref)  # zero-copy plasma read
+        ska = pa.table({"doc_id": sk.column("doc_id"), "sketch_a": sk.column("sketch")})
+        skb = pa.table({"doc_id": sk.column("doc_id"), "sketch_b": sk.column("sketch")})
+        j = batch.join(ska, keys=["a"], right_keys=["doc_id"], join_type="inner")
+        j = j.join(skb, keys=["b"], right_keys=["doc_id"], join_type="inner")
+        return verify_pairs_batch(j.combine_chunks(), cfg=cfg)
+
+    # whole blocks per call: each call pays two Acero hash-table builds over
+    # the broadcast table, so per-1024-row batches would rebuild it ~1000x
+    return pairs_ds.map_batches(
+        functools.partial(verify_block, cfg=cfg),
+        batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
