@@ -163,6 +163,8 @@ def run_scaling() -> dict:
 
     lo, hi = 8, 32
     r_lo = run(lo)
+    time.sleep(10)  # let the OS reclaim the previous Ray session's memory
+    # (back-to-back children showed one-off 2x outliers without a cooldown)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
