@@ -113,3 +113,39 @@ class TestFlagshipCorrectness:
             exacts = [u for u, ch in members if ch == "exact"]
             for e in exacts:
                 assert clusters[url_to_id[e]] == clusters[url_to_id[seeds[0]]]
+
+
+class TestVerifyPhysicalPlans:
+    def test_all_three_verify_plans_agree(self, corpus_and_oracle):
+        # plan 1 (broadcast), plan 2 (semi-join hash joins), plan 3 (full
+        # hash joins, the 100 TB path) must produce identical edge sets
+        import ray.data as rd
+
+        from dynaalign_ray.stages import verify as V
+        from dynaalign_ray.stages.bands import candidate_pairs
+        from dynaalign_ray.stages.minhash import signatures_dataset
+        from dynaalign_ray.extract import extract_text_batch
+
+        pages, cfg, *_ = corpus_and_oracle
+        docs = rd.from_arrow(pages).map_batches(
+            extract_text_batch, batch_format="pyarrow"
+        ).materialize()
+        sigs = signatures_dataset(docs, cfg).materialize()
+        pairs = candidate_pairs(sigs, cfg, 4, dedup=True).materialize()
+        n_pairs = pairs.count()
+
+        def edge_set(ds):
+            return sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in ds.take_all())
+
+        e_broadcast = edge_set(V.verified_edges(pairs, sigs, cfg, 4, approx_pairs=n_pairs))
+        # force plan 2: semi-join without broadcast
+        old = V._BROADCAST_DOC_LIMIT
+        try:
+            V._BROADCAST_DOC_LIMIT = 0
+            e_semi = edge_set(V.verified_edges(pairs, sigs, cfg, 4, approx_pairs=n_pairs))
+        finally:
+            V._BROADCAST_DOC_LIMIT = old
+        # plan 3: no size hint -> full hash joins
+        e_full = edge_set(V.verified_edges(pairs, sigs, cfg, 4, approx_pairs=None))
+        assert e_broadcast == e_semi == e_full
+        assert len(e_full) > 0
