@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -146,3 +147,29 @@ def broadcast_join(
         ).combine_chunks()
 
     return left_ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_semi_join(left_ds, keys: "pa.Table | list[int]", *, left_on: str, anti: bool = False):
+    """Semi / anti join against a broadcast key set: keep rows whose key is
+    (semi) / is not (anti) in ``keys`` — the filter-by-keyset pattern from
+    the scale playbook (broadcast the key set, filter inside map_batches;
+    no shuffle).  ``keys`` may be an int64 list/array or a one-column table."""
+    import ray
+
+    if isinstance(keys, pa.Table):
+        arr = np.asarray(keys.column(0)).astype(np.int64)
+    else:
+        arr = np.asarray(keys, dtype=np.int64)
+    key_ref = ray.put(np.unique(arr))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(key_ref)
+        vals = np.asarray(batch.column(left_on)).astype(np.int64)
+        if len(wanted) == 0:
+            member = np.zeros(len(vals), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(wanted, vals), len(wanted) - 1)
+            member = wanted[pos] == vals
+        return batch.filter(pa.array(~member if anti else member))
+
+    return left_ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

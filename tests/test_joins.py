@@ -96,3 +96,18 @@ class TestBroadcastJoin:
         )
         rows = sorted((r["k"], r["rv"]) for r in out.take_all())
         assert rows == [(2, 20.0), (3, 30.0)]
+
+
+class TestSemiAntiJoin:
+    def test_semi_and_anti(self, rd):
+        from dynaalign_ray.joins import broadcast_semi_join
+
+        left = rd.from_arrow(_tbl_left())  # keys 1,2,3
+        semi = broadcast_semi_join(left, [2, 3, 99], left_on="k")
+        assert sorted(r["k"] for r in semi.take_all()) == [2, 3]
+        anti = broadcast_semi_join(left, [2, 3, 99], left_on="k", anti=True)
+        assert sorted(r["k"] for r in anti.take_all()) == [1]
+        none = broadcast_semi_join(left, [], left_on="k")
+        assert none.count() == 0
+        all_ = broadcast_semi_join(left, [], left_on="k", anti=True)
+        assert all_.count() == 3
