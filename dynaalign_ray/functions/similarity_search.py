@@ -137,14 +137,16 @@ def lsh_bucket_topk(
     planes = _hyperplanes(qm.shape[1], n_bits, seed)
     qsig = (qm @ planes.T > 0).astype(np.uint64)
     qbits = (qsig << np.arange(n_bits, dtype=np.uint64)).sum(axis=1)
-    # probe set per query: own bucket + all buckets within `multiprobe` bit flips
+    # probe set per query: own bucket + all buckets within Hamming distance
+    # `multiprobe` (expand the flip frontier once per allowed bit flip)
     probes = [set([int(b)]) for b in qbits]
-    if multiprobe >= 1:
-        for ps in probes:
-            base = list(ps)
-            for b in base:
-                for bit in range(n_bits):
-                    ps.add(b ^ (1 << bit))
+    for ps in probes:
+        frontier = set(ps)
+        for _ in range(max(multiprobe, 0)):
+            nxt = {b ^ (1 << bit) for b in frontier for bit in range(n_bits)}
+            nxt -= ps
+            ps |= nxt
+            frontier = nxt
     ref = ray.put((qm, planes, [np.array(sorted(p), dtype=np.uint64) for p in probes]))
 
     def local(batch: pa.Table) -> pa.Table:

@@ -54,15 +54,28 @@ def near_dedup(
     extract stage runs and drops the wide html column immediately) or
     ``docs_ds`` (doc_id, text, ...).  With ``checkpoint_dir`` set, every
     stage persists per-partition Parquet + lineage and a rerun resumes from
-    the last completed stage; without it, multi-consumer intermediates
-    (signatures, edges) are pinned with ``materialize()`` instead so fan-out
-    doesn't re-execute the upstream pipeline.
+    the last completed stage; without it, only the genuinely multi-consumer
+    intermediates (signatures, pairs, edges) are pinned with
+    ``materialize()`` — extract streams into the signature kernel with no
+    barrier, and the final assignment reads ids off the signature table.
     """
     configure_context()
     if (pages_ds is None) == (docs_ds is None):
         raise ValueError("provide exactly one of pages_ds / docs_ds")
     P = num_partitions or pick_num_partitions(approx_rows)
-    ckpt = CheckpointContext(checkpoint_dir, cfg.config_hash() + f"|P{P}")
+    # the lineage chain must cover EVERY knob that changes stage outputs,
+    # not just DedupConfig: a rerun with a different salt_hot / similarity
+    # backend / clustering backend must invalidate stale checkpoints
+    cb_token = (
+        "default"
+        if cluster_backend is None
+        else f"{getattr(cluster_backend, '__module__', '?')}.{getattr(cluster_backend, '__qualname__', repr(cluster_backend))}"
+    )
+    ckpt = CheckpointContext(
+        checkpoint_dir,
+        cfg.config_hash()
+        + f"|P{P}|salt{int(salt_hot)}|sim={similarity_backend}|cb={cb_token}",
+    )
 
     if docs_ds is None:
         docs_ds, fp_docs = ckpt.run_stage(
@@ -72,10 +85,13 @@ def near_dedup(
                 extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
             ),
         )
-        if checkpoint_dir is None:
-            # docs fan out to the signature stage and the final cluster
-            # assignment join; pin the (narrow, html-free) table so extract
-            # doesn't re-run per consumer
+        if checkpoint_dir is None and similarity_backend == "substring":
+            # the substring backend consumes doc TEXT several times
+            # (fingerprints + two verify joins); pin the html-free table.
+            # On the minhash/simhash paths docs stay LAZY: extract streams
+            # straight into the signature kernel (stage overlap — no
+            # barrier), and the final cluster assignment reads doc ids from
+            # the signature table instead of re-running extract.
             docs_ds = docs_ds.materialize()
     else:
         fp_docs = "docs-input"
@@ -83,20 +99,31 @@ def near_dedup(
     sigs, fp_sigs = ckpt.run_stage(
         "signatures", fp_docs, lambda: signatures_dataset(docs_ds, cfg)
     )
-    if checkpoint_dir is None:
-        # signatures fan out to: hot-key count, band explode, verify join ×2
+    if checkpoint_dir is None and similarity_backend != "substring":
+        # signatures fan out to: hot-key count, band explode, verify join ×2,
+        # final assignment — the ONE pinned intermediate on the default path
+        # (extract fused upstream, everything downstream streams).  The
+        # substring backend never consumes signatures, so there they stay lazy.
         sigs = sigs.materialize()
+    # doc-id source for the final cluster assignment: the signature table
+    # carries one row per doc, so the (wide) docs table never re-executes
+    ids_ds = (
+        docs_ds.select_columns(["doc_id"])
+        if similarity_backend == "substring"
+        else sigs.select_columns(["doc_id"])
+    )
 
     # pluggable similarity backend (the reference's sim_fn injection point,
     # R/clusterbreak.R:185-188): minhash (LSH + exact-Jaccard verify,
     # default), simhash (banded Hamming), substring (winnowing long-match)
     if similarity_backend == "minhash":
         # row-count hint lets hot-key detection pick the no-shuffle
-        # driver-merge plan at small scale (sigs is materialized or a
-        # checkpoint read here, so count() is metadata-cheap)
+        # driver-merge plan at small scale (prefer the caller's approx_rows
+        # hint; sigs is materialized here so count() is metadata-cheap)
         n_band_rows = None
         try:
-            n_band_rows = sigs.count() * cfg.num_bands
+            n_rows = approx_rows if approx_rows is not None else sigs.count()
+            n_band_rows = n_rows * cfg.num_bands
         except Exception:
             pass
         # dedup=True: cross-band duplicate pairs (a near-dup pair matches in
@@ -206,7 +233,7 @@ def near_dedup(
     clusters, _ = ckpt.run_stage(
         "clusters",
         fp_edges,
-        lambda: assign_clusters(docs_ds, labels, P, labels_table=labels_table),
+        lambda: assign_clusters(ids_ds, labels, P, labels_table=labels_table),
     )
     stats = {"cc": cc_info, "stages": ckpt.counters, "num_partitions": P}
     return NearDupResult(
@@ -264,6 +291,10 @@ def dedup_stats(edges_ds) -> dict:
     (/root/reference/R/similarity.R:11-34) over the sparse verified-edge
     table: mean/min/max of edge similarity + the most/least similar pair
     (top-1 by sort, not an n×n argmax)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
     from ray.data.aggregate import Max, Mean, Min
 
     n = edges_ds.count()
@@ -274,8 +305,40 @@ def dedup_stats(edges_ds) -> dict:
         Min("jaccard", alias_name="min_j"),
         Max("jaccard", alias_name="max_j"),
     )
-    most = edges_ds.sort("jaccard", descending=True).limit(1).take_all()[0]
-    least = edges_ds.sort("jaccard", descending=False).limit(1).take_all()[0]
+
+    # most/least similar pair via per-block argmax/argmin + a tiny driver
+    # reduce (2 rows per block) — shuffle-free, vs. sort().limit(1) which is
+    # an all-to-all exchange each.  Ties broken on (a, b) for determinism.
+    def block_extremes(batch: pa.Table) -> pa.Table:
+        j = np.asarray(batch.column("jaccard")).astype(np.float64)
+        if len(j) == 0:
+            return batch.slice(0, 0)
+        a = np.asarray(batch.column("a")).astype(np.int64)
+        b = np.asarray(batch.column("b")).astype(np.int64)
+        order = np.lexsort((b, a, j))
+        return batch.take(pa.array([int(order[-1]), int(order[0])]))
+
+    parts = [
+        t
+        for t in (
+            ray.get(r)
+            for r in edges_ds.map_batches(
+                block_extremes,
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    cand = pa.concat_tables(parts)
+    jj = np.asarray(cand.column("jaccard")).astype(np.float64)
+    aa = np.asarray(cand.column("a")).astype(np.int64)
+    bb = np.asarray(cand.column("b")).astype(np.int64)
+    order = np.lexsort((bb, aa, jj))
+    hi, lo = int(order[-1]), int(order[0])
+    most = {"a": int(aa[hi]), "b": int(bb[hi]), "jaccard": float(jj[hi])}
+    least = {"a": int(aa[lo]), "b": int(bb[lo]), "jaccard": float(jj[lo])}
     return {
         "n_edges": n,
         "mean_jaccard": agg["mean_j"],

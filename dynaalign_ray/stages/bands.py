@@ -122,11 +122,10 @@ def find_hot_band_keys(
         def partial_counts(batch: pa.Table) -> pa.Table:
             k = np.asarray(batch.column("band_key")).astype(np.int64)
             u, c = np.unique(k, return_counts=True)
-            # keys appearing once in a block can't decide hotness and
-            # dominate the transfer — a key with global count C over B
-            # blocks has some block count >= 2 whenever C > B, and the
-            # driver-merge path is only taken when blocks << salt_cap, so
-            # every truly hot key survives this filter
+            # keys appearing once in a block can't decide hotness on their
+            # own and dominate the transfer, so they are dropped here; the
+            # merge below compensates for the bounded undercount (at most
+            # one dropped singleton per block per key)
             m = c >= 2
             u, c = u[m], c[m]
             return pa.table(
@@ -139,6 +138,7 @@ def find_hot_band_keys(
         tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
         if not tables:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        n_blocks = len(refs)
         merged = pa.concat_tables(tables)
         k = np.asarray(merged.column("band_key")).astype(np.int64)
         n = np.asarray(merged.column("n")).astype(np.int64)
@@ -149,8 +149,13 @@ def find_hot_band_keys(
         starts = np.flatnonzero(boundary)
         totals = np.add.reduceat(n, starts)
         keys = k[starts]
-        hot = totals > cfg.salt_cap
-        return keys[hot], totals[hot]
+        # the singleton filter undercounts each key by at most one row per
+        # block; use the upper bound for BOTH the hotness test (no truly hot
+        # key escapes salting) and the sub-bucket sizing (a slightly larger
+        # m only makes sub-buckets smaller — harmless)
+        totals_ub = totals + n_blocks
+        hot = totals_ub > cfg.salt_cap
+        return keys[hot], totals_ub[hot]
 
     from ray.data.aggregate import Count
 
@@ -245,9 +250,11 @@ def candidate_pairs(
     """signatures -> candidate_pairs(a, b).  One hash shuffle on band_key
     (+ a small counting groupby when salting); with ``dedup=True`` a second
     shuffle on (a, b) removes cross-band duplicates.  The flagship pipeline
-    passes ``dedup=False`` — the verify stage's second join partitions on
-    ``b``, so duplicates of a pair colocate there and are dropped inside the
-    verify kernel, saving a full shuffle."""
+    passes ``dedup=True``: deduplicating the narrow pair rows before the
+    verify joins is far cheaper than dragging per-doc sketches through the
+    joins once per duplicate (measured 6x join volume without it), and the
+    zero-shuffle broadcast verify plan requires globally deduped pairs (its
+    per-block kernel can only drop duplicates that share a block)."""
     import functools
 
     plain = sigs_ds.map_batches(

@@ -10,11 +10,10 @@ Differences from the reference by design:
 - the DP inner loop is vectorized over one axis with numpy (the reference
   uses scalar C++ loops + an outer OpenMP ``parallel for``).
 
-Substitution matrices: BLOSUM62 (the reference's default, embedded from the
-public NCBI table) plus a parameterizable match/mismatch ("IDENTITY")
-matrix.  The reference additionally ships BLOSUM45/50/80/90/100
-(pairwiseSeqAlign.cpp:23-186); those tables are not embedded here — pass a
-custom (alphabet, matrix) pair to use them.
+Substitution matrices: all six the reference ships —
+BLOSUM45/50/62/80/90/100 (public NCBI tables, pairwiseSeqAlign.cpp:23-186,
+embedded in stages/blosum.py) — plus a match/mismatch "IDENTITY" matrix and
+a custom (alphabet, matrix) hook.
 """
 
 from __future__ import annotations
@@ -22,37 +21,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-AA_ALPHABET = "ARNDCQEGHILKMFPSTWYVBZX*"  # aa_to_index order, pairwiseSeqAlign.cpp:15-21
+from dynaalign_ray.stages.blosum import TABLES as _BLOSUM_TABLES
 
-_BLOSUM62 = np.array(
-    [
-        [4,-1,-2,-2,0,-1,-1,0,-2,-1,-1,-1,-1,-2,-1,1,0,-3,-2,0,-2,-1,0,-4],
-        [-1,5,0,-2,-3,1,0,-2,0,-3,-2,2,-1,-3,-2,-1,-1,-3,-2,-3,-1,0,-1,-4],
-        [-2,0,6,1,-3,0,0,0,1,-3,-3,0,-2,-3,-2,1,0,-4,-2,-3,3,0,-1,-4],
-        [-2,-2,1,6,-3,0,2,-1,-1,-3,-4,-1,-3,-3,-1,0,-1,-4,-3,-3,4,1,-1,-4],
-        [0,-3,-3,-3,9,-3,-4,-3,-3,-1,-1,-3,-1,-2,-3,-1,-1,-2,-2,-1,-3,-3,-2,-4],
-        [-1,1,0,0,-3,5,2,-2,0,-3,-2,1,0,-3,-1,0,-1,-2,-1,-2,0,3,-1,-4],
-        [-1,0,0,2,-4,2,5,-2,0,-3,-3,1,-2,-3,-1,0,-1,-3,-2,-2,1,4,-1,-4],
-        [0,-2,0,-1,-3,-2,-2,6,-2,-4,-4,-2,-3,-3,-2,0,-2,-2,-3,-3,-1,-2,-1,-4],
-        [-2,0,1,-1,-3,0,0,-2,8,-3,-3,-1,-2,-1,-2,-1,-2,-2,2,-3,0,0,-1,-4],
-        [-1,-3,-3,-3,-1,-3,-3,-4,-3,4,2,-3,1,0,-3,-2,-1,-3,-1,3,-3,-3,-1,-4],
-        [-1,-2,-3,-4,-1,-2,-3,-4,-3,2,4,-2,2,0,-3,-2,-1,-2,-1,1,-4,-3,-1,-4],
-        [-1,2,0,-1,-3,1,1,-2,-1,-3,-2,5,-1,-3,-1,0,-1,-3,-2,-2,0,1,-1,-4],
-        [-1,-1,-2,-3,-1,0,-2,-3,-2,1,2,-1,5,0,-2,-1,-1,-1,-1,1,-3,-1,-1,-4],
-        [-2,-3,-3,-3,-2,-3,-3,-3,-1,0,0,-3,0,6,-4,-2,-2,1,3,-1,-3,-3,-1,-4],
-        [-1,-2,-2,-1,-3,-1,-1,-2,-2,-3,-3,-1,-2,-4,7,-1,-1,-4,-3,-2,-2,-1,-2,-4],
-        [1,-1,1,0,-1,0,0,0,-1,-2,-2,0,-1,-2,-1,4,1,-3,-2,-2,0,0,0,-4],
-        [0,-1,0,-1,-1,-1,-1,-2,-2,-1,-1,-1,-1,-2,-1,1,5,-2,-2,0,-1,-1,0,-4],
-        [-3,-3,-4,-4,-2,-2,-3,-2,-2,-3,-2,-3,-1,1,-4,-3,-2,11,2,-3,-4,-3,-2,-4],
-        [-2,-2,-2,-3,-2,-1,-2,-3,2,-1,-1,-2,-1,3,-3,-2,-2,2,7,-1,-3,-2,-1,-4],
-        [0,-3,-3,-3,-1,-2,-2,-3,-3,3,1,-2,1,-1,-2,-2,0,-3,-1,4,-3,-2,-1,-4],
-        [-2,-1,3,4,-3,0,1,-1,0,-3,-4,0,-3,-3,-2,0,-1,-4,-3,-3,4,1,-1,-4],
-        [-1,0,0,1,-3,3,4,-2,0,-3,-3,1,-1,-3,-1,0,-1,-3,-2,-2,1,4,-1,-4],
-        [0,-1,-1,-1,-2,-1,-1,-1,-1,-1,-1,-1,-1,-1,-2,0,0,-2,-1,-1,-1,-1,-1,-4],
-        [-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,-4,1],
-    ],
-    dtype=np.int32,
-)
+AA_ALPHABET = "ARNDCQEGHILKMFPSTWYVBZX*"  # aa_to_index order, pairwiseSeqAlign.cpp:15-21
 
 _AA_INDEX = {c: i for i, c in enumerate(AA_ALPHABET)}
 _NEG_INF = -(10**9)
@@ -60,16 +31,18 @@ _NEG_INF = -(10**9)
 
 def get_substitution_matrix(name: str) -> tuple[str, np.ndarray]:
     """Analog of getSubstitutionMatrix (pairwiseSeqAlign.cpp:190-206);
-    errors on unknown names like the reference."""
-    if name == "BLOSUM62":
-        return AA_ALPHABET, _BLOSUM62
+    errors on unknown names like the reference.  All six of the reference's
+    tables are available (BLOSUM45/50/62/80/90/100) plus IDENTITY."""
+    if name in _BLOSUM_TABLES:
+        return AA_ALPHABET, _BLOSUM_TABLES[name]
     if name == "IDENTITY":
         m = np.full((24, 24), -1, dtype=np.int32)
         np.fill_diagonal(m, 1)
         return AA_ALPHABET, m
     raise ValueError(
-        f"Unknown substitution matrix: {name!r} (supported here: BLOSUM62, "
-        "IDENTITY; pass a custom (alphabet, matrix) for others)"
+        f"Unknown substitution matrix: {name!r} (supported: "
+        f"{', '.join(sorted(_BLOSUM_TABLES))}, IDENTITY; or pass a custom "
+        "(alphabet, matrix) pair)"
     )
 
 
@@ -109,18 +82,21 @@ def nw_similarity(
     Ix[1:, 0] = -gap_open - gap_ext * np.arange(n, dtype=np.int64)
     Iy[0, 1:] = -gap_open - gap_ext * np.arange(m, dtype=np.int64)
     scores = sub[x][:, y].astype(np.int64)  # (n, m)
+    # Iy's intra-row dependency iy[j] = max(M[i,j-1] - gap_open,
+    # iy[j-1] - gap_ext) is a prefix max after the affine substitution
+    # c[j] = M[i,j-1] - gap_open + gap_ext*j:
+    #   iy[j] = max_{1<=j'<=j} (M[i,j'-1] - gap_open - (j-j')*gap_ext)
+    #         = maximum.accumulate(c)[j] - gap_ext*j
+    # — no Python inner loop (the reference's scalar C++ scan,
+    # pairwiseSeqAlign.cpp:262-266, vectorized).
+    jj = np.arange(1, m + 1, dtype=np.int64) * gap_ext
     for i in range(1, n + 1):
         prev_best = np.maximum(np.maximum(M[i - 1], Ix[i - 1]), Iy[i - 1])
         M[i, 1:] = prev_best[:-1] + scores[i - 1]
         Ix[i, 1:] = np.maximum(M[i - 1, 1:] - gap_open, Ix[i - 1, 1:] - gap_ext)
         Ix[i, 0] = -gap_open - gap_ext * (i - 1)
-        # Iy has an intra-row dependency; resolve with a running scan
-        open_cand = M[i, :-1] - gap_open
-        iy = _NEG_INF
-        row = Iy[i]
-        for j in range(1, m + 1):
-            iy = max(open_cand[j - 1], iy - gap_ext)
-            row[j] = iy
+        c = M[i, :-1] - gap_open + jj
+        Iy[i, 1:] = np.maximum.accumulate(c) - jj
     # traceback counting matches (pairwiseSeqAlign.cpp:283-308)
     i, j = n, m
     state = int(np.argmax([M[n, m], Ix[n, m], Iy[n, m]]))

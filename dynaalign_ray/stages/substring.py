@@ -9,13 +9,18 @@ ignores.  Scalable design (no global suffix array):
    every ``kgram``-char window, then the minimum hash in each window of
    ``w`` consecutive grams is selected.  Two docs sharing a run of length
    >= kgram + w - 1 are GUARANTEED to share a selected fingerprint,
-   independent of alignment.  Defaults (kgram=128, w=64, both derived from
-   min_len) guarantee detection at min_len and beyond.
+   independent of alignment.  Defaults derive from ``min_len``:
+   kgram = max(min_len // 2, 16) and w = min_len - kgram + 1, so detection
+   is guaranteed at min_len and beyond.
 2. (anchor_hash, doc_id) rows -> hash-partition -> bucket pair emission —
    the same keyed-shuffle skeleton as the LSH stage.
 3. verify: recompute stride-1 gram hashes for both docs of a candidate pair
-   and measure the longest run of consecutive shared grams; a shared run of
-   R bytes shows up as R - kgram + 1 consecutive shared grams.
+   and find the longest DIAGONAL run of matching gram positions (equal gram
+   hash at positions (i, j) with constant j - i): a contiguous shared run of
+   R bytes shows up as R - kgram + 1 consecutive same-diagonal matches.
+   Matching on gram *membership* alone (np.isin) would false-positive on
+   repetitive documents whose consecutive A-grams each match at scattered B
+   positions.
 
 The per-partition rolling-hash + sliding-min computation is the
 memory-bounded stand-in for a per-partition suffix array (SURVEY.md §7 M7 /
@@ -103,25 +108,70 @@ def _emit_bucket_pairs(batch: pa.Table, *, pair_cap: int) -> pa.Table:
     return emit_pairs_block(renamed, pair_cap=pair_cap)
 
 
+_OCC_CAP = 64  # per-gram B-position cap in the diagonal expansion: bounds the
+# match matrix at occ_cap * len(A-grams) for pathological repetitive docs
+# (a run surviving the cap still matches on the diagonal of its first
+# occurrences; only >64-fold-repeated grams can theoretically hide a run)
+
+
+def _longest_diagonal_run(ga: np.ndarray, gb: np.ndarray) -> int:
+    """Longest run of consecutive same-diagonal gram matches between two
+    stride-1 gram-hash arrays — fully vectorized (no per-element Python).
+
+    A contiguous shared byte run of R chars appears as R - kgram + 1 matches
+    (ga[i] == gb[i + d] for consecutive i at fixed diagonal d)."""
+    order = np.argsort(gb, kind="stable")
+    gbs = gb[order]
+    left = np.searchsorted(gbs, ga, side="left")
+    right = np.searchsorted(gbs, ga, side="right")
+    cnt = np.minimum(right - left, _OCC_CAP)
+    total = int(cnt.sum())
+    if total == 0:
+        return 0
+    ii = np.repeat(np.arange(len(ga), dtype=np.int64), cnt)
+    ends = np.cumsum(cnt)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(ends - cnt, cnt)
+    jj = order[np.repeat(left, cnt) + offs]
+    diag = jj - ii
+    o2 = np.lexsort((ii, diag))
+    d_s, i_s = diag[o2], ii[o2]
+    # a match continues its run when the diagonal is unchanged and the A
+    # position is the immediate successor
+    brk = np.ones(total, dtype=bool)
+    brk[1:] = (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1] + 1)
+    starts = np.flatnonzero(brk)
+    lens = np.diff(np.append(starts, total))
+    return int(lens.max())
+
+
 def verify_substring_batch(batch: pa.Table, *, min_len: int) -> pa.Table:
     """(a, b, text_a, text_b) -> rows with an exact shared run >= min_len,
-    plus the measured longest shared-gram run length in chars."""
+    plus the measured longest contiguous shared run length in chars.
+
+    Gram hashes are computed once per distinct doc in the batch (docs appear
+    in many candidate pairs); the run scan is the vectorized diagonal kernel
+    above."""
     kgram = max(min_len // 2, 16)
-    need = min_len - kgram + 1  # consecutive shared grams required
+    need = min_len - kgram + 1  # consecutive same-diagonal matches required
     a_ids = np.asarray(batch.column("a")).astype(np.int64)
     b_ids = np.asarray(batch.column("b")).astype(np.int64)
+    ta, tb = batch.column("text_a"), batch.column("text_b")
+    grams: dict[int, np.ndarray] = {}
+
+    def doc_grams(doc_id: int, col, i: int) -> np.ndarray:
+        g = grams.get(doc_id)
+        if g is None:
+            g = _gram_hashes(col[i].as_py(), kgram)
+            grams[doc_id] = g
+        return g
+
     out_a, out_b, out_len = [], [], []
     for i in range(batch.num_rows):
-        ga = _gram_hashes(batch.column("text_a")[i].as_py(), kgram)
-        gb = _gram_hashes(batch.column("text_b")[i].as_py(), kgram)
+        ga = doc_grams(int(a_ids[i]), ta, i)
+        gb = doc_grams(int(b_ids[i]), tb, i)
         if len(ga) == 0 or len(gb) == 0:
             continue
-        shared = np.isin(ga, gb)
-        # longest run of consecutive shared grams
-        best = run = 0
-        for flag in shared:
-            run = run + 1 if flag else 0
-            best = max(best, run)
+        best = _longest_diagonal_run(ga, gb)
         if best >= need:
             out_a.append(a_ids[i])
             out_b.append(b_ids[i])

@@ -80,16 +80,25 @@ _BROADCAST_DOC_LIMIT = 400_000  # pair-member docs under which the filtered
 
 
 def verified_edges(
-    pairs_ds, sigs_ds, cfg: DedupConfig, num_partitions: int, approx_pairs: int | None = None
+    pairs_ds,
+    sigs_ds,
+    cfg: DedupConfig,
+    num_partitions: int,
+    approx_pairs: int | None = None,
+    pairs_deduped: bool = True,
 ):
     """candidate_pairs ⋈ signatures (×2, on doc_id) -> verify kernel.
 
     Three physical plans, picked by candidate-set size:
     1. pair-member docs <= _BROADCAST_DOC_LIMIT: the semi-join-filtered
        (doc_id, sketch) table is broadcast and every pairs block verifies
-       with two in-block Arrow joins — zero shuffles;
+       with two in-block Arrow joins — zero shuffles.  Requires globally
+       deduplicated pairs (``pairs_deduped=True``): this plan applies no
+       shuffle, so cross-block duplicate (a, b) copies would survive as
+       duplicate edges;
     2. pairs <= _SEMI_JOIN_LIMIT: two hash joins, sketch side semi-join
-       reduced to pair-member docs;
+       reduced to pair-member docs (the second join partitions on ``b``,
+       colocating any duplicates for the in-kernel drop);
     3. otherwise (the 100 TB path): two full hash joins of the narrow
        (doc_id, sketch) projection (SURVEY.md §7 hard part 4).
     """
@@ -102,17 +111,38 @@ def verified_edges(
     if approx_pairs is not None and approx_pairs <= _SEMI_JOIN_LIMIT:
         import ray
 
-        cols = pairs_ds.select_columns(["a", "b"])
-        ids = []
-        for b in cols.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            ids.append(np.asarray(b.column("a")).astype(np.int64))
-            ids.append(np.asarray(b.column("b")).astype(np.int64))
+        # per-block distinct BEFORE the driver merge: the driver sees one
+        # small sorted id array per block, not every pair row (the dup-heavy
+        # blocks collapse remotely; keeps this serial phase tiny — Amdahl)
+        def block_ids(batch: pa.Table) -> pa.Table:
+            u = np.unique(
+                np.concatenate(
+                    [
+                        np.asarray(batch.column("a")).astype(np.int64),
+                        np.asarray(batch.column("b")).astype(np.int64),
+                    ]
+                )
+            )
+            return pa.table({"doc_id": pa.array(u, type=pa.int64())})
+
+        refs = pairs_ds.select_columns(["a", "b"]).map_batches(
+            block_ids, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+        parts = [
+            np.asarray(t.column("doc_id")).astype(np.int64)
+            for t in (ray.get(r) for r in refs)
+            if t.num_rows
+        ]
         pair_docs = (
-            np.unique(np.concatenate(ids)) if ids else np.empty(0, dtype=np.int64)
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
         )
         pair_doc_ref = ray.put(pair_docs)
 
-    if pair_docs is not None and len(pair_docs) <= _BROADCAST_DOC_LIMIT:
+    if (
+        pairs_deduped
+        and pair_docs is not None
+        and len(pair_docs) <= _BROADCAST_DOC_LIMIT
+    ):
         return _broadcast_verify(pairs_ds, sigs_ds, cfg, pair_doc_ref, pair_docs)
 
     def _sk(name):

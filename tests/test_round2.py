@@ -1,0 +1,274 @@
+"""Round-2 regression tests: vectorized NW DP parity vs a scalar reference
+DP for every substitution matrix, the full BLOSUM table set, the substring
+diagonal-run verify kernel (contiguity), LSH multiprobe expansion, and
+checkpoint invalidation on runtime knobs outside DedupConfig."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from dynaalign_ray.config import DedupConfig
+
+
+@pytest.fixture()
+def rd(ray_session):
+    return ray.data
+
+
+# ---------------------------------------------------------------- NW parity
+
+
+def _scalar_nw(s1, s2, alphabet, sub, gap_open, gap_ext):
+    """Independent scalar 3-matrix affine-gap DP (the reference's loop
+    structure, pairwiseSeqAlign.cpp:216-313) used as the parity oracle for
+    the vectorized kernel."""
+    idx = {c: i for i, c in enumerate(alphabet)}
+    x = [idx[c] for c in s1]
+    y = [idx[c] for c in s2]
+    n, m = len(x), len(y)
+    NEG = -(10**9)
+    M = [[NEG] * (m + 1) for _ in range(n + 1)]
+    Ix = [[NEG] * (m + 1) for _ in range(n + 1)]
+    Iy = [[NEG] * (m + 1) for _ in range(n + 1)]
+    M[0][0] = 0
+    for i in range(1, n + 1):
+        Ix[i][0] = -gap_open - gap_ext * (i - 1)
+    for j in range(1, m + 1):
+        Iy[0][j] = -gap_open - gap_ext * (j - 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            M[i][j] = (
+                max(M[i - 1][j - 1], Ix[i - 1][j - 1], Iy[i - 1][j - 1])
+                + sub[x[i - 1]][y[j - 1]]
+            )
+            Ix[i][j] = max(M[i - 1][j] - gap_open, Ix[i - 1][j] - gap_ext)
+            Iy[i][j] = max(M[i][j - 1] - gap_open, Iy[i][j - 1] - gap_ext)
+    # traceback (same tie conventions as the engine kernel)
+    i, j = n, m
+    cand = [M[n][m], Ix[n][m], Iy[n][m]]
+    state = cand.index(max(cand))
+    matches = length = 0
+    while i > 0 or j > 0:
+        length += 1
+        if state == 0 and i > 0 and j > 0:
+            if x[i - 1] == y[j - 1]:
+                matches += 1
+            cand = [M[i - 1][j - 1], Ix[i - 1][j - 1], Iy[i - 1][j - 1]]
+            state = cand.index(max(cand))
+            i, j = i - 1, j - 1
+        elif state == 1 and i > 0:
+            state = 0 if M[i - 1][j] - gap_open >= Ix[i - 1][j] - gap_ext else 1
+            i -= 1
+        elif state == 2 and j > 0:
+            state = 0 if M[i][j - 1] - gap_open >= Iy[i][j - 1] - gap_ext else 2
+            j -= 1
+        else:
+            state = 1 if i > 0 else 2
+    return matches / length if length else 0.0
+
+
+ALL_MATRICES = ["BLOSUM45", "BLOSUM50", "BLOSUM62", "BLOSUM80", "BLOSUM90", "BLOSUM100"]
+
+
+class TestNW:
+    @pytest.mark.parametrize("name", ALL_MATRICES + ["IDENTITY"])
+    def test_vectorized_matches_scalar_dp(self, name):
+        from dynaalign_ray.stages.nw import (
+            AA_ALPHABET,
+            get_substitution_matrix,
+            nw_similarity,
+        )
+
+        alphabet, sub = get_substitution_matrix(name)
+        rng = np.random.Generator(np.random.PCG64(7))
+        letters = "ARNDCQEGHILKMFPSTWYV"
+        for _ in range(6):
+            la, lb = int(rng.integers(3, 40)), int(rng.integers(3, 40))
+            s1 = "".join(rng.choice(list(letters), la))
+            s2 = "".join(rng.choice(list(letters), lb))
+            got = nw_similarity(s1, s2, name)
+            want = _scalar_nw(s1, s2, alphabet, sub.tolist(), 10, 4)
+            assert got == pytest.approx(want), (name, s1, s2)
+
+    def test_all_six_reference_tables_present(self):
+        from dynaalign_ray.stages.blosum import TABLES
+
+        assert set(TABLES) == set(ALL_MATRICES)
+        for name, t in TABLES.items():
+            assert t.shape == (24, 24)
+            assert (t == t.T).all(), name
+        # spot values from the public NCBI tables
+        assert TABLES["BLOSUM45"][0][0] == 5
+        assert TABLES["BLOSUM80"][17][17] == 16  # W/W
+        assert TABLES["BLOSUM100"][4][4] == 14  # C/C
+
+    def test_long_pair_parity(self):
+        # ~200-aa pair with a planted mutation — the vectorized Iy prefix-max
+        # must agree with the scalar scan on long sequences too
+        from dynaalign_ray.stages.nw import (
+            get_substitution_matrix,
+            nw_similarity,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        letters = "ARNDCQEGHILKMFPSTWYV"
+        s1 = "".join(rng.choice(list(letters), 200))
+        s2 = s1[:80] + "GG" + s1[95:]
+        alphabet, sub = get_substitution_matrix("BLOSUM62")
+        assert nw_similarity(s1, s2) == pytest.approx(
+            _scalar_nw(s1, s2, alphabet, sub.tolist(), 10, 4)
+        )
+
+    def test_unknown_matrix_errors(self):
+        from dynaalign_ray.stages.nw import get_substitution_matrix
+
+        with pytest.raises(ValueError, match="Unknown substitution matrix"):
+            get_substitution_matrix("BLOSUM999")
+
+
+# ------------------------------------------------- substring diagonal runs
+
+
+class TestSubstringDiagonal:
+    def test_scattered_membership_is_not_a_run(self):
+        # consecutive A-grams each present in B but at scattered positions:
+        # membership (np.isin) would report a 4-run; the diagonal kernel
+        # must not (the ADVICE false-positive mode)
+        from dynaalign_ray.stages.substring import _longest_diagonal_run
+
+        ga = np.array([1, 2, 3, 4], dtype=np.uint64)
+        gb = np.array([4, 9, 3, 9, 2, 9, 1], dtype=np.uint64)
+        assert _longest_diagonal_run(ga, gb) == 1
+
+    def test_contiguous_run_detected(self):
+        from dynaalign_ray.stages.substring import _longest_diagonal_run
+
+        ga = np.array([7, 1, 2, 3, 4, 8], dtype=np.uint64)
+        gb = np.array([9, 9, 1, 2, 3, 4], dtype=np.uint64)
+        assert _longest_diagonal_run(ga, gb) == 4
+
+    def test_repetitive_doc_diagonal(self):
+        # repeated grams: the true contiguous run must still be found among
+        # the multi-occurrence expansion
+        from dynaalign_ray.stages.substring import _longest_diagonal_run
+
+        ga = np.array([5, 5, 5, 5, 5], dtype=np.uint64)
+        gb = np.array([5, 5, 5], dtype=np.uint64)
+        assert _longest_diagonal_run(ga, gb) == 3
+
+    def test_verify_batch_end_to_end(self):
+        import pyarrow as pa
+
+        from dynaalign_ray.stages.substring import verify_substring_batch
+
+        rng = np.random.Generator(np.random.PCG64(21))
+        letters = list("abcdefghijklmnopqrstuvwxyz ")
+        shared = "".join(rng.choice(letters, 250))
+        ta = "AAA " * 50 + shared + " BBB" * 30
+        tb = "CCC " * 40 + shared + " DDD" * 20
+        tc = "totally different " * 40
+        batch = pa.table(
+            {
+                "a": pa.array([1, 1], pa.int64()),
+                "b": pa.array([2, 3], pa.int64()),
+                "text_a": pa.array([ta, ta]),
+                "text_b": pa.array([tb, tc]),
+            }
+        )
+        out = verify_substring_batch(batch, min_len=200)
+        assert out.num_rows == 1
+        assert out.column("a")[0].as_py() == 1 and out.column("b")[0].as_py() == 2
+        assert out.column("match_len")[0].as_py() >= 200
+
+
+# --------------------------------------------------------- LSH multiprobe
+
+
+class TestMultiprobe:
+    def test_full_probe_radius_equals_bruteforce(self, rd, ray_session):
+        # with multiprobe == n_bits every bucket is probed, so the LSH
+        # result must equal exact brute force; the pre-fix expansion only
+        # ever generated 1-bit flips and misses >= 2-bit-away vectors
+        from dynaalign_ray.functions.similarity_search import (
+            brute_force_topk,
+            lsh_bucket_topk,
+        )
+        import pyarrow as pa
+
+        rng = np.random.Generator(np.random.PCG64(3))
+        vecs = rng.standard_normal((64, 16))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(64), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        queries = vecs[:3]
+        exact = brute_force_topk(ds, queries, k=3)
+        approx = lsh_bucket_topk(ds, queries, k=3, n_bits=6, multiprobe=6, seed=5)
+        assert exact.column("vec_id").to_pylist() == approx.column("vec_id").to_pylist()
+
+    def test_probe_set_grows_with_radius(self, rd, ray_session):
+        # radius-2 candidates must be a superset of radius-1's (recall can
+        # only grow) — regression for the silent multiprobe=1 behavior
+        from dynaalign_ray.functions.similarity_search import lsh_bucket_topk
+        import pyarrow as pa
+
+        rng = np.random.Generator(np.random.PCG64(9))
+        vecs = rng.standard_normal((128, 12))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(128), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        queries = vecs[:4]
+        r1 = lsh_bucket_topk(ds, queries, k=8, n_bits=8, multiprobe=1, seed=5)
+        r2 = lsh_bucket_topk(ds, queries, k=8, n_bits=8, multiprobe=2, seed=5)
+        # cosine of the worst rank can only improve (more candidates seen)
+        for qi in range(4):
+            c1 = [
+                r1.column("cosine")[i].as_py()
+                for i in range(r1.num_rows)
+                if r1.column("query_id")[i].as_py() == qi
+            ]
+            c2 = [
+                r2.column("cosine")[i].as_py()
+                for i in range(r2.num_rows)
+                if r2.column("query_id")[i].as_py() == qi
+            ]
+            assert len(c2) >= len(c1)
+            if c1 and c2:
+                assert min(c2) >= min(c1) - 1e-12 or len(c2) > len(c1)
+
+
+# ------------------------------------------- checkpoint lineage coverage
+
+
+class TestCheckpointKnobs:
+    def test_salt_hot_change_invalidates_checkpoint(self, rd, ray_session, small_corpus, tmp_path):
+        from dynaalign_ray.pipelines.neardup import near_dedup
+
+        pages, _ = small_corpus
+        cfg = DedupConfig()
+        ck = str(tmp_path / "ck")
+        res1 = near_dedup(
+            pages_ds=rd.from_arrow(pages), cfg=cfg, num_partitions=4,
+            checkpoint_dir=ck, salt_hot=True,
+        )
+        res1.clusters.count()
+        # same knobs -> resume
+        res2 = near_dedup(
+            pages_ds=rd.from_arrow(pages), cfg=cfg, num_partitions=4,
+            checkpoint_dir=ck, salt_hot=True,
+        )
+        assert res2.stats["stages"]["pairs"].get("resumed") is True
+        # flipping a knob OUTSIDE DedupConfig must invalidate the lineage
+        res3 = near_dedup(
+            pages_ds=rd.from_arrow(pages), cfg=cfg, num_partitions=4,
+            checkpoint_dir=ck, salt_hot=False,
+        )
+        assert res3.stats["stages"]["pairs"].get("resumed") is not True
