@@ -149,6 +149,58 @@ def broadcast_join(
     return left_ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
 
 
+BROADCAST_ROW_LIMIT = 2_000_000  # dimension rows above this hash-join instead
+
+
+def collect_arrow(ds) -> pa.Table:
+    """Concat a (known-small) Dataset into one Arrow table directly from its
+    block refs — zero-copy concat of Arrow blocks, never a per-row Python
+    rebuild (``take_all`` materializes Python dicts row by row)."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+    parts = [ray.get(r) for r in refs]
+    nonempty = [p for p in parts if p.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty).combine_chunks()
+    return parts[0] if parts else pa.table({})
+
+
+def dim_join(
+    fact_ds,
+    dim_ds,
+    *,
+    left_on: str,
+    right_on: str,
+    fact_schema: pa.Schema,
+    dim_schema: pa.Schema,
+    num_partitions: int,
+    how: str = "inner",
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    approx_dim_rows: int | None = None,
+):
+    """Fact ⋈ dimension with a size-gated physical plan: the dimension side
+    is broadcast (one plasma replica, no shuffle) while it fits
+    ``broadcast_limit`` rows, else both sides go through the partitioned
+    :func:`hash_join`.  The row count is metadata-cheap for Parquet reads;
+    pass ``approx_dim_rows`` when a count would trigger execution."""
+    n = approx_dim_rows if approx_dim_rows is not None else dim_ds.count()
+    if n <= broadcast_limit:
+        return broadcast_join(
+            fact_ds, collect_arrow(dim_ds), left_on=left_on, right_on=right_on, how=how
+        )
+    return hash_join(
+        fact_ds,
+        dim_ds,
+        left_on=left_on,
+        right_on=right_on,
+        left_schema=fact_schema,
+        right_schema=dim_schema,
+        num_partitions=num_partitions,
+        how=how,
+    )
+
+
 def broadcast_semi_join(left_ds, keys: "pa.Table | list[int]", *, left_on: str, anti: bool = False):
     """Semi / anti join against a broadcast key set: keep rows whose key is
     (semi) / is not (anti) in ``keys`` — the filter-by-keyset pattern from

@@ -8,7 +8,9 @@ __ray_entry__).
 Conventions:
 - column pruning at the read (``read_parquet(columns=[...])``);
 - aggregates rounded to 4 decimals on BOTH sides of the compare;
-- dimension-table joins are broadcast (ray.put once), never shuffled;
+- dimension-table joins are size-gated (``joins.dim_join``): broadcast (one
+  plasma replica built from Arrow block refs) while the dimension fits,
+  partitioned hash join beyond — no driver-side row rebuild either way;
 - groupby keys are int64/string (engine-wide key rule).
 """
 
@@ -135,31 +137,41 @@ def q1_pricing(sf_dir: str, num_partitions: int = 8):
 
 
 def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
-    """orders ⋈ customer ⋈ nation via BROADCAST joins (both dimension sides
-    are small), then a one-key aggregate."""
+    """orders ⋈ customer ⋈ nation.  Both dimension sides go through the
+    size-gated ``dim_join``: broadcast (one plasma replica built from Arrow
+    block refs — never a driver-side row rebuild) while the table fits the
+    limit, partitioned hash join beyond it (customer scales with sf)."""
     from ray.data.aggregate import Count, Sum
 
-    from dynaalign_ray.joins import broadcast_join
+    from dynaalign_ray.joins import dim_join
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
-    cust_tbl = pa.table(
-        {
-            "c_custkey": pa.array([r["c_custkey"] for r in customer], pa.int64()),
-            "c_nationkey": pa.array(
-                [r["c_nationkey"] for r in customer], pa.int64()
-            ),
-        }
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j1 = dim_join(
+        orders,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        fact_schema=pa.schema([("o_custkey", pa.int64()), ("o_totalprice", pa.float64())]),
+        dim_schema=pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+        num_partitions=num_partitions,
     )
-    nation_tbl = pa.table(
-        {
-            "n_nationkey": pa.array([r["n_nationkey"] for r in nation], pa.int64()),
-            "n_name": pa.array([r["n_name"] for r in nation], pa.string()),
-        }
+    j2 = dim_join(
+        j1,
+        nation,
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+        fact_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("c_nationkey", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string())]),
+        num_partitions=num_partitions,
     )
-    j1 = broadcast_join(orders, cust_tbl, left_on="o_custkey", right_on="c_custkey")
-    j2 = broadcast_join(j1, nation_tbl, left_on="c_nationkey", right_on="n_nationkey")
     agg = j2.groupby("n_name", num_partitions=num_partitions).aggregate(
         Sum("o_totalprice", alias_name="revenue"),
         Count(alias_name="n_orders"),
@@ -251,20 +263,23 @@ def part_type_stats(sf_dir: str, num_partitions: int = 8):
 
 
 def supplier_volume(sf_dir: str, num_partitions: int = 8):
-    """lineitem ⋈ supplier (broadcast: 10..10k rows) -> per-supplier totals."""
+    """lineitem ⋈ supplier — size-gated ``dim_join`` (broadcast while the
+    supplier table fits, hash join beyond; supplier scales with sf)."""
     from ray.data.aggregate import Count, Sum
 
-    from dynaalign_ray.joins import broadcast_join
+    from dynaalign_ray.joins import dim_join
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
-    supp_tbl = pa.table(
-        {
-            "s_suppkey": pa.array([r["s_suppkey"] for r in supp], pa.int64()),
-            "s_name": pa.array([r["s_name"] for r in supp], pa.string()),
-        }
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    j = dim_join(
+        li,
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        fact_schema=pa.schema([("l_suppkey", pa.int64()), ("l_quantity", pa.float64())]),
+        dim_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+        num_partitions=num_partitions,
     )
-    j = broadcast_join(li, supp_tbl, left_on="l_suppkey", right_on="s_suppkey")
     agg = j.groupby("s_name", num_partitions=num_partitions).aggregate(
         Sum("l_quantity", alias_name="total_qty"),
         Count(alias_name="n_items"),

@@ -272,3 +272,104 @@ class TestCheckpointKnobs:
             checkpoint_dir=ck, salt_hot=False,
         )
         assert res3.stats["stages"]["pairs"].get("resumed") is not True
+
+
+# ------------------------------------------------ sessionizer block kernel
+
+
+class TestSessionizer:
+    def test_block_kernel_matches_per_group_scan(self, rd, ray_session):
+        import pyarrow as pa
+
+        from dynaalign_ray.stages.windows import user_sessions
+
+        rng = np.random.Generator(np.random.PCG64(13))
+        n = 2000
+        uid = rng.integers(0, 50, n)
+        ts = rng.integers(0, 10_000_000_000, n)
+        gap = 1_800_000_000
+        tbl = pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")).cast(pa.timestamp("us")),
+            }
+        )
+        got = {
+            (r["user_id"], r["session_start_us"]): r["n_events"]
+            for r in user_sessions(rd.from_arrow(tbl), 4, gap_us=gap).take_all()
+        }
+        # brute-force per-user scan
+        want = {}
+        for u in np.unique(uid):
+            t = np.sort(ts[uid == u])
+            start = t[0]
+            cnt = 1
+            for prev, cur in zip(t[:-1], t[1:]):
+                if cur - prev > gap:
+                    want[(int(u), int(start))] = cnt
+                    start, cnt = cur, 1
+                else:
+                    cnt += 1
+            want[(int(u), int(start))] = cnt
+        assert got == want
+
+
+# ------------------------------------------------- distributed quantile
+
+
+class TestDistributedQuantile:
+    def test_histogram_quantile_matches_exact(self, rd, ray_session):
+        import pyarrow as pa
+
+        from dynaalign_ray.pipelines.neardup import _approx_quantile
+
+        rng = np.random.Generator(np.random.PCG64(17))
+        vals = rng.beta(5, 2, 50_000)  # skewed mass near 1, like edge Jaccard
+        ds = rd.from_arrow(pa.table({"jaccard": pa.array(vals, pa.float64())}))
+        for q in (0.5, 0.8, 0.95):
+            got = _approx_quantile(ds, "jaccard", q)
+            assert got == pytest.approx(float(np.quantile(vals, q)), abs=1e-3)
+
+    def test_empty_edges(self, rd, ray_session):
+        import pyarrow as pa
+
+        from dynaalign_ray.pipelines.neardup import _approx_quantile
+
+        ds = rd.from_arrow(pa.table({"jaccard": pa.array([], pa.float64())}))
+        assert _approx_quantile(ds, "jaccard", 0.9) == 0.0
+
+
+# ------------------------------------------------------- size-gated dim join
+
+
+class TestDimJoin:
+    def test_broadcast_and_hash_plans_agree(self, rd, ray_session):
+        import pyarrow as pa
+
+        from dynaalign_ray.joins import dim_join
+
+        rng = np.random.Generator(np.random.PCG64(19))
+        fact = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 30, 500), pa.int64()),
+                "v": pa.array(rng.standard_normal(500), pa.float64()),
+            }
+        )
+        dim = pa.table(
+            {
+                "dk": pa.array(np.arange(0, 25), pa.int64()),
+                "name": pa.array([f"n{i}" for i in range(25)]),
+            }
+        )
+        fs = pa.schema([("k", pa.int64()), ("v", pa.float64())])
+        ds_schema = pa.schema([("dk", pa.int64()), ("name", pa.string())])
+        kw = dict(
+            left_on="k", right_on="dk", fact_schema=fs, dim_schema=ds_schema,
+            num_partitions=4,
+        )
+        bc = dim_join(rd.from_arrow(fact), rd.from_arrow(dim), **kw).take_all()
+        hj = dim_join(
+            rd.from_arrow(fact), rd.from_arrow(dim), broadcast_limit=0, **kw
+        ).take_all()
+        key = lambda r: (r["k"], round(r["v"], 9), r["name"])
+        assert sorted(map(key, bc)) == sorted(map(key, hj))
