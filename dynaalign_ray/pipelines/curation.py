@@ -141,8 +141,14 @@ def doc_langid_counts(sf_dir: str, num_partitions: int = 8):
 
     from dynaalign_ray.functions.textstats import LangIdActor
 
+    import ray
+
+    # actor-pool size proportional to the cluster (was a fixed 2, which
+    # starves a 32-CPU node); elastic range so small runs don't overspawn
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     pred = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangIdActor, batch_format="pyarrow", batch_size=512, concurrency=2
+        LangIdActor, batch_format="pyarrow", batch_size=512,
+        concurrency=(2, max(2, ncpu // 2)),
     )
     return pred.groupby("pred_lang", num_partitions=num_partitions).aggregate(
         Count(alias_name="n_docs")
@@ -169,6 +175,27 @@ def doc_neardup_clusters(sf_dir: str, num_partitions: int = 8):
         num_partitions=num_partitions,
     )
     return res.clusters.select_columns(["doc_id", "cluster_id", "keep"])
+
+
+def doc_neardup_sized(sf_dir: str, num_partitions: int = 8):
+    """Flagship pipeline + the clusterbreak size controller
+    (size_min/size_max re-split with per-component quantile re-thresholding,
+    "<round>.<cid>" labels — R/clusterbreak.R:224-254 semantics).  size_min=1
+    so every doc appears exactly once (rows-only check: deterministic
+    labels)."""
+    from dynaalign_ray.pipelines.clusterbreak import cluster_break
+
+    cfg = DedupConfig(shingle_k=3)
+    res = cluster_break(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=cfg,
+        size_max=8,
+        size_min=1,
+        thresh_p=0.8,
+        max_rounds=5,
+        num_partitions=num_partitions,
+    )
+    return res.clustered.select_columns(["doc_id", "cluster_id", "cluster_label", "round"])
 
 
 def doc_minhash_signatures(sf_dir: str):

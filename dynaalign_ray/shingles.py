@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from dynaalign_ray.hashing import U64, hash_strings, hash_u64, mix64, poly_powers
+from dynaalign_ray.hashing import U64, hash_u64, mix64, poly_powers
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -38,31 +38,106 @@ def tokenize(text: str, mode: str) -> np.ndarray:
     return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
 
 
+_BYTE_P = U64(0x100000001B3)
+_BYTE_PINV = U64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _hash_utf8_spans(arr, seed: int) -> np.ndarray:
+    """Vectorized uint64 hash of every string in an Arrow StringArray,
+    computed directly off the (offsets, data) buffers — no Python string
+    objects.  Polynomial rolling hash over the utf8 bytes in the 2^64 ring
+    (prefix sums + inverse powers, the substring-stage technique), mixed
+    with the byte length and seed through splitmix64."""
+    import pyarrow as pa
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    b = data[lo:hi].astype(U64)
+    s = (offs[:-1] - lo).astype(np.int64)
+    e = (offs[1:] - lo).astype(np.int64)
+    nb = len(b)
+    pows = np.ones(nb, dtype=U64)
+    if nb > 1:
+        np.multiply.accumulate(np.full(nb - 1, _BYTE_P, dtype=U64), out=pows[1:])
+    pre = np.zeros(nb + 1, dtype=U64)
+    np.cumsum(b * pows, out=pre[1:], dtype=U64)
+    inv = np.ones(nb + 1, dtype=U64)
+    if nb > 0:
+        np.multiply.accumulate(np.full(nb, _BYTE_PINV, dtype=U64), out=inv[1:])
+    span = (pre[e] - pre[s]) * inv[s]
+    h = mix64(span ^ mix64((e - s).astype(U64)))
+    if seed:
+        h = mix64(h ^ U64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF))
+    return h
+
+
+def _word_shingles_arrow(col, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word-mode shingling over an Arrow string column: split, hash and
+    window-combine entirely in Arrow/numpy kernels (the per-doc
+    ``text.split()`` Python loop removed — SURVEY.md §2 #1 at scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n_docs = len(col)
+    toks = pc.utf8_split_whitespace(col)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    list_offs = np.asarray(toks.offsets).astype(np.int64)
+    counts_tok = np.diff(list_offs)
+    flat = pc.list_flatten(toks)
+    total = int(counts_tok.sum())
+    if total == 0:
+        return _combine_doc_windows(np.empty(0, dtype=U64), counts_tok, k, n_docs)
+    all_hashes = _hash_utf8_spans(flat, seed=0x5417)
+    # Arrow's split keeps empty strings at whitespace boundaries ("" for an
+    # empty doc, leading/trailing for padded ones); Python str.split drops
+    # them — filter to match (order within each doc is preserved)
+    fb = flat.buffers()
+    foffs = np.frombuffer(fb[1], dtype=np.int32)[
+        flat.offset : flat.offset + len(flat) + 1
+    ]
+    nonempty = np.diff(foffs) > 0
+    if not nonempty.all():
+        doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts_tok)
+        counts_tok = np.bincount(doc_of_tok[nonempty], minlength=n_docs).astype(
+            np.int64
+        )
+        all_hashes = all_hashes[nonempty]
+    return _combine_doc_windows(all_hashes, counts_tok, k, n_docs)
+
+
 def batch_shingle_hashes(
-    texts: list[str], k: int, mode: str = "word"
+    texts, k: int, mode: str = "word"
 ) -> tuple[np.ndarray, np.ndarray]:
     """All docs of a batch -> (concatenated window hashes, per-doc counts).
 
+    ``texts`` may be a list of Python strings or an Arrow string array /
+    chunked array (the zero-copy fast path used by the signature stage —
+    one implementation either way, so pipeline and oracle hashes agree).
     Window hashes are grouped by doc in input order; ``counts[d] ==
     max(len_tokens(d) - k + 1, 0)`` (multiset, duplicates retained, matching
     the reference's shingle vector semantics at R/minHash.R:17-22).
     """
+    import pyarrow as pa
+
+    if mode == "word":
+        col = (
+            texts
+            if isinstance(texts, (pa.Array, pa.ChunkedArray))
+            else pa.array(list(texts), type=pa.string())
+        )
+        return _word_shingles_arrow(col, k)
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = texts.to_pylist()
     n_docs = len(texts)
     counts_tok = np.empty(n_docs, dtype=np.int64)
-    if mode == "word":
-        toks: list = [None] * n_docs
-        for i, t in enumerate(texts):
-            s = t.split()
-            toks[i] = s
-            counts_tok[i] = len(s)
-        total = int(counts_tok.sum())
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for s in toks:
-            flat[pos : pos + len(s)] = s
-            pos += len(s)
-        all_hashes = hash_strings(flat, seed=0x5417) if total else np.empty(0, dtype=U64)
-    elif mode == "char":
+    if mode == "char":
         arrs = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts]
         for i, a in enumerate(arrs):
             counts_tok[i] = len(a)
@@ -74,15 +149,20 @@ def batch_shingle_hashes(
         all_hashes = hash_u64(cat, seed=0x5417)
     else:
         raise ValueError(f"unknown shingle mode {mode!r}")
+    return _combine_doc_windows(all_hashes, counts_tok, k, n_docs)
 
+
+def _combine_doc_windows(
+    all_hashes: np.ndarray, counts_tok: np.ndarray, k: int, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Combine every global window of k token hashes, masking windows that
+    cross a doc boundary."""
     ends = np.cumsum(counts_tok)
     n_tok = int(ends[-1]) if n_docs else 0
     shingle_counts = np.maximum(counts_tok - k + 1, 0)
     if n_tok < k:
         return np.empty(0, dtype=U64), shingle_counts
 
-    # combine every global window of k token hashes, then mask windows that
-    # cross a doc boundary
     w = np.lib.stride_tricks.sliding_window_view(all_hashes, k)
     pows = poly_powers(k)
     acc = (w * pows[np.newaxis, :]).sum(axis=1, dtype=U64)

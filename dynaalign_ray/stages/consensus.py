@@ -52,6 +52,74 @@ def consensus_majority_vote(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def make_center_star_consensus(
+    matrix_name: str = "IDENTITY", gap_open: int = 10, gap_ext: int = 4
+):
+    """MSA-grade consensus for RAGGED clusters — center-star approximation
+    of the reference's DECIPHER ``AlignSeqs`` → ``ConsensusSequence``
+    (R/clusterbreak.R:314-318), built on the engine's own NW kernel:
+
+    1. center = the member maximizing total NW similarity to the others
+       (classic center-star; ties -> min doc_id via the stable sort below);
+    2. every other member is globally aligned to the center
+       (``nw_alignment_pairs``) and votes, per center position, for the
+       character it aligns there (no vote = a gap vote);
+    3. consensus keeps each center position whose majority vote is a
+       character (ties -> lexicographically smallest, deterministic), and
+       drops positions where gaps win — so the consensus length adapts to
+       the cluster (insertions relative to the center are not represented:
+       a documented approximation vs full MSA).
+
+    Returns a consensus_fn for :func:`cluster_consensus`.  Cluster sizes are
+    bounded by the pipeline's size controller, so the O(m^2) center search
+    stays small; the whole reduce runs inside one map_groups task.
+    """
+
+    def consensus_center_star(group: pd.DataFrame) -> pd.DataFrame:
+        from dynaalign_ray.stages.nw import nw_alignment_pairs, nw_similarity
+
+        g = group.sort_values("doc_id")
+        texts = g["text"].tolist()
+        m = len(texts)
+        lengths = {len(t) for t in texts}
+        if len(lengths) == 1:
+            return consensus_majority_vote(group)
+        kw = dict(matrix_name=matrix_name, gap_open=gap_open, gap_ext=gap_ext)
+        sims = [[0.0] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(i + 1, m):
+                s = nw_similarity(texts[i], texts[j], **kw)
+                sims[i][j] = sims[j][i] = s
+        center = max(range(m), key=lambda i: (sum(sims[i]), -i))
+        ct = texts[center]
+        votes: list[Counter] = [Counter({ct[i]: 1}) for i in range(len(ct))]
+        for j, t in enumerate(texts):
+            if j == center:
+                continue
+            aligned = {ci: t[tj] for ci, tj in nw_alignment_pairs(ct, t, **kw)}
+            for ci in range(len(ct)):
+                votes[ci][aligned.get(ci, "-")] += 1
+        out = []
+        for c in votes:
+            top = max(c.items(), key=lambda kv: (kv[1], -ord(kv[0][0])))
+            # deterministic tie-break: highest count, then smallest char
+            best_n = top[1]
+            ch = min(k for k, v in c.items() if v == best_n)
+            if ch != "-":
+                out.append(ch)
+        top_row = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "cluster_id": [top_row["cluster_id"]],
+                "consensus": ["".join(out)],
+                "representative_doc": [int(g["doc_id"].iloc[center])],
+                "n_members": [m],
+            }
+        )
+
+    return consensus_center_star
+
+
 def cluster_consensus(
     clusters_ds,
     docs_ds,

@@ -66,13 +66,17 @@ class MinHashActor:
 
 
 def _signature_table(batch: pa.Table, cfg: DedupConfig, a, b) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    shingles, counts = batch_shingle_hashes(texts, cfg.shingle_k, cfg.shingle_mode)
+    # the text column goes into the shingle kernel AS an Arrow array —
+    # word-mode tokenize/hash runs on the (offsets, data) buffers directly,
+    # no per-doc Python strings (to_pylist only on the char-mode parity path)
+    shingles, counts = batch_shingle_hashes(
+        batch.column("text"), cfg.shingle_k, cfg.shingle_mode
+    )
     sig = minhash_signatures(shingles, counts, a, b)
     sim = simhash_signatures(shingles, counts)
     sk_vals, sk_sizes, distinct = bottomk_sketches(shingles, counts, cfg.sketch_cap)
 
-    n = len(texts)
+    n = batch.num_rows
     sig_arr = pa.FixedSizeListArray.from_arrays(
         pa.array(sig.reshape(-1), type=pa.uint64()), cfg.num_perm
     )

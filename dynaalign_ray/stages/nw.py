@@ -54,27 +54,9 @@ def _encode(seq: str, index: dict[str, int]) -> np.ndarray:
         raise ValueError(f"invalid character {e.args[0]!r} in sequence") from None
 
 
-def nw_similarity(
-    s1: str,
-    s2: str,
-    matrix_name: str = "BLOSUM62",
-    gap_open: int = 10,
-    gap_ext: int = 4,
-    custom: tuple[str, np.ndarray] | None = None,
-) -> float:
-    """Global-alignment similarity = exact matches / alignment length.
-
-    Affine gap: opening costs gap_open, each extension gap_ext (same
-    parameter convention as the reference's defaults 10/4).
-    """
-    alphabet, sub = custom if custom is not None else get_substitution_matrix(matrix_name)
-    index = {c: i for i, c in enumerate(alphabet)}
-    x, y = _encode(s1, index), _encode(s2, index)
+def _dp_matrices(x: np.ndarray, y: np.ndarray, sub: np.ndarray, gap_open: int, gap_ext: int):
+    """Three-matrix affine-gap DP, vectorized over the j axis per row."""
     n, m = len(x), len(y)
-    if n == 0 or m == 0:
-        return 0.0 if (n or m) else 1.0
-
-    # three-matrix DP, vectorized over the j axis per row
     M = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)
     Ix = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)  # gap in y (up moves)
     Iy = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)  # gap in x (left moves)
@@ -97,7 +79,13 @@ def nw_similarity(
         Ix[i, 0] = -gap_open - gap_ext * (i - 1)
         c = M[i, :-1] - gap_open + jj
         Iy[i, 1:] = np.maximum.accumulate(c) - jj
-    # traceback counting matches (pairwiseSeqAlign.cpp:283-308)
+    return M, Ix, Iy
+
+
+def _traceback(x, y, M, Ix, Iy, gap_open, gap_ext, pairs_out=None):
+    """Shared traceback (pairwiseSeqAlign.cpp:283-308): counts matches and
+    alignment length; optionally records the aligned (i, j) diagonal pairs."""
+    n, m = len(x), len(y)
     i, j = n, m
     state = int(np.argmax([M[n, m], Ix[n, m], Iy[n, m]]))
     matches = 0
@@ -107,6 +95,8 @@ def nw_similarity(
         if state == 0 and i > 0 and j > 0:
             if x[i - 1] == y[j - 1]:
                 matches += 1
+            if pairs_out is not None:
+                pairs_out.append((i - 1, j - 1))
             cand = [M[i - 1, j - 1], Ix[i - 1, j - 1], Iy[i - 1, j - 1]]
             state = int(np.argmax(cand))
             i, j = i - 1, j - 1
@@ -118,7 +108,55 @@ def nw_similarity(
             j -= 1
         else:
             state = 1 if i > 0 else 2
+    return matches, length
+
+
+def nw_similarity(
+    s1: str,
+    s2: str,
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    custom: tuple[str, np.ndarray] | None = None,
+) -> float:
+    """Global-alignment similarity = exact matches / alignment length.
+
+    Affine gap: opening costs gap_open, each extension gap_ext (same
+    parameter convention as the reference's defaults 10/4).
+    """
+    alphabet, sub = custom if custom is not None else get_substitution_matrix(matrix_name)
+    index = {c: i for i, c in enumerate(alphabet)}
+    x, y = _encode(s1, index), _encode(s2, index)
+    n, m = len(x), len(y)
+    if n == 0 or m == 0:
+        return 0.0 if (n or m) else 1.0
+    M, Ix, Iy = _dp_matrices(x, y, sub, gap_open, gap_ext)
+    matches, length = _traceback(x, y, M, Ix, Iy, gap_open, gap_ext)
     return matches / length if length else 0.0
+
+
+def nw_alignment_pairs(
+    s1: str,
+    s2: str,
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    custom: tuple[str, np.ndarray] | None = None,
+) -> list[tuple[int, int]]:
+    """Optimal global alignment's aligned position pairs: each (i, j) means
+    s1[i] is aligned to s2[j] (diagonal moves only; gap columns are the
+    positions absent from the list).  The primitive the center-star
+    consensus builds its profile from."""
+    alphabet, sub = custom if custom is not None else get_substitution_matrix(matrix_name)
+    index = {c: i for i, c in enumerate(alphabet)}
+    x, y = _encode(s1, index), _encode(s2, index)
+    if len(x) == 0 or len(y) == 0:
+        return []
+    M, Ix, Iy = _dp_matrices(x, y, sub, gap_open, gap_ext)
+    pairs: list[tuple[int, int]] = []
+    _traceback(x, y, M, Ix, Iy, gap_open, gap_ext, pairs_out=pairs)
+    pairs.reverse()
+    return pairs
 
 
 def nw_rescore_batch(

@@ -373,3 +373,180 @@ class TestDimJoin:
         ).take_all()
         key = lambda r: (r["k"], round(r["v"], 9), r["name"])
         assert sorted(map(key, bc)) == sorted(map(key, hj))
+
+
+# ------------------------------------------------ clusterbreak size control
+
+
+class TestClusterBreak:
+    def _edges(self, rd, rows):
+        import pyarrow as pa
+
+        a, b, w = zip(*rows)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64()),
+                    "jaccard": pa.array(w, pa.float64()),
+                }
+            )
+        )
+
+    def _ids(self, rd, ids):
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+
+    def test_size_controller_semantics(self, rd, ray_session):
+        # reference semantics (R/clusterbreak.R:224-254): drop < size_min,
+        # emit [size_min, size_max] with "<round>.<cid>" labels, re-split
+        # > size_max at the per-component thresh_p weight quantile
+        from dynaalign_ray.pipelines.clusterbreak import cluster_break
+
+        rows = []
+        rows.append((1, 2, 0.9))  # pair -> size 2 -> filtered (size_min=3)
+        for i in range(3, 7):  # path 3..7 -> size 5 -> emitted round 1
+            rows.append((i, i + 1, 0.9))
+        # oversized: two 6-cliques (8-13, 14-19) + one weak bridge
+        import itertools
+
+        for lo in (8, 14):
+            for x, y in itertools.combinations(range(lo, lo + 6), 2):
+                rows.append((x, y, 0.95))
+        rows.append((13, 14, 0.75))  # the bridge the re-threshold must cut
+        edges = self._edges(rd, rows)
+        ids = self._ids(rd, list(range(1, 21)))  # node 20: singleton
+
+        res = cluster_break(
+            edges_ds=edges, all_ids_ds=ids, size_max=10, size_min=3,
+            thresh_p=0.8, max_rounds=5, num_partitions=4,
+        )
+        out = {r["doc_id"]: (r["cluster_label"], r["round"]) for r in res.clustered.take_all()}
+        filt = {r["doc_id"] for r in res.filtered.take_all()}
+
+        assert res.converged is True
+        assert res.rounds == 2
+        assert filt == {1, 2, 20}
+        assert set(out) | filt == set(range(1, 21))
+        assert not (set(out) & filt)
+        # round-1 emit: the size-5 path, label "1.<min doc_id>"
+        for d in range(3, 8):
+            assert out[d] == ("1.3", 1)
+        # round-2 re-split: bridge cut, two 6-clusters
+        for d in range(8, 14):
+            assert out[d] == ("2.8", 2)
+        for d in range(14, 20):
+            assert out[d] == ("2.14", 2)
+
+    def test_unsplittable_clique_flags_nonconvergence(self, rd, ray_session):
+        # all-equal weights: the quantile threshold keeps every edge (the
+        # reference recurses until max_itr with convergence=0); the engine
+        # stops early, emits the cluster anyway, and flags converged=False
+        from dynaalign_ray.pipelines.clusterbreak import cluster_break
+        import itertools
+
+        rows = [(x, y, 0.9) for x, y in itertools.combinations(range(1, 7), 2)]
+        res = cluster_break(
+            edges_ds=self._edges(rd, rows), all_ids_ds=self._ids(rd, list(range(1, 7))),
+            size_max=3, size_min=1, thresh_p=0.8, max_rounds=4, num_partitions=2,
+        )
+        out = {r["doc_id"]: r["cluster_label"] for r in res.clustered.take_all()}
+        assert res.converged is False
+        assert set(out) == set(range(1, 7))  # nothing dropped
+        assert all(v == "1.1" for v in out.values())
+
+    def test_max_rounds_guard(self, rd, ray_session):
+        # a chain that splits one level per round: max_rounds=1 must stop
+        # after round 1 and emit the oversized remainder with convergence=0
+        from dynaalign_ray.pipelines.clusterbreak import cluster_break
+        import itertools
+
+        # 8-clique with graded weights so re-thresholding makes progress
+        rng = np.random.Generator(np.random.PCG64(5))
+        rows = [
+            (x, y, float(0.7 + 0.3 * rng.random()))
+            for x, y in itertools.combinations(range(1, 9), 2)
+        ]
+        res = cluster_break(
+            edges_ds=self._edges(rd, rows), all_ids_ds=self._ids(rd, list(range(1, 9))),
+            size_max=4, size_min=1, thresh_p=0.5, max_rounds=1, num_partitions=2,
+        )
+        assert res.rounds == 1
+        assert res.converged is False
+        out = {r["doc_id"] for r in res.clustered.take_all()}
+        assert out == set(range(1, 9))
+
+
+# ------------------------------------------------- center-star consensus
+
+
+class TestCenterStarConsensus:
+    def _group(self, texts):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(1, len(texts) + 1, dtype=np.int64),
+                "cluster_id": np.ones(len(texts), dtype=np.int64),
+                "text": texts,
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+
+    def test_majority_restores_center(self):
+        # ragged cluster: one deletion, one substitution — the center-star
+        # profile must restore the undamaged sequence
+        from dynaalign_ray.stages.consensus import make_center_star_consensus
+
+        fn = make_center_star_consensus()
+        out = fn(self._group(["ACDEFGHIK", "ACDFGHIK", "ACDEFGHIR"]))
+        assert out["consensus"].iloc[0] == "ACDEFGHIK"
+        assert out["n_members"].iloc[0] == 3
+
+    def test_majority_deletion_wins(self):
+        # two members carry the deletion: the consensus must drop the char
+        from dynaalign_ray.stages.consensus import make_center_star_consensus
+
+        fn = make_center_star_consensus()
+        out = fn(self._group(["ACDEFGHIK", "ACDFGHIK", "ACDFGHIK"]))
+        assert out["consensus"].iloc[0] == "ACDFGHIK"
+
+    def test_equal_length_falls_through_to_majority_vote(self):
+        from dynaalign_ray.stages.consensus import make_center_star_consensus
+
+        fn = make_center_star_consensus()
+        out = fn(self._group(["ACDEF", "ACDEF", "ACDEW"]))
+        assert out["consensus"].iloc[0] == "ACDEF"
+
+    def test_pluggable_in_cluster_consensus(self, rd, ray_session):
+        import pyarrow as pa
+
+        from dynaalign_ray.stages.consensus import (
+            cluster_consensus,
+            make_center_star_consensus,
+        )
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(
+                        ["ACDEFGHIK", "ACDFGHIK", "ACDEFGHIR", "WWWWW"]
+                    ),
+                }
+            )
+        )
+        clusters = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "cluster_id": pa.array([1, 1, 1, 4], pa.int64()),
+                }
+            )
+        )
+        out = cluster_consensus(
+            clusters, docs, 2, consensus_fn=make_center_star_consensus()
+        ).take_all()
+        rows = {r["cluster_id"]: r["consensus"] for r in out}
+        assert rows == {1: "ACDEFGHIK"}  # singleton cluster 4 skipped
