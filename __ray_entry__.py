@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
         # --- similarity search
         "embedding_topk": c.embedding_topk,
+        "embedding_cosine_pairs": c.embedding_cosine_pairs,
+        "embedding_cosine_pairs_lsh": c.embedding_cosine_pairs_lsh,  # rows-only (ANN scale path)
         "embedding_label_norms": c.embedding_label_norms,
         # --- streaming-shaped (session windows)
         "events_user_sessions": c.events_user_sessions,
@@ -185,6 +187,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
             FROM ranked WHERE rank <= 5
+        """,
+        "embedding_cosine_pairs": """
+            WITH n AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round((list_dot_product(x.e, y.e) / (x.nrm * y.nrm)) * 10000) / 10000 AS cosine
+            FROM n x JOIN n y ON x.vec_id < y.vec_id
+            WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.35
         """,
         "embedding_label_norms": """
             SELECT CAST(label AS BIGINT) AS label,

@@ -98,6 +98,7 @@ def run_bench() -> dict:
         pages_ds=rd.read_parquet(pages_dir),
         cfg=DedupConfig(),
         num_partitions=P,
+        approx_rows=n_pages,
         salt_hot=True,
     )
     n_out = res.clusters.count()
@@ -180,8 +181,81 @@ def run_scaling() -> dict:
     }
 
 
+def run_plans() -> dict:
+    """Time the LARGE-path physical plans above their size gates on the same
+    corpus (VERDICT r1 #8): verify plan 3 (full hash joins — the 100 TB
+    path, normally size-gated off at bench scale) and distributed
+    label-propagation CC (normally the driver union-find wins under 2M
+    edges).  Gates are forced down via the module knobs; recall is re-checked
+    against the default-plan cluster count."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    import dynaalign_ray.stages.verify as V
+    from dynaalign_ray.config import DedupConfig
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.pipelines.neardup import near_dedup
+
+    configure_context()
+    sf = _sf_from_dir(SF_DIR)
+    pages_dir, n_pages = _corpus(sf)
+    P = max(8, min(64, n_pages // 2000))
+    rd.read_parquet(pages_dir).count()  # warm page cache
+
+    out: dict = {"metric": "large_path_plans", "sf": sf, "n_pages": n_pages,
+                 "num_cpus": NUM_CPUS}
+
+    t0 = time.time()
+    res = near_dedup(
+        pages_ds=rd.read_parquet(pages_dir), cfg=DedupConfig(),
+        num_partitions=P, approx_rows=n_pages,
+    )
+    base_clusters = res.clusters.count()
+    out["default_plan_sec"] = round(time.time() - t0, 3)
+    out["cc_default"] = res.stats["cc"]
+
+    # verify plan 3: full hash joins (no semi-join reduction, no broadcast)
+    old_semi, old_bc = V._SEMI_JOIN_LIMIT, V._BROADCAST_DOC_LIMIT
+    V._SEMI_JOIN_LIMIT, V._BROADCAST_DOC_LIMIT = 0, 0
+    try:
+        t0 = time.time()
+        res3 = near_dedup(
+            pages_ds=rd.read_parquet(pages_dir), cfg=DedupConfig(),
+            num_partitions=P, approx_rows=n_pages,
+        )
+        n3 = res3.clusters.count()
+        out["verify_plan3_sec"] = round(time.time() - t0, 3)
+        out["verify_plan3_clusters_match"] = bool(n3 == base_clusters)
+    finally:
+        V._SEMI_JOIN_LIMIT, V._BROADCAST_DOC_LIMIT = old_semi, old_bc
+
+    # distributed CC (label propagation + pointer jumping)
+    t0 = time.time()
+    resd = near_dedup(
+        pages_ds=rd.read_parquet(pages_dir),
+        cfg=DedupConfig(small_cc_limit=0),
+        num_partitions=P, approx_rows=n_pages,
+    )
+    nd = resd.clusters.count()
+    out["labelprop_cc_sec"] = round(time.time() - t0, 3)
+    out["cc_labelprop"] = resd.stats["cc"]
+    out["labelprop_clusters_match"] = bool(nd == base_clusters)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--plans" in sys.argv:
+        print(json.dumps(run_plans()))
     else:
         print(json.dumps(run_bench()))

@@ -116,6 +116,225 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def cosine_neardup_pairs(
+    embeddings_ds,
+    threshold: float = 0.35,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Embedding-cosine near-duplicate pairs, EXACT: every (a, b) with
+    a < b and cosine(a, b) >= threshold.
+
+    Physical plan: the L2-normalized matrix is broadcast once (``ray.put``,
+    one plasma replica per node); each block matmuls its rows against the
+    full matrix and keeps only its above-threshold, id-ordered pairs — the
+    n^2 similarity matrix is never materialized anywhere (each task holds
+    one (block x n) stripe).  This is the small-corpus / verification plan;
+    :func:`cosine_neardup_lsh` is the bucketed 100 TB path.
+    """
+    import ray
+
+    refs = embeddings_ds.map_batches(
+        lambda b: pa.table(
+            {"vec_id": b.column(id_col).cast(pa.int64()), "embedding": b.column(col)}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_arrow_refs()
+    parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    full = pa.concat_tables(parts).combine_chunks()
+    all_ids = np.asarray(full.column("vec_id")).astype(np.int64)
+    all_vecs = _normalize(_embedding_matrix(full, "embedding"))
+    mat_ref = ray.put((all_ids, all_vecs))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        ids_all, vecs_all = ray.get(mat_ref)  # zero-copy plasma read
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        vecs = _normalize(_embedding_matrix(batch, col))
+        sims = vecs @ vecs_all.T  # (block, n)
+        hit = (sims >= threshold) & (ids[:, None] < ids_all[None, :])
+        bi, gj = np.nonzero(hit)
+        return pa.table(
+            {
+                "a": pa.array(ids[bi], type=pa.int64()),
+                "b": pa.array(ids_all[gj], type=pa.int64()),
+                "cosine": pa.array(sims[bi, gj], type=pa.float64()),
+            }
+        )
+
+    return embeddings_ds.map_batches(
+        block_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _tune_sign_lsh(
+    threshold: float, target_recall: float, approx_rows: int | None
+) -> tuple[int, int]:
+    """Pick (n_bands, band_bits) for sign-random-projection LSH so that a
+    pair at exactly ``threshold`` cosine is caught with probability >=
+    ``target_recall``.  Per-hyperplane agreement probability is
+    p = 1 - acos(t)/pi; a band of r bits collides with p^r, and b bands
+    give recall 1 - (1 - p^r)^b.  We size r so p^r ~ 0.25 (bands stay
+    selective without exploding b), bump r when ``approx_rows`` says random
+    buckets would exceed ~512 vectors (keeps in-bucket matmuls under
+    pair_cap), then solve for b (capped at 64)."""
+    t = float(np.clip(threshold, -0.999999, 0.999999))
+    p = 1.0 - np.arccos(t) / np.pi
+    r = max(3, int(np.ceil(np.log(0.25) / np.log(p))))
+    if approx_rows:
+        r = max(r, int(np.ceil(np.log2(max(approx_rows, 2) / 512.0))))
+    r = min(r, 32)
+    per_band = p**r
+    b = int(np.ceil(np.log(max(1.0 - target_recall, 1e-12)) / np.log(1.0 - per_band)))
+    return max(1, min(b, 64)), r
+
+
+def cosine_neardup_lsh(
+    embeddings_ds,
+    threshold: float = 0.35,
+    *,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+    target_recall: float = 0.95,
+    approx_rows: int | None = None,
+    seed: int = 42,
+    num_partitions: int = 8,
+    pair_cap: int = 4096,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Embedding-cosine near-dup, LSH-bucketed (the scale path): sign-random-
+    projection bands (the SimHash analog of MinHash banding) — a vector
+    lands in one bucket per band, only in-bucket pairs are scored exactly,
+    pairs are deduplicated across bands.  Recall for cosine >= t per band
+    is (1 - acos(t)/pi)^band_bits; when ``n_bands``/``band_bits`` are not
+    given they are solved from ``threshold`` and ``target_recall`` by
+    :func:`_tune_sign_lsh` (pass ``approx_rows`` to also keep expected
+    random-bucket sizes under pair_cap at scale).  Scored pairs are exact
+    cosines, so precision is 1.0; only recall is approximate.
+
+    Same shuffle skeleton as the MinHash LSH stage: explode to
+    (band_key, vec_id, vec bytes) -> hash-partition on band_key -> in-bucket
+    vectorized scoring -> (a, b) dedup shuffle.
+    """
+    if n_bands is None or band_bits is None:
+        auto_b, auto_r = _tune_sign_lsh(threshold, target_recall, approx_rows)
+        n_bands = n_bands if n_bands is not None else auto_b
+        band_bits = band_bits if band_bits is not None else auto_r
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        vecs = _normalize(_embedding_matrix(batch, col))
+        n, dim = vecs.shape
+        planes = np.random.Generator(np.random.PCG64(seed)).standard_normal(
+            (n_bands * band_bits, dim)
+        )
+        bits = (vecs @ planes.T > 0).astype(np.uint64)  # (n, bands*bits)
+        keys = []
+        for t in range(n_bands):
+            band = bits[:, t * band_bits : (t + 1) * band_bits]
+            packed = (band << np.arange(band_bits, dtype=np.uint64)).sum(axis=1)
+            keys.append((packed << np.uint64(8)) | np.uint64(t))
+        key = np.concatenate(keys).astype(np.int64)
+        rep_ids = np.tile(ids, n_bands)
+        rep_idx = np.tile(np.arange(n), n_bands)
+        # vectors as fixed-width binary blobs built straight from the numpy
+        # buffer (no per-row Python): row i of the output = vecs[rep_idx[i]]
+        flat = np.ascontiguousarray(vecs[rep_idx]).astype("<f8").tobytes()
+        row_bytes = dim * 8
+        offsets = np.arange(len(rep_ids) + 1, dtype=np.int32) * row_bytes
+        vec_arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(rep_ids),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat)],
+        )
+        return pa.table(
+            {
+                "band_key": pa.array(key, type=pa.int64()),
+                "vec_id": pa.array(rep_ids, type=pa.int64()),
+                "vec": vec_arr,
+            }
+        )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("band_key")).astype(np.int64)
+        ids = np.asarray(batch.column("vec_id")).astype(np.int64)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        vec_col = batch.column("vec").combine_chunks()
+        bufs = vec_col.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            vec_col.offset : vec_col.offset + len(vec_col) + 1
+        ]
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        row_bytes = int(offs[1] - offs[0])  # fixed width by construction
+        vecs = np.frombuffer(data.tobytes(), dtype="<f8").reshape(
+            len(ids), row_bytes // 8
+        )
+        order = np.lexsort((ids, keys))
+        keys, ids, vecs = keys[order], ids[order], vecs[order]
+        boundary = np.ones(len(keys), dtype=bool)
+        boundary[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(keys))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > pair_cap:
+                continue
+            bid = ids[s:e]
+            bv = vecs[s:e]
+            sims = bv @ bv.T
+            ai, bi = np.triu_indices(m, k=1)
+            hit = sims[ai, bi] >= threshold
+            out_a.append(bid[ai[hit]])
+            out_b.append(bid[bi[hit]])
+            out_c.append(sims[ai[hit], bi[hit]])
+        if not out_a:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a")).astype(np.int64)
+        if len(a) == 0:
+            return batch
+        b = np.asarray(batch.column("b")).astype(np.int64)
+        order = np.lexsort((b, a))
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        return batch.take(pa.array(order[first]))
+
+    return (
+        embeddings_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["band_key"])
+        .map_batches(
+            bucket_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(num_blocks=num_partitions, keys=["a", "b"])
+        .map_batches(
+            dedup_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
 def lsh_bucket_topk(
     embeddings_ds,
     query_matrix: np.ndarray,

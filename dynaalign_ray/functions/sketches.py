@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from dynaalign_ray.hashing import hash_strings
+from dynaalign_ray.shingles import _hash_utf8_spans
 
 
 def hll_from_hashes(hashes: np.ndarray, p: int = 14) -> np.ndarray:
@@ -61,13 +61,15 @@ def approx_distinct_strings(ds, col: str, p: int = 14, flatten_tokens: bool = Fa
     driver.  Only 2^p bytes per batch leave the workers."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        values = batch.column(col).to_pylist()
+        import pyarrow.compute as pc
+
+        arr = batch.column(col).combine_chunks()
         if flatten_tokens:
-            flat: list[str] = []
-            for v in values:
-                flat.extend(v.split())
-            values = flat
-        h = hash_strings(np.array(values, dtype=object), seed=0x5EE7) if values else np.empty(0, np.uint64)
+            # Arrow-native token flatten (no Python list building); drop the
+            # boundary empty strings Arrow's split keeps
+            arr = pc.list_flatten(pc.utf8_split_whitespace(arr))
+            arr = arr.filter(pc.greater(pc.binary_length(arr), 0))
+        h = _hash_utf8_spans(arr, seed=0x5EE7)
         regs = hll_from_hashes(h, p)
         return pa.table({"sketch": pa.array([regs.tobytes()], type=pa.binary())})
 

@@ -264,6 +264,58 @@ def embedding_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     )
 
 
+def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.35):
+    """Embedding-cosine near-dup pairs, EXACT plan (broadcast matrix,
+    per-block stripe matmul): all (a < b) with cosine >= threshold.
+    DuckDB-oracle-checked (cosine rounded to 4 decimals, both sides)."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.similarity_search import cosine_neardup_pairs
+    from dynaalign_ray.pipelines.relational import round4
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = cosine_neardup_pairs(emb, threshold)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "cosine": round4(batch.column("cosine")),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_cosine_pairs_lsh(sf_dir: str, threshold: float = 0.35, num_partitions: int = 8):
+    """Embedding-cosine near-dup, LSH-bucketed scale path (sign-projection
+    bands + in-bucket scoring + cross-band dedup).  Rows-only check here;
+    recall vs the exact plan is pytest-gated."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.similarity_search import cosine_neardup_lsh
+    from dynaalign_ray.pipelines.relational import round4
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = cosine_neardup_lsh(emb, threshold, num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "cosine": round4(batch.column("cosine")),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def embedding_label_norms(sf_dir: str, num_partitions: int = 8):
     """Per-label mean L2 norm of embeddings (list-column numeric kernel)."""
     import ray.data as rd

@@ -550,3 +550,61 @@ class TestCenterStarConsensus:
         ).take_all()
         rows = {r["cluster_id"]: r["consensus"] for r in out}
         assert rows == {1: "ACDEFGHIK"}  # singleton cluster 4 skipped
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+
+class TestCosineNearDup:
+    def _emb(self, rd, n=300, dim=16, seed=23, planted=10):
+        import pyarrow as pa
+
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vecs = rng.standard_normal((n, dim))
+        # plant near-dup pairs: vec[i+n] = vec[i] + tiny noise
+        extra = vecs[:planted] + 0.05 * rng.standard_normal((planted, dim))
+        allv = np.vstack([vecs, extra])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(allv)), pa.int64()),
+                "embedding": pa.array(list(allv), pa.list_(pa.float64())),
+            }
+        )
+        return rd.from_arrow(tbl), allv
+
+    def test_exact_pairs_match_bruteforce(self, rd, ray_session):
+        from dynaalign_ray.functions.similarity_search import cosine_neardup_pairs
+
+        ds, allv = self._emb(rd)
+        thr = 0.9
+        got = {
+            (r["a"], r["b"]): r["cosine"]
+            for r in cosine_neardup_pairs(ds, thr).take_all()
+        }
+        m = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(m), 1)
+        want = {
+            (int(i), int(j)): float(sims[i, j])
+            for i, j in zip(iu[sims[iu, ju] >= thr], ju[sims[iu, ju] >= thr])
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k])
+        assert len(want) >= 10  # the planted pairs are present
+
+    def test_lsh_recall_vs_exact(self, rd, ray_session):
+        from dynaalign_ray.functions.similarity_search import (
+            cosine_neardup_lsh,
+            cosine_neardup_pairs,
+        )
+
+        ds, _ = self._emb(rd)
+        thr = 0.9
+        exact = {(r["a"], r["b"]) for r in cosine_neardup_pairs(ds, thr).take_all()}
+        lsh_rows = cosine_neardup_lsh(ds, thr, num_partitions=4).take_all()
+        approx = {(r["a"], r["b"]) for r in lsh_rows}
+        assert len(lsh_rows) == len(approx)  # cross-band dedup held
+        assert approx <= exact  # no false positives (scored exactly)
+        recall = len(approx & exact) / max(len(exact), 1)
+        assert recall >= 0.95, (recall, len(exact))
