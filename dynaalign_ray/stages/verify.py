@@ -74,9 +74,11 @@ def verify_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
 
 
 _SEMI_JOIN_LIMIT = 20_000_000  # pair rows under which the pair-doc set fits the driver
-_BROADCAST_DOC_LIMIT = 400_000  # pair-member docs under which the filtered
+_BROADCAST_SKETCH_BYTES = 4 << 30  # sketch-CSR bytes under which the filtered
 # sketch table is broadcast (plasma is shared memory: ONE zero-copy replica
-# per node) and verify needs NO shuffle at all
+# per node) and verify needs NO shuffle — and no joins: the CSR is gathered
+# by searchsorted per pairs block.  The doc-count gate derives from this
+# budget and the sketch cap.
 
 
 def verified_edges(
@@ -90,12 +92,13 @@ def verified_edges(
     """candidate_pairs ⋈ signatures (×2, on doc_id) -> verify kernel.
 
     Three physical plans, picked by candidate-set size:
-    1. pair-member docs <= _BROADCAST_DOC_LIMIT: the semi-join-filtered
-       (doc_id, sketch) table is broadcast and every pairs block verifies
-       with two in-block Arrow joins — zero shuffles.  Requires globally
-       deduplicated pairs (``pairs_deduped=True``): this plan applies no
-       shuffle, so cross-block duplicate (a, b) copies would survive as
-       duplicate edges;
+    1. pair-member sketch CSR <= _BROADCAST_SKETCH_BYTES: the semi-join-
+       filtered (doc_id, sketch) rows are broadcast as one doc_id-sorted
+       numpy CSR and every pairs block verifies by searchsorted row lookup —
+       zero shuffles, zero joins, no sketch byte ever copied per pair.
+       Requires globally deduplicated pairs (``pairs_deduped=True``): this
+       plan applies no shuffle, so cross-block duplicate (a, b) copies
+       would survive as duplicate edges;
     2. pairs <= _SEMI_JOIN_LIMIT: two hash joins, sketch side semi-join
        reduced to pair-member docs (the second join partitions on ``b``,
        colocating any duplicates for the in-kernel drop);
@@ -138,10 +141,11 @@ def verified_edges(
         )
         pair_doc_ref = ray.put(pair_docs)
 
+    broadcast_doc_limit = _BROADCAST_SKETCH_BYTES // (cfg.sketch_cap * 8 + 24)
     if (
         pairs_deduped
         and pair_docs is not None
-        and len(pair_docs) <= _BROADCAST_DOC_LIMIT
+        and len(pair_docs) <= broadcast_doc_limit
     ):
         return _broadcast_verify(pairs_ds, sigs_ds, cfg, pair_doc_ref, pair_docs)
 
@@ -193,9 +197,15 @@ def verified_edges(
 
 
 def _broadcast_verify(pairs_ds, sigs_ds, cfg: DedupConfig, pair_doc_ref, pair_docs):
-    """Zero-shuffle verify: collect the semi-join-filtered (doc_id, sketch)
-    table (pair-member docs only), ray.put it once, and verify each pairs
-    block with two in-block pyarrow joins against the broadcast table."""
+    """Zero-shuffle, zero-join verify: collect the semi-join-filtered
+    (doc_id, sketch) rows (pair-member docs only) into ONE doc_id-sorted CSR
+    — (ids, element offsets, flat uint64 values) numpy arrays — ``ray.put``
+    once (plasma: one zero-copy replica per node), and have every pairs
+    block look its (a, b) rows up by ``searchsorted`` and intersect the
+    sketch slices in place.  Unlike the join plans, NO sketch byte is ever
+    shuffled or copied into pair rows — per-pair traffic is 16 bytes.
+    Requires globally deduplicated pairs (no shuffle happens here, so
+    duplicate (a, b) copies in different blocks would both survive)."""
     import functools
 
     import ray
@@ -216,26 +226,80 @@ def _broadcast_verify(pairs_ds, sigs_ds, cfg: DedupConfig, pair_doc_ref, pair_do
     ).to_arrow_refs()
     parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
     if parts:
-        sketch_table = pa.concat_tables(parts).combine_chunks()
-    else:
-        sketch_table = pa.table(
-            {"doc_id": pa.array([], pa.int64()), "sketch": pa.array([], pa.binary())}
+        # driver build stays O(bytes) memcpy: values are concatenated ONCE in
+        # arrival order and never element-gathered; lookups go through a
+        # row-indirection map (ids sorted, rows not), so the only per-doc
+        # work is a 600k-element argsort, not a 10^8-element value shuffle
+        ids = np.concatenate(
+            [np.asarray(t.column("doc_id")).astype(np.int64) for t in parts]
         )
-    sk_ref = ray.put(sketch_table)
+        starts_l, ends_l = [], []
+        vals_l = []
+        base = 0
+        for t in parts:
+            v, o = _sketch_arrays(t.column("sketch"))
+            o64 = o.astype(np.int64)
+            starts_l.append(o64[:-1] + base)
+            ends_l.append(o64[1:] + base)
+            vals_l.append(v)
+            base += len(v)
+        starts = np.concatenate(starts_l)
+        ends = np.concatenate(ends_l)
+        order = np.argsort(ids, kind="stable")
+        csr = (ids[order], starts[order], ends[order], np.concatenate(vals_l))
+    else:
+        e = np.empty(0, np.int64)
+        csr = (e, e, e, np.empty(0, np.uint64))
+    sk_ref = ray.put(csr)
 
     def verify_block(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
-        sk = ray.get(sk_ref)  # zero-copy plasma read
-        ska = pa.table({"doc_id": sk.column("doc_id"), "sketch_a": sk.column("sketch")})
-        skb = pa.table({"doc_id": sk.column("doc_id"), "sketch_b": sk.column("sketch")})
-        j = batch.join(ska, keys=["a"], right_keys=["doc_id"], join_type="inner")
-        j = j.join(skb, keys=["b"], right_keys=["doc_id"], join_type="inner")
-        return verify_pairs_batch(j.combine_chunks(), cfg=cfg)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        ids_s, starts_s, ends_s, vals_s = ray.get(sk_ref)  # zero-copy plasma read
+        if len(ids_s) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        aa = np.asarray(batch.column("a")).astype(np.int64)
+        bb = np.asarray(batch.column("b")).astype(np.int64)
+        ra = np.searchsorted(ids_s, aa)
+        rb = np.searchsorted(ids_s, bb)
+        # pair docs ⊆ CSR by construction; guard anyway so a stray id drops
+        # the pair instead of reading a neighbor's sketch
+        np.clip(ra, 0, len(ids_s) - 1, out=ra)
+        np.clip(rb, 0, len(ids_s) - 1, out=rb)
+        ok = (ids_s[ra] == aa) & (ids_s[rb] == bb)
+        if not ok.all():
+            aa, bb, ra, rb = aa[ok], bb[ok], ra[ok], rb[ok]
+        cap = cfg.sketch_cap
+        sa, ea = starts_s[ra], ends_s[ra]
+        sb, eb = starts_s[rb], ends_s[rb]
+        jac = np.empty(len(aa), dtype=np.float64)
+        for i in range(len(aa)):
+            jac[i] = jaccard_from_sketches(
+                vals_s[sa[i] : ea[i]], vals_s[sb[i] : eb[i]], cap
+            )
+        keep = jac >= cfg.tau
+        return pa.table(
+            {
+                "a": pa.array(aa[keep], type=pa.int64()),
+                "b": pa.array(bb[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
 
-    # whole blocks per call: each call pays two Acero hash-table builds over
-    # the broadcast table, so per-1024-row batches would rebuild it ~1000x
     return pairs_ds.map_batches(
         functools.partial(verify_block, cfg=cfg),
-        batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -139,12 +139,12 @@ class TestVerifyPhysicalPlans:
 
         e_broadcast = edge_set(V.verified_edges(pairs, sigs, cfg, 4, approx_pairs=n_pairs))
         # force plan 2: semi-join without broadcast
-        old = V._BROADCAST_DOC_LIMIT
+        old = V._BROADCAST_SKETCH_BYTES
         try:
-            V._BROADCAST_DOC_LIMIT = 0
+            V._BROADCAST_SKETCH_BYTES = 0
             e_semi = edge_set(V.verified_edges(pairs, sigs, cfg, 4, approx_pairs=n_pairs))
         finally:
-            V._BROADCAST_DOC_LIMIT = old
+            V._BROADCAST_SKETCH_BYTES = old
         # plan 3: no size hint -> full hash joins
         e_full = edge_set(V.verified_edges(pairs, sigs, cfg, 4, approx_pairs=None))
         assert e_broadcast == e_semi == e_full
