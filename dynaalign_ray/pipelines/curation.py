@@ -127,6 +127,117 @@ def doc_shingle_counts(sf_dir: str, k: int = 3):
     )
 
 
+def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
+    """EXACT all-pairs word-k-shingle Jaccard above ``threshold`` — the
+    near-dup family's ground truth as an oracle-checkable query (the LSH
+    pipeline entries are rows-only because LSH recall is probabilistic;
+    this is the dense `compute_distance_matrix` semantic,
+    R/minHash.R:166-182, emitted sparse).
+
+    Physical plan mirrors :func:`cosine_neardup_pairs`: every doc's exact
+    shingle-hash set (bottom-k with an unbounded cap) is broadcast once as
+    a doc_id-sorted CSR; each docs block intersects its rows against the
+    full table and keeps id-ordered above-threshold pairs.  Small-corpus /
+    verification plan — the scale path is the banded LSH pipeline."""
+    import functools
+
+    import ray
+
+    from dynaalign_ray.pipelines.relational import round4
+    from dynaalign_ray.shingles import batch_shingle_hashes, bottomk_sketches
+
+    def sets_block(batch: pa.Table, *, k: int) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hashes, counts = batch_shingle_hashes(texts, k, "word")
+        vals, sizes, _ = bottomk_sketches(hashes, counts, cap=1 << 62)
+        keep = sizes > 0
+        # dropping zero-length segments leaves the flat values array intact;
+        # only the offsets are rebuilt over the kept sizes
+        out_sizes = sizes[keep]
+        out_offs = np.zeros(len(out_sizes) + 1, dtype=np.int32)
+        np.cumsum(out_sizes * 8, out=out_offs[1:], dtype=np.int32)
+        sk = pa.Array.from_buffers(
+            pa.binary(),
+            len(out_sizes),
+            [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(vals.astype("<u8").tobytes())],
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(batch.column("doc_id")).astype(np.int64)[keep]
+                ),
+                "sketch": sk,
+            }
+        )
+
+    sets_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        functools.partial(sets_block, k=k), batch_format="pyarrow", zero_copy_batch=True
+    )
+    refs = sets_ds.to_arrow_refs()
+    parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    if not parts:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    from dynaalign_ray.stages.verify import _sketch_arrays
+
+    ids = np.concatenate([np.asarray(t.column("doc_id")).astype(np.int64) for t in parts])
+    starts_l, ends_l, vals_l = [], [], []
+    base = 0
+    for t in parts:
+        v, o = _sketch_arrays(t.column("sketch"))
+        o64 = o.astype(np.int64)
+        starts_l.append(o64[:-1] + base)
+        ends_l.append(o64[1:] + base)
+        vals_l.append(v)
+        base += len(v)
+    order = np.argsort(ids, kind="stable")
+    csr_ref = ray.put(
+        (
+            ids[order],
+            np.concatenate(starts_l)[order],
+            np.concatenate(ends_l)[order],
+            np.concatenate(vals_l),
+        )
+    )
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        ids_s, st, en, vals = ray.get(csr_ref)
+        my = np.asarray(batch.column("doc_id")).astype(np.int64)
+        rows = np.searchsorted(ids_s, my)
+        out_a, out_b, out_j = [], [], []
+        for r in rows:
+            mine = vals[st[r] : en[r]]
+            la = en[r] - st[r]
+            # ids_s sorted + distinct: candidates with larger id are r+1..n
+            for q in range(r + 1, len(ids_s)):
+                other = vals[st[q] : en[q]]
+                inter = np.intersect1d(mine, other, assume_unique=True)
+                union = la + (en[q] - st[q]) - len(inter)
+                j = len(inter) / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(ids_s[r])
+                    out_b.append(ids_s[q])
+                    out_j.append(j)
+        return pa.table(
+            {
+                "a": pa.array(np.array(out_a, dtype=np.int64)),
+                "b": pa.array(np.array(out_b, dtype=np.int64)),
+                "jaccard": round4(np.array(out_j, dtype=np.float64)),
+            }
+        )
+
+    return sets_ds.map_batches(pairs_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_quality(sf_dir: str):
     from dynaalign_ray.functions.textstats import quality_score_batch
 

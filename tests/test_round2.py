@@ -608,3 +608,51 @@ class TestCosineNearDup:
         assert approx <= exact  # no false positives (scored exactly)
         recall = len(approx & exact) / max(len(exact), 1)
         assert recall >= 0.95, (recall, len(exact))
+
+
+# ------------------------------------------- exact n-gram Jaccard pairs
+
+
+class TestDocJaccardPairs:
+    def test_matches_duckdb_bruteforce(self, rd, ray_session):
+        """The exact all-pairs shingle-Jaccard query equals a DuckDB
+        self-join on exploded shingles (same tokenization as the
+        doc_shingle_counts oracle)."""
+        import duckdb
+
+        from dynaalign_ray.pipelines.curation import doc_jaccard_pairs
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in doc_jaccard_pairs(sf, k=3, threshold=0.5).take_all()
+        }
+        want_rows = duckdb.sql(
+            f"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM '{sf}/documents.parquet'
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, i * 1.0 / (ca.n + cb.n - i) AS j
+            FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            """
+        ).fetchall()
+        want = {(a, b): j for a, b, j in want_rows}
+        assert set(got) == set(want)
+        for k_, v in want.items():
+            assert got[k_] == pytest.approx(v, abs=1e-4)
+        assert len(want) > 0
