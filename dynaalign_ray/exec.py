@@ -61,11 +61,16 @@ def ensure_schema(ds):
     return ds
 
 
-def pick_num_partitions(approx_rows: int | None, rows_per_partition: int = 250_000) -> int:
-    """Heuristic partition count for shuffles: ~rows_per_partition rows per
-    partition, clamped to [1, 4096].  At 100 TB the caller should pass the
-    real row estimate (or a byte-based estimate); at test scale this keeps
-    partition counts tiny so task overhead doesn't dominate."""
+def pick_num_partitions(approx_rows: int | None, rows_per_partition: int = 20_000) -> int:
+    """Heuristic partition count for shuffles: ~rows_per_partition DOCS per
+    partition (measured sweet spot on the flagship: ~20k docs ≈ 600k band
+    rows ≈ 10 MB partitions — hash-shuffle wall time is dominated by
+    per-partition aggregator finalize, and oversplitting doubled shuffle
+    time at bench scale), clamped to [1, 4096].  At 100 TB the caller
+    should pass the real row estimate; past the cap each partition simply
+    grows (125 MB of band rows per 244k-doc partition at the cap — still
+    far under worker heap).  At test scale this keeps partition counts
+    tiny so task overhead doesn't dominate."""
     if not approx_rows or approx_rows <= 0:
         return 16
     return max(1, min(4096, math.ceil(approx_rows / rows_per_partition)))
