@@ -51,8 +51,12 @@ class DedupConfig:
     max_cc_rounds: int = 50  # label-propagation round cap (max_itr analog,
     # R/clusterbreak.R:211-215)
     # below this many verified edges, connected components runs as driver-side
-    # union-find (provably small set); above it, distributed label propagation
-    small_cc_limit: int = 2_000_000
+    # union-find (provably small set); above it, distributed label propagation.
+    # Sized to driver memory, not caution: 50M edges = 800 MB of int64 pairs
+    # + a ~seconds numpy union-find — far cheaper than label-prop rounds
+    # (each 2 joins + a groupby over the full edge set).  At 10^12-doc scale
+    # edge counts pass this and label-prop takes over.
+    small_cc_limit: int = 50_000_000
 
     # --- randomness
     seed: int = 42

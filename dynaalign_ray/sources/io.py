@@ -24,10 +24,23 @@ def read_pages(path: str, *, with_html: bool = True, with_text: bool = False):
     return rd.read_parquet(path, columns=cols)
 
 
-def read_table(path: str, columns=None):
+def read_table(path: str, columns=None, *, format: str = "parquet"):
+    """Columnar table source.  ``format``: "parquet" (default; columns are
+    pruned AT THE SCAN — only requested columns/row-groups leave storage),
+    "jsonl" (newline-delimited JSON — the common web-crawl interchange
+    shape), or "csv".  jsonl/csv have no row-group projection, so column
+    pruning happens right after decode (still before the first shuffle)."""
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=columns)
+    if format == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    if format == "jsonl":
+        ds = rd.read_json(path)
+    elif format == "csv":
+        ds = rd.read_csv(path)
+    else:
+        raise ValueError(f"unknown format {format!r}")
+    return ds.select_columns(list(columns)) if columns else ds
 
 
 def write_partitioned(ds, out_dir: str, *, num_partitions: int, keys=None):

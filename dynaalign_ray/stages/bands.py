@@ -102,7 +102,14 @@ def explode_bands(
     )
 
 
-_DRIVER_MERGE_LIMIT = 50_000_000  # band rows below this merge on the driver
+_DRIVER_MERGE_LIMIT = 1_000_000_000  # band rows below this merge on the driver.
+# The driver transfer scales with PER-BLOCK DUPLICATE keys (singletons are
+# dropped at the source), not with band rows — at 2M pages / 64M band rows
+# the merged partials are a few MB.  The naive alternative (a full
+# distributed groupby-count over every band row, ~1 distinct key per row)
+# measured 878 s at 64M rows vs 0.7 s for the driver merge; past this limit
+# the distributed plan below therefore ALSO groups the narrow c>=2 partials,
+# never the raw rows.
 
 
 def find_hot_band_keys(
@@ -116,21 +123,21 @@ def find_hot_band_keys(
     partial counts merge on the driver (no shuffle, no aggregator actors);
     otherwise a distributed count groupby (the 100 TB path).
     """
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("band_key")).astype(np.int64)
+        u, c = np.unique(k, return_counts=True)
+        # keys appearing once in a block can't decide hotness on their
+        # own and dominate the transfer, so they are dropped here; the
+        # merge below compensates for the bounded undercount (at most
+        # one dropped singleton per block per key)
+        m = c >= 2
+        u, c = u[m], c[m]
+        return pa.table(
+            {"band_key": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
     if approx_rows is not None and approx_rows <= _DRIVER_MERGE_LIMIT:
         import ray
-
-        def partial_counts(batch: pa.Table) -> pa.Table:
-            k = np.asarray(batch.column("band_key")).astype(np.int64)
-            u, c = np.unique(k, return_counts=True)
-            # keys appearing once in a block can't decide hotness on their
-            # own and dominate the transfer, so they are dropped here; the
-            # merge below compensates for the bounded undercount (at most
-            # one dropped singleton per block per key)
-            m = c >= 2
-            u, c = u[m], c[m]
-            return pa.table(
-                {"band_key": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
-            )
 
         refs = bands_ds.map_batches(
             partial_counts, batch_format="pyarrow", zero_copy_batch=True
@@ -157,12 +164,25 @@ def find_hot_band_keys(
         hot = totals_ub > cfg.salt_cap
         return keys[hot], totals_ub[hot]
 
-    from ray.data.aggregate import Count
+    # distributed plan (unknown size or past the driver limit): groupby-SUM
+    # over the narrow per-block c>=2 partials — NEVER a groupby over the raw
+    # band rows (~1 distinct key per row; measured 878 s vs sub-second at
+    # 64M rows).  Without a global block count the singleton undercount
+    # can't be compensated exactly, so the hotness threshold is the
+    # conservative salt_cap/2: over-salting is harmless (ring overlap keeps
+    # sub-buckets connected, m=ceil(n/salt_cap) just rounds up), while a key
+    # that escapes must have true count < salt_cap/2 + n_blocks — and a
+    # bucket that size emits star edges under pair_cap anyway.
+    from ray.data.aggregate import Sum
 
-    counts = bands_ds.groupby("band_key", num_partitions=num_partitions).aggregate(
-        Count(alias_name="n")
+    counts = (
+        bands_ds.map_batches(
+            partial_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("band_key", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
     )
-    hot = counts.filter(expr=f"n > {cfg.salt_cap}")
+    hot = counts.filter(expr=f"n > {max(cfg.salt_cap // 2, 1)}")
     rows = hot.take_all()  # tiny by construction
     keys = np.array([r["band_key"] for r in rows], dtype=np.int64)
     ns = np.array([r["n"] for r in rows], dtype=np.int64)
@@ -176,10 +196,18 @@ def emit_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
 
     Within a bucket of m distinct docs: all C(m,2) pairs while m <= pair_cap
     (exactly what the reference's dense matrix encodes, but only inside the
-    bucket), else star edges around the bucket-min doc — preserves
-    connected-component structure with m-1 edges (the recursion-free analog
-    of clusterbreak's size_max split, R/clusterbreak.R:246-254).  Pairs are
-    canonical (a < b).
+    bucket), else star edges around a HUB doc — preserves connected-component
+    structure with m-1 edges (the recursion-free analog of clusterbreak's
+    size_max split, R/clusterbreak.R:246-254).  The hub is the member
+    minimizing ``mix64(doc ^ band_key)``, NOT the bucket-min doc: the same
+    doc set recurs as a bucket in every band (and in every salted
+    sub-bucket at small m), so a fixed min-doc hub would make every star
+    edge of the cluster share ONE partner — and when that partner is a
+    marginal member, docs with J(hub) < tau lose ALL their candidates and
+    the verify stage isolates them (measured: 14 of 5,000 planted boiler
+    docs isolated at 100k pages).  A band-key-dependent hub gives each doc
+    ~num_bands distinct star partners, so isolation needs every one of
+    them to fail.  Pairs are canonical (a < b).
     """
     keys = np.asarray(batch.column("band_key")).astype(np.int64)
     docs = np.asarray(batch.column("doc_id")).astype(np.int64)
@@ -209,8 +237,17 @@ def emit_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
             out_a.append(bucket[ai])
             out_b.append(bucket[bi])
         else:
-            out_a.append(np.full(m - 1, bucket[0], dtype=np.int64))
-            out_b.append(bucket[1:])
+            # bounded hub diversity: 4 hub variants across bands/sub-buckets.
+            # One shared hub risks isolation (see docstring); one hub PER
+            # band inflates the deduped star-edge set ~num_bands-fold
+            # (measured 1.02M -> 2.41M verified edges at 600k pages).  Four
+            # gives isolation probability p^4 at ~3 extra edges per doc.
+            hub_seed = np.uint64(keys[s]) % np.uint64(4)
+            hub_pos = int(np.argmin(mix64(bucket.astype(U64) ^ hub_seed)))
+            hub = bucket[hub_pos]
+            rest = np.concatenate([bucket[:hub_pos], bucket[hub_pos + 1 :]])
+            out_a.append(np.minimum(rest, hub))
+            out_b.append(np.maximum(rest, hub))
     if not out_a:
         return pa.table(
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}

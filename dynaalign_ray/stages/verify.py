@@ -74,11 +74,16 @@ def verify_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
 
 
 _SEMI_JOIN_LIMIT = 20_000_000  # pair rows under which the pair-doc set fits the driver
-_BROADCAST_SKETCH_BYTES = 4 << 30  # sketch-CSR bytes under which the filtered
+_BROADCAST_SKETCH_BYTES = 16 << 30  # sketch-CSR bytes under which the filtered
 # sketch table is broadcast (plasma is shared memory: ONE zero-copy replica
-# per node) and verify needs NO shuffle — and no joins: the CSR is gathered
-# by searchsorted per pairs block.  The doc-count gate derives from this
-# budget and the sketch cap.
+# per node — 16 GB is well inside a worker node's object store and is read,
+# not copied, by every verify task) and verify needs NO shuffle and no
+# joins: the CSR is gathered by searchsorted per pairs block.  The
+# doc-count gate derives from this budget and the sketch cap (~4.2M docs at
+# cap 512).  Past it, the join plans take over — and they attach sketch
+# BYTES to pair rows (~44 GB through the object store at 2M pages), so
+# prefer raising this toward node plasma capacity over falling to plan 2
+# early.
 
 
 def verified_edges(

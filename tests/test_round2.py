@@ -656,3 +656,56 @@ class TestDocJaccardPairs:
         for k_, v in want.items():
             assert got[k_] == pytest.approx(v, abs=1e-4)
         assert len(want) > 0
+
+
+# ------------------------------------------- multi-format sources
+
+
+class TestReadTableFormats:
+    def test_jsonl_and_csv_roundtrip(self, rd, ray_session, tmp_path):
+        import pyarrow.csv as pcsv
+
+        from dynaalign_ray.sources.io import read_table
+
+        rows = [
+            {"doc_id": 1, "text": "alpha beta", "lang": "en"},
+            {"doc_id": 2, "text": "gamma delta", "lang": "de"},
+        ]
+        jl = tmp_path / "docs.jsonl"
+        jl.write_text("\n".join(__import__("json").dumps(r) for r in rows) + "\n")
+        cv = tmp_path / "docs.csv"
+        cv.write_text("doc_id,text,lang\n1,alpha beta,en\n2,gamma delta,de\n")
+
+        for path, fmt in ((str(jl), "jsonl"), (str(cv), "csv")):
+            got = sorted(
+                read_table(path, columns=["doc_id", "text"], format=fmt).take_all(),
+                key=lambda r: r["doc_id"],
+            )
+            assert [sorted(r) for r in got] == [["doc_id", "text"]] * 2
+            assert [r["text"] for r in got] == ["alpha beta", "gamma delta"]
+
+
+class TestSignLshTuner:
+    def test_predicted_recall_meets_target(self):
+        """For any threshold in (0,1) the solved (n_bands, band_bits) give
+        analytic recall 1-(1-p^r)^b >= target (up to the b<=64 cap)."""
+        from dynaalign_ray.functions.similarity_search import _tune_sign_lsh
+
+        for thr in (0.05, 0.2, 0.35, 0.5, 0.7, 0.9, 0.99, 0.999):
+            for target in (0.9, 0.95):
+                b, r = _tune_sign_lsh(thr, target, None)
+                p = 1.0 - np.arccos(thr) / np.pi
+                recall = 1.0 - (1.0 - p**r) ** b
+                if b < 64:  # below the band cap the target must be met
+                    assert recall >= target - 1e-9, (thr, target, b, r, recall)
+                assert 1 <= b <= 64 and 3 <= r <= 32
+
+    def test_row_hint_raises_bits(self):
+        from dynaalign_ray.functions.similarity_search import _tune_sign_lsh
+
+        b_small, r_small = _tune_sign_lsh(0.35, 0.95, None)
+        b_big, r_big = _tune_sign_lsh(0.35, 0.95, 10_000_000)
+        assert r_big > r_small  # bucket-size control kicks in
+        p = 1.0 - np.arccos(0.35) / np.pi
+        if b_big < 64:
+            assert 1.0 - (1.0 - p**r_big) ** b_big >= 0.95 - 1e-9
