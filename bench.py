@@ -166,22 +166,6 @@ def run_scaling() -> dict:
             last_err = proc.stderr[-2000:]
         raise RuntimeError(f"bench child (num_cpus={ncpu}) failed twice; stderr tail:\n{last_err}")
 
-    def best_of(ncpu: int, reps: int = 2) -> dict:
-        """Fastest of ``reps`` fresh-process runs: the criterion is about
-        steady-state throughput, and back-to-back Ray sessions on one box
-        show 1.3-1.7x outliers from OS memory reclaim / page-cache eviction
-        by the previous child (measured 60.6s vs 35.4s for an identical
-        32-CPU run).  Min-of-reps with a cooldown is the standard throughput
-        protocol; every individual run is recorded."""
-        runs = []
-        for i in range(reps):
-            if runs or i:
-                time.sleep(20)
-            runs.append(run(ncpu))
-        best = min(runs, key=lambda r: r["value"])
-        best["all_secs"] = [r["value"] for r in runs]
-        return best
-
     # level pair: default 8->32 CPUs; GRAFT_SCALING_LEVELS="2,8" measures the
     # low pair, where neither level saturates the socket's shared memory
     # bandwidth — the closest single-box analog of N->4N NODES (each added
@@ -189,9 +173,26 @@ def run_scaling() -> dict:
     lo, hi = (
         int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
     )
-    r_lo = best_of(lo)
-    time.sleep(20)
-    r_hi = best_of(hi)
+    # Fastest of 2 fresh-process runs per level, levels INTERLEAVED
+    # (lo, hi, lo, hi): back-to-back Ray sessions on one box degrade
+    # through the sequence (measured 59.4s then 44.0s for identical 32-CPU
+    # children after two 8-CPU runs; 35-37s standalone — OS memory
+    # reclaim / page-cache churn from the previous child), so a blocked
+    # order biases whichever level runs last.  Interleaving gives both
+    # levels early and late slots; min-of-reps is the standard
+    # steady-state-throughput protocol and every individual run is recorded.
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    first = True
+    for _ in range(2):
+        for lvl in (lo, hi):
+            if not first:
+                time.sleep(20)
+            first = False
+            runs[lvl].append(run(lvl))
+    r_lo = min(runs[lo], key=lambda r: r["value"])
+    r_lo["all_secs"] = [r["value"] for r in runs[lo]]
+    r_hi = min(runs[hi], key=lambda r: r["value"])
+    r_hi["all_secs"] = [r["value"] for r in runs[hi]]
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
