@@ -1,0 +1,171 @@
+"""End-to-end corpus curation — the composed LLM-training-data funnel:
+
+    pages/docs -> quality + language filter (one fused actor pass)
+               -> exact dedup (content-hash groupby, keep min-id rep)
+               -> near dedup (flagship MinHash-LSH, keep cluster rep)
+               -> kept docs + per-stage funnel report
+
+This is the "switch from the reference" entry point for a data-curation
+user: one call owns the whole funnel, each stage is the already-oracle-
+checked operator, and the intermediate keep-sets travel as broadcast id
+sets (no shuffle) below a size gate and as hash joins above it.
+
+Design notes (100 TB posture):
+- the filter pass is ONE actor-pool map_batches (patterns compiled in
+  ``__init__``), emitting only surviving rows — wide text columns of
+  dropped docs never reach the object store;
+- keep-sets are int64 id arrays: broadcast via ``ray.put`` below
+  ``broadcast_id_limit`` (50M ids = 400 MB, one zero-copy replica per
+  node), ``joins.hash_join`` past it;
+- each funnel count comes from the stage's materialized output — no extra
+  passes over text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from dynaalign_ray.config import DedupConfig
+
+
+@dataclass
+class CurationResult:
+    kept: Any  # Dataset of surviving docs (doc_id, text, ...)
+    clusters: Any  # near-dup clusters table of the exact-dedup survivors
+    funnel: dict = field(default_factory=dict)  # stage -> surviving row count
+
+
+class CurationFilter:
+    """Fused quality + language filter (actor pool: language marker regexes
+    compile once per actor).  Emits only surviving rows."""
+
+    def __init__(self, min_quality: float, allowed_langs, min_tokens: int):
+        from dynaalign_ray.functions.textstats import LangIdActor
+
+        self.min_quality = float(min_quality)
+        self.allowed = set(allowed_langs) if allowed_langs else None
+        self.min_tokens = int(min_tokens)
+        self.langid = LangIdActor()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dynaalign_ray.functions.textstats import quality_score_batch
+
+        if batch.num_rows == 0:
+            return batch
+        q = quality_score_batch(batch)
+        keep = (
+            np.asarray(q.column("quality_score")) >= self.min_quality
+        ) & (np.asarray(q.column("n_tokens")) >= self.min_tokens)
+        if self.allowed is not None:
+            langs = self.langid(batch).column("pred_lang").to_pylist()
+            keep &= np.array([l in self.allowed for l in langs], dtype=bool)
+        return batch.filter(pa.array(keep))
+
+
+_BROADCAST_ID_LIMIT = 50_000_000  # int64 keep-set ids broadcast below this
+
+
+def _keep_only(ds, ids_ds, num_partitions: int, approx_ids: int | None):
+    """Semi-join ``ds`` (on doc_id) against the id column of ``ids_ds`` —
+    broadcast keyset below _BROADCAST_ID_LIMIT, hash join past it."""
+    from dynaalign_ray.joins import broadcast_semi_join, hash_join
+
+    if approx_ids is None or approx_ids <= _BROADCAST_ID_LIMIT:
+        import ray
+
+        parts = [
+            np.asarray(t.column(0)).astype(np.int64)
+            for t in (ray.get(r) for r in ids_ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        return broadcast_semi_join(ds, ids.tolist(), left_on="doc_id")
+    ids_schema = pa.schema([("doc_id", pa.int64())])
+    # schema of ds is (doc_id, text); the hash_join path needs it explicit
+    ds_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    return hash_join(
+        ds,
+        ids_ds,
+        left_on="doc_id",
+        right_on="doc_id",
+        left_schema=ds_schema,
+        right_schema=ids_schema,
+        num_partitions=num_partitions,
+    )
+
+
+def curate_corpus(
+    pages_ds=None,
+    docs_ds=None,
+    cfg: DedupConfig = DedupConfig(),
+    *,
+    min_quality: float = 0.3,
+    allowed_langs=("en",),
+    min_tokens: int = 20,
+    num_partitions: int | None = None,
+    approx_rows: int | None = None,
+) -> CurationResult:
+    """Run the full curation funnel; see module docstring.
+
+    Returns kept docs (doc_id, text), the near-dup clusters table of the
+    exact-dedup survivors, and the funnel counts per stage.
+    """
+    from dynaalign_ray.exec import configure_context, pick_num_partitions
+    from dynaalign_ray.extract import extract_text_batch
+    from dynaalign_ray.pipelines.neardup import near_dedup
+    from dynaalign_ray.stages.dedup import exact_dedup_groups
+
+    configure_context()
+    if (pages_ds is None) == (docs_ds is None):
+        raise ValueError("provide exactly one of pages_ds / docs_ds")
+    P = num_partitions or pick_num_partitions(approx_rows)
+
+    if docs_ds is None:
+        docs_ds = pages_ds.map_batches(
+            extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    docs_ds = docs_ds.select_columns(["doc_id", "text"])
+
+    funnel: dict[str, int] = {}
+
+    # stage 1: fused quality + language filter (actor pool), then pin —
+    # every later stage consumes this table
+    filtered = docs_ds.map_batches(
+        CurationFilter,
+        fn_constructor_args=(min_quality, allowed_langs, min_tokens),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, max(2, P)),
+    ).materialize()
+    funnel["after_quality_lang"] = filtered.count()
+
+    # stage 2: exact dedup — the groupby's min-id column IS the keep set
+    exact_reps = exact_dedup_groups(filtered, P).select_columns(["doc_id"])
+    exact_kept = _keep_only(
+        filtered, exact_reps, P, approx_ids=funnel["after_quality_lang"]
+    ).materialize()
+    funnel["after_exact_dedup"] = exact_kept.count()
+
+    # stage 3: near dedup — cluster reps (keep flag) survive
+    res = near_dedup(
+        docs_ds=exact_kept,
+        cfg=cfg,
+        num_partitions=P,
+        approx_rows=funnel["after_exact_dedup"],
+    )
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("keep")).select(["doc_id"])
+
+    reps = res.clusters.map_batches(
+        keep_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = _keep_only(
+        exact_kept, reps, P, approx_ids=funnel["after_exact_dedup"]
+    ).materialize()
+    funnel["after_near_dedup"] = kept.count()
+
+    return CurationResult(kept=kept, clusters=res.clusters, funnel=funnel)

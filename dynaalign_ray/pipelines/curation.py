@@ -238,6 +238,30 @@ def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     return sets_ds.map_batches(pairs_block, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def doc_curation_funnel(sf_dir: str, num_partitions: int = 8):
+    """Composed curation funnel (quality+lang filter -> exact dedup ->
+    near dedup) over the documents table; returns (stage, n_docs) rows.
+    Rows-only driver check (the LSH stage is not SQL-expressible); funnel
+    semantics are pytest-gated vs the brute-force oracle."""
+    from dynaalign_ray.pipelines.curate import curate_corpus
+
+    res = curate_corpus(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=DedupConfig(),
+        min_quality=0.2,
+        allowed_langs=None,
+        min_tokens=5,
+        num_partitions=num_partitions,
+    )
+    stages = list(res.funnel)
+    return pa.table(
+        {
+            "stage": pa.array(stages, pa.string()),
+            "n_docs": pa.array([res.funnel[s] for s in stages], pa.int64()),
+        }
+    )
+
+
 def doc_quality(sf_dir: str):
     from dynaalign_ray.functions.textstats import quality_score_batch
 

@@ -709,3 +709,90 @@ class TestSignLshTuner:
         p = 1.0 - np.arccos(0.35) / np.pi
         if b_big < 64:
             assert 1.0 - (1.0 - p**r_big) ** b_big >= 0.95 - 1e-9
+
+
+# ------------------------------------------- hot-key counting plans
+
+
+class TestHotKeyPlans:
+    def _bands(self, rd, n_hot=5000, n_cold=2000, seed=7):
+        import pyarrow as pa
+
+        rng = np.random.Generator(np.random.PCG64(seed))
+        hot_key = 123456789
+        keys = np.concatenate(
+            [
+                np.full(n_hot, hot_key, dtype=np.int64),
+                rng.integers(1, 1 << 60, n_cold).astype(np.int64),
+            ]
+        )
+        docs = np.arange(len(keys), dtype=np.int64)
+        perm = rng.permutation(len(keys))
+        tbl = pa.table({"band_key": pa.array(keys[perm]), "doc_id": pa.array(docs[perm])})
+        return rd.from_arrow(tbl).repartition(num_blocks=6), hot_key
+
+    def test_driver_merge_and_distributed_agree_on_hot_keys(self, rd, ray_session):
+        from dynaalign_ray.config import DedupConfig
+        from dynaalign_ray.stages import bands as B
+
+        cfg = DedupConfig()  # salt_cap 4096
+        ds, hot_key = self._bands(rd)
+        k_drv, n_drv = B.find_hot_band_keys(ds, cfg, 4, approx_rows=7000)
+        # force the beyond-limit plan (groupby over c>=2 partials)
+        old = B._DRIVER_MERGE_LIMIT
+        try:
+            B._DRIVER_MERGE_LIMIT = 0
+            k_dist, n_dist = B.find_hot_band_keys(ds, cfg, 4, approx_rows=7000)
+        finally:
+            B._DRIVER_MERGE_LIMIT = old
+        assert hot_key in set(k_drv.tolist())
+        # the distributed plan uses the conservative salt_cap/2 threshold, so
+        # it must find every driver-merge hot key (it may salt extras)
+        assert set(k_drv.tolist()) <= set(k_dist.tolist())
+        # counts for the genuinely hot key agree to within the undercount bound
+        i = int(np.searchsorted(k_dist, hot_key))
+        assert abs(int(n_dist[i]) - 5000) <= 12  # <= one singleton per block
+
+
+# ------------------------------------------- composed curation funnel
+
+
+class TestCurateCorpus:
+    def test_funnel_semantics(self, rd, ray_session):
+        """kept set: monotone funnel, no identical texts, no near-dup pair
+        >= tau (checked against the brute-force exact-Jaccard oracle), all
+        docs pass the quality/length gates."""
+        from dynaalign_ray.config import DedupConfig
+        from dynaalign_ray.fixtures import generate_pages
+        from dynaalign_ray.pipelines.curate import curate_corpus
+        from dynaalign_ray.functions.textstats import quality_score_batch
+        from dynaalign_ray.oracle import true_pairs
+
+        pages, _ = generate_pages(600, seed=11)
+        cfg = DedupConfig()
+        res = curate_corpus(
+            pages_ds=rd.from_arrow(pages),
+            cfg=cfg,
+            min_quality=0.2,
+            allowed_langs=None,  # fixture corpus is synthetic-en
+            min_tokens=5,
+            num_partitions=4,
+            approx_rows=600,
+        )
+        f = res.funnel
+        assert f["after_quality_lang"] >= f["after_exact_dedup"] >= f["after_near_dedup"] > 0
+
+        rows = res.kept.take_all()
+        texts = [r["text"] for r in rows]
+        ids = [r["doc_id"] for r in rows]
+        # exact dedup: kept texts are pairwise distinct
+        assert len(set(texts)) == len(texts)
+        # quality gates hold on every kept doc
+        import pyarrow as pa
+
+        q = quality_score_batch(pa.table({"doc_id": ids, "text": texts}))
+        assert (np.asarray(q.column("quality_score")) >= 0.2).all()
+        assert (np.asarray(q.column("n_tokens")) >= 5).all()
+        # near dedup: no kept pair with exact shingle Jaccard >= tau
+        tp = true_pairs(texts, ids, cfg)
+        assert not tp, f"near-dup pairs survived curation: {sorted(tp)[:5]}"
