@@ -118,6 +118,7 @@ def run_bench() -> dict:
     timed("events_hourly", lambda: r.events_hourly(SF_DIR, P).count())
     timed("embedding_topk", lambda: c.embedding_topk(SF_DIR).num_rows)
     timed("top_customers", lambda: r.top_customers(SF_DIR, 10, P).count())
+    timed("doc_curation_funnel", lambda: c.doc_curation_funnel(SF_DIR).num_rows)
 
     result = {
         "metric": "neardup_pages_e2e",
