@@ -108,21 +108,35 @@ def curate_corpus(
     min_tokens: int = 20,
     num_partitions: int | None = None,
     approx_rows: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> CurationResult:
     """Run the full curation funnel; see module docstring.
 
     Returns kept docs (doc_id, text), the near-dup clusters table of the
-    exact-dedup survivors, and the funnel counts per stage.
+    exact-dedup survivors, and the funnel counts per stage.  With
+    ``checkpoint_dir`` the filter and exact-dedup outputs persist as
+    per-stage Parquet + lineage (a rerun resumes past them; stage resume
+    markers land in ``funnel["stages"]``), and the inner near-dup pipeline
+    checkpoints its own stages under a subdirectory — the resume story a
+    multi-day 100 TB curation run needs.
     """
+    import os
+
     from dynaalign_ray.exec import configure_context, pick_num_partitions
     from dynaalign_ray.extract import extract_text_batch
     from dynaalign_ray.pipelines.neardup import near_dedup
     from dynaalign_ray.stages.dedup import exact_dedup_groups
+    from dynaalign_ray.state.lineage import CheckpointContext
 
     configure_context()
     if (pages_ds is None) == (docs_ds is None):
         raise ValueError("provide exactly one of pages_ds / docs_ds")
     P = num_partitions or pick_num_partitions(approx_rows)
+    langs_token = ",".join(sorted(allowed_langs)) if allowed_langs else "*"
+    ckpt = CheckpointContext(
+        checkpoint_dir,
+        f"{cfg.config_hash()}|q{min_quality}|l={langs_token}|t{min_tokens}|P{P}",
+    )
 
     if docs_ds is None:
         docs_ds = pages_ds.map_batches(
@@ -130,33 +144,52 @@ def curate_corpus(
         )
     docs_ds = docs_ds.select_columns(["doc_id", "text"])
 
-    funnel: dict[str, int] = {}
+    funnel: dict = {}
 
-    # stage 1: fused quality + language filter (actor pool), then pin —
+    # stage 1: fused quality + language filter (actor pool), then pin -
     # every later stage consumes this table
-    filtered = docs_ds.map_batches(
-        CurationFilter,
-        fn_constructor_args=(min_quality, allowed_langs, min_tokens),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(2, max(2, P)),
-    ).materialize()
+    filtered, fp1 = ckpt.run_stage(
+        "filtered",
+        "docs-input",
+        lambda: docs_ds.map_batches(
+            CurationFilter,
+            fn_constructor_args=(min_quality, allowed_langs, min_tokens),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(2, max(2, P)),
+        ),
+    )
+    if checkpoint_dir is None:
+        filtered = filtered.materialize()
     funnel["after_quality_lang"] = filtered.count()
 
-    # stage 2: exact dedup — the groupby's min-id column IS the keep set
-    exact_reps = exact_dedup_groups(filtered, P).select_columns(["doc_id"])
-    exact_kept = _keep_only(
-        filtered, exact_reps, P, approx_ids=funnel["after_quality_lang"]
-    ).materialize()
+    # stage 2: exact dedup - the groupby's min-id column IS the keep set
+    exact_kept, fp2 = ckpt.run_stage(
+        "exact_kept",
+        fp1,
+        lambda: _keep_only(
+            filtered,
+            exact_dedup_groups(filtered, P).select_columns(["doc_id"]),
+            P,
+            approx_ids=funnel["after_quality_lang"],
+        ),
+    )
+    if checkpoint_dir is None:
+        exact_kept = exact_kept.materialize()
     funnel["after_exact_dedup"] = exact_kept.count()
 
-    # stage 3: near dedup — cluster reps (keep flag) survive
+    # stage 3: near dedup - cluster reps (keep flag) survive.  The inner
+    # pipeline owns its own checkpoint lineage under a subdirectory.
     res = near_dedup(
         docs_ds=exact_kept,
         cfg=cfg,
         num_partitions=P,
         approx_rows=funnel["after_exact_dedup"],
+        checkpoint_dir=(
+            os.path.join(checkpoint_dir, "neardup") if checkpoint_dir else None
+        ),
     )
+
     def keep_rows(batch: pa.Table) -> pa.Table:
         return batch.filter(batch.column("keep")).select(["doc_id"])
 
@@ -168,4 +201,6 @@ def curate_corpus(
     ).materialize()
     funnel["after_near_dedup"] = kept.count()
 
+    if checkpoint_dir is not None:
+        funnel["stages"] = ckpt.counters
     return CurationResult(kept=kept, clusters=res.clusters, funnel=funnel)

@@ -796,3 +796,27 @@ class TestCurateCorpus:
         # near dedup: no kept pair with exact shingle Jaccard >= tau
         tp = true_pairs(texts, ids, cfg)
         assert not tp, f"near-dup pairs survived curation: {sorted(tp)[:5]}"
+
+    def test_checkpoint_resume(self, rd, ray_session, tmp_path):
+        """Second run with the same checkpoint_dir resumes every stage and
+        produces the identical kept set; a changed knob invalidates it."""
+        from dynaalign_ray.config import DedupConfig
+        from dynaalign_ray.fixtures import generate_pages
+        from dynaalign_ray.pipelines.curate import curate_corpus
+
+        pages, _ = generate_pages(300, seed=5)
+        kw = dict(
+            cfg=DedupConfig(), min_quality=0.2, allowed_langs=None,
+            min_tokens=5, num_partitions=4, approx_rows=300,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        r1 = curate_corpus(pages_ds=rd.from_arrow(pages), **kw)
+        r2 = curate_corpus(pages_ds=rd.from_arrow(pages), **kw)
+        assert all(v.get("resumed") for v in r2.funnel["stages"].values())
+        ids1 = sorted(r["doc_id"] for r in r1.kept.take_all())
+        ids2 = sorted(r["doc_id"] for r in r2.kept.take_all())
+        assert ids1 == ids2
+        # changed quality knob invalidates the chain
+        kw3 = {**kw, "min_quality": 0.25}
+        r3 = curate_corpus(pages_ds=rd.from_arrow(pages), **kw3)
+        assert not any(v.get("resumed") for v in r3.funnel["stages"].values())
