@@ -16,6 +16,8 @@ import functools
 import numpy as np
 import pyarrow as pa
 
+from dynaalign_ray.hashing import mix64
+
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col).combine_chunks()
@@ -185,6 +187,15 @@ def _tune_sign_lsh(
     if approx_rows:
         r = max(r, int(np.ceil(np.log2(max(approx_rows, 2) / 512.0))))
     r = min(r, 32)
+    # the recall contract binds: with the band budget capped at 64, r may
+    # not exceed what 64 bands can compensate (p^r >= 1-(1-target)^(1/64)),
+    # else the solved b would be silently clamped and actual recall would
+    # collapse far below target.  Bucket-size control loses to the recall
+    # target here — oversized buckets are handled downstream by the
+    # star-edge fallback, not by skipping.
+    per_band_min = 1.0 - (1.0 - target_recall) ** (1.0 / 64.0)
+    r_cap = int(np.floor(np.log(per_band_min) / np.log(p)))
+    r = max(3, min(r, max(3, r_cap)))
     per_band = p**r
     b = int(np.ceil(np.log(max(1.0 - target_recall, 1e-12)) / np.log(1.0 - per_band)))
     return max(1, min(b, 64)), r
@@ -267,12 +278,11 @@ def cosine_neardup_lsh(
                     "cosine": pa.array([], type=pa.float64()),
                 }
             )
+        from dynaalign_ray.shingles import varlen_offsets
+
         vec_col = batch.column("vec").combine_chunks()
-        bufs = vec_col.buffers()
-        offs = np.frombuffer(bufs[1], dtype=np.int32)[
-            vec_col.offset : vec_col.offset + len(vec_col) + 1
-        ]
-        data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        offs = varlen_offsets(vec_col)  # int32/int64 per the Arrow type
+        data = np.frombuffer(vec_col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
         row_bytes = int(offs[1] - offs[0])  # fixed width by construction
         vecs = np.frombuffer(data.tobytes(), dtype="<f8").reshape(
             len(ids), row_bytes // 8
@@ -286,10 +296,26 @@ def cosine_neardup_lsh(
         out_a, out_b, out_c = [], [], []
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > pair_cap:
+            if m < 2:
                 continue
             bid = ids[s:e]
             bv = vecs[s:e]
+            if m > pair_cap:
+                # star fallback (same shape as bands.emit_pairs_block): a
+                # bucket of >pair_cap mutually-similar vectors collides in
+                # EVERY band, so skipping it would silently lose the
+                # densest duplicate groups entirely.  Score one hub vs all
+                # (m-1 exact cosines, m-1 edges) — connectivity-preserving
+                # under the downstream union-find, never quadratic.
+                hub = int(np.argmin(mix64(bid.astype(np.uint64) ^ np.uint64(keys[s] & 3))))
+                sims_h = bv @ bv[hub]
+                mask = (sims_h >= threshold) & (np.arange(m) != hub)
+                ha = np.minimum(bid[mask], bid[hub])
+                hb = np.maximum(bid[mask], bid[hub])
+                out_a.append(ha)
+                out_b.append(hb)
+                out_c.append(sims_h[mask])
+                continue
             sims = bv @ bv.T
             ai, bi = np.triu_indices(m, k=1)
             hit = sims[ai, bi] >= threshold

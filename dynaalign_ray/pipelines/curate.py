@@ -83,7 +83,9 @@ def _keep_only(ds, ids_ds, num_partitions: int, approx_ids: int | None):
             if t.num_rows
         ]
         ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-        return broadcast_semi_join(ds, ids.tolist(), left_on="doc_id")
+        # pass the ndarray straight through — tolist() would build millions
+        # of Python ints only for the join to np.asarray them back
+        return broadcast_semi_join(ds, ids, left_on="doc_id")
     ids_schema = pa.schema([("doc_id", pa.int64())])
     # schema of ds is (doc_id, text); the hash_join path needs it explicit
     ds_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])

@@ -170,11 +170,15 @@ def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
             }
         )
 
+    from dynaalign_ray.stages.verify import build_sketch_csr
+
+    # materialize ONCE: the lazy dataset is consumed twice (driver CSR
+    # build + the pairs pass), which would re-run the shingle+sketch
+    # kernel over the whole corpus a second time
     sets_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         functools.partial(sets_block, k=k), batch_format="pyarrow", zero_copy_batch=True
-    )
-    refs = sets_ds.to_arrow_refs()
-    parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    ).materialize()
+    parts = [t for t in (ray.get(r) for r in sets_ds.to_arrow_refs()) if t.num_rows]
     if not parts:
         import ray.data as rd
 
@@ -187,27 +191,7 @@ def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
                 }
             )
         )
-    from dynaalign_ray.stages.verify import _sketch_arrays
-
-    ids = np.concatenate([np.asarray(t.column("doc_id")).astype(np.int64) for t in parts])
-    starts_l, ends_l, vals_l = [], [], []
-    base = 0
-    for t in parts:
-        v, o = _sketch_arrays(t.column("sketch"))
-        o64 = o.astype(np.int64)
-        starts_l.append(o64[:-1] + base)
-        ends_l.append(o64[1:] + base)
-        vals_l.append(v)
-        base += len(v)
-    order = np.argsort(ids, kind="stable")
-    csr_ref = ray.put(
-        (
-            ids[order],
-            np.concatenate(starts_l)[order],
-            np.concatenate(ends_l)[order],
-            np.concatenate(vals_l),
-        )
-    )
+    csr_ref = ray.put(build_sketch_csr(parts))
 
     def pairs_block(batch: pa.Table) -> pa.Table:
         ids_s, st, en, vals = ray.get(csr_ref)

@@ -285,10 +285,15 @@ def _approx_quantile(ds, col: str, q: float) -> float:
     if total == 0:
         return 0.0
     # index of the q-th order statistic (nearest-rank, matching R type-1
-    # closely at this resolution), then the bin midpoint
+    # closely at this resolution), then the bin LOWER edge: the caller
+    # applies `jaccard >= q` — a midpoint (or upper edge) sits strictly
+    # above every value in the bin, so it would drop the entire equal-valued
+    # mass at the quantile (e.g. all edges at exactly 0.5 when the 0.5-bin
+    # is the quantile bin).  The lower edge keeps them; error is one-sided,
+    # at most one bin width (5e-5) below the exact quantile.
     target = max(int(np.ceil(q * total)), 1)
     bin_idx = int(np.searchsorted(np.cumsum(hist), target))
-    return (bin_idx + 0.5) / nb
+    return bin_idx / nb
 
 
 def write_run_report(res: NearDupResult, path: str) -> dict:

@@ -42,6 +42,26 @@ _BYTE_P = U64(0x100000001B3)
 _BYTE_PINV = U64(pow(0x100000001B3, -1, 1 << 64))
 
 
+def varlen_offsets(arr) -> np.ndarray:
+    """Element offsets of an Arrow varlen array (string/binary and their
+    large_ variants) read off the raw offsets buffer with the CORRECT
+    width: large_string/large_binary carry int64 offsets, and reading them
+    as int32 silently interleaves offset halves into garbage spans (pandas
+    and Polars-originated datasets produce large_ types routinely)."""
+    import pyarrow as pa
+
+    dt = (
+        np.int64
+        if pa.types.is_large_string(arr.type)
+        or pa.types.is_large_binary(arr.type)
+        or pa.types.is_large_list(arr.type)
+        else np.int32
+    )
+    return np.frombuffer(arr.buffers()[1], dtype=dt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+
+
 def _hash_utf8_spans(arr, seed: int) -> np.ndarray:
     """Vectorized uint64 hash of every string in an Arrow StringArray,
     computed directly off the (offsets, data) buffers — no Python string
@@ -55,7 +75,7 @@ def _hash_utf8_spans(arr, seed: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=U64)
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    offs = varlen_offsets(arr)
     data = np.frombuffer(bufs[2], dtype=np.uint8)
     lo, hi = int(offs[0]), int(offs[-1])
     b = data[lo:hi].astype(U64)
@@ -98,10 +118,7 @@ def _word_shingles_arrow(col, k: int) -> tuple[np.ndarray, np.ndarray]:
     # Arrow's split keeps empty strings at whitespace boundaries ("" for an
     # empty doc, leading/trailing for padded ones); Python str.split drops
     # them — filter to match (order within each doc is preserved)
-    fb = flat.buffers()
-    foffs = np.frombuffer(fb[1], dtype=np.int32)[
-        flat.offset : flat.offset + len(flat) + 1
-    ]
+    foffs = varlen_offsets(flat)
     nonempty = np.diff(foffs) > 0
     if not nonempty.all():
         doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts_tok)

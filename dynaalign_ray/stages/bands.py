@@ -199,15 +199,16 @@ def emit_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
     bucket), else star edges around a HUB doc — preserves connected-component
     structure with m-1 edges (the recursion-free analog of clusterbreak's
     size_max split, R/clusterbreak.R:246-254).  The hub is the member
-    minimizing ``mix64(doc ^ band_key)``, NOT the bucket-min doc: the same
-    doc set recurs as a bucket in every band (and in every salted
+    minimizing ``mix64(doc ^ (band_key % 4))``, NOT the bucket-min doc:
+    the same doc set recurs as a bucket in every band (and in every salted
     sub-bucket at small m), so a fixed min-doc hub would make every star
     edge of the cluster share ONE partner — and when that partner is a
     marginal member, docs with J(hub) < tau lose ALL their candidates and
     the verify stage isolates them (measured: 14 of 5,000 planted boiler
-    docs isolated at 100k pages).  A band-key-dependent hub gives each doc
-    ~num_bands distinct star partners, so isolation needs every one of
-    them to fail.  Pairs are canonical (a < b).
+    docs isolated at 100k pages).  The ``% 4`` bounds hub diversity at ~4
+    variants (isolation probability ~p^4): one hub per band would instead
+    multiply the deduped star-edge set ~num_bands-fold (measured 2.4x
+    verified edges at 600k pages).  Pairs are canonical (a < b).
     """
     keys = np.asarray(batch.column("band_key")).astype(np.int64)
     docs = np.asarray(batch.column("doc_id")).astype(np.int64)

@@ -101,9 +101,9 @@ def make_center_star_consensus(
                 votes[ci][aligned.get(ci, "-")] += 1
         out = []
         for c in votes:
-            top = max(c.items(), key=lambda kv: (kv[1], -ord(kv[0][0])))
             # deterministic tie-break: highest count, then smallest char
-            best_n = top[1]
+            # (so '-' wins ties and the position is dropped)
+            best_n = max(c.values())
             ch = min(k for k, v in c.items() if v == best_n)
             if ch != "-":
                 out.append(ch)

@@ -20,13 +20,47 @@ from dynaalign_ray.shingles import jaccard_from_sketches
 def _sketch_arrays(col) -> tuple[np.ndarray, np.ndarray]:
     """binary sketch column (LE-uint64 blobs) -> (flat values, element
     offsets) numpy views, zero-copy off the Arrow buffers."""
+    from dynaalign_ray.shingles import varlen_offsets
+
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    buffers = arr.buffers()
-    byte_offsets = np.frombuffer(buffers[1], dtype=np.int32)[
-        arr.offset : arr.offset + len(arr) + 1
-    ]
-    values = np.frombuffer(buffers[2], dtype="<u8")
+    byte_offsets = varlen_offsets(arr)  # int32 or int64 per the Arrow type
+    values = np.frombuffer(arr.buffers()[2], dtype="<u8")
     return values, byte_offsets // 8
+
+
+def build_sketch_csr(
+    parts: list, id_col: str = "doc_id", sketch_col: str = "sketch"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, sketch) Arrow tables -> a doc_id-sorted lookup CSR
+    ``(ids_sorted, starts, ends, values)``.
+
+    The build stays O(bytes) memcpy: values are concatenated ONCE in
+    arrival order and never element-gathered; lookups go through a
+    row-indirection map (ids sorted, rows not), so the only per-doc work
+    is an argsort over the ids, not a value shuffle.  Shared by the
+    broadcast verify plan and the exact all-pairs Jaccard query."""
+    if not parts:
+        e = np.empty(0, np.int64)
+        return e, e, e, np.empty(0, np.uint64)
+    ids = np.concatenate(
+        [np.asarray(t.column(id_col)).astype(np.int64) for t in parts]
+    )
+    starts_l, ends_l, vals_l = [], [], []
+    base = 0
+    for t in parts:
+        v, o = _sketch_arrays(t.column(sketch_col))
+        o64 = o.astype(np.int64)
+        starts_l.append(o64[:-1] + base)
+        ends_l.append(o64[1:] + base)
+        vals_l.append(v)
+        base += len(v)
+    order = np.argsort(ids, kind="stable")
+    return (
+        ids[order],
+        np.concatenate(starts_l)[order],
+        np.concatenate(ends_l)[order],
+        np.concatenate(vals_l),
+    )
 
 
 def verify_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
@@ -230,32 +264,7 @@ def _broadcast_verify(pairs_ds, sigs_ds, cfg: DedupConfig, pair_doc_ref, pair_do
         project_filtered, batch_format="pyarrow", zero_copy_batch=True
     ).to_arrow_refs()
     parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
-    if parts:
-        # driver build stays O(bytes) memcpy: values are concatenated ONCE in
-        # arrival order and never element-gathered; lookups go through a
-        # row-indirection map (ids sorted, rows not), so the only per-doc
-        # work is a 600k-element argsort, not a 10^8-element value shuffle
-        ids = np.concatenate(
-            [np.asarray(t.column("doc_id")).astype(np.int64) for t in parts]
-        )
-        starts_l, ends_l = [], []
-        vals_l = []
-        base = 0
-        for t in parts:
-            v, o = _sketch_arrays(t.column("sketch"))
-            o64 = o.astype(np.int64)
-            starts_l.append(o64[:-1] + base)
-            ends_l.append(o64[1:] + base)
-            vals_l.append(v)
-            base += len(v)
-        starts = np.concatenate(starts_l)
-        ends = np.concatenate(ends_l)
-        order = np.argsort(ids, kind="stable")
-        csr = (ids[order], starts[order], ends[order], np.concatenate(vals_l))
-    else:
-        e = np.empty(0, np.int64)
-        csr = (e, e, e, np.empty(0, np.uint64))
-    sk_ref = ray.put(csr)
+    sk_ref = ray.put(build_sketch_csr(parts))
 
     def verify_block(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
         if batch.num_rows == 0:

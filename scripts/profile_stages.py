@@ -46,7 +46,7 @@ def main() -> int:
     warm = rd.read_parquet(pages_dir).limit(500).materialize()
     near_dedup(pages_ds=warm, cfg=cfg, num_partitions=8).clusters.count()
 
-    P = max(8, min(64, N_PAGES // 2000))
+    P = max(8, min(32, N_PAGES // 20_000))  # matches bench.py (P=64 doubles shuffle time)
     t: dict[str, float] = {}
 
     def clock(name, fn):

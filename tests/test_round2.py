@@ -820,3 +820,69 @@ class TestCurateCorpus:
         kw3 = {**kw, "min_quality": 0.25}
         r3 = curate_corpus(pages_ds=rd.from_arrow(pages), **kw3)
         assert not any(v.get("resumed") for v in r3.funnel["stages"].values())
+
+
+# ------------------------------------------- review-fix regressions
+
+
+class TestReviewFixes:
+    def test_large_string_offsets(self, rd, ray_session):
+        """large_string columns (int64 offsets) hash identically to string —
+        reading their offsets as int32 would silently corrupt every span."""
+        import pyarrow as pa
+
+        from dynaalign_ray.shingles import _hash_utf8_spans, batch_shingle_hashes
+
+        texts = ["alpha beta gamma delta", "x", "", "one two three four five"]
+        small = pa.array(texts, type=pa.string())
+        large = pa.array(texts, type=pa.large_string())
+        assert np.array_equal(
+            _hash_utf8_spans(small, seed=7), _hash_utf8_spans(large, seed=7)
+        )
+        h1, c1 = batch_shingle_hashes(small, 3, "word")
+        h2, c2 = batch_shingle_hashes(large, 3, "word")
+        assert np.array_equal(h1, h2) and np.array_equal(c1, c2)
+
+    def test_quantile_keeps_equal_valued_mass(self, rd, ray_session):
+        """_approx_quantile returns a value <= the true quantile so the
+        downstream `>= q` refilter keeps the mass AT the quantile."""
+        import pyarrow as pa
+
+        from dynaalign_ray.pipelines.neardup import _approx_quantile
+
+        ds = rd.from_arrow(
+            pa.table({"jaccard": pa.array([0.5] * 1000, pa.float64())})
+        )
+        q = _approx_quantile(ds, "jaccard", 0.5)
+        assert q <= 0.5  # midpoint bug returned 0.500025 and dropped all edges
+        assert q >= 0.5 - 1e-4
+
+    def test_cosine_lsh_oversized_bucket_star(self, rd, ray_session):
+        """A duplicate group larger than pair_cap must still connect (star
+        fallback) instead of being silently skipped."""
+        import pyarrow as pa
+
+        from dynaalign_ray.functions.similarity_search import cosine_neardup_lsh
+
+        rng = np.random.Generator(np.random.PCG64(3))
+        base = rng.standard_normal(16)
+        vecs = base + 0.001 * rng.standard_normal((50, 16))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(50), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        rows = cosine_neardup_lsh(ds, 0.9, num_partitions=2, pair_cap=10).take_all()
+        # star edges must connect all 50 into one component
+        parent = {i: i for i in range(50)}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for r in rows:
+            parent[find(r["a"])] = find(r["b"])
+        assert len({find(i) for i in range(50)}) == 1
+        assert len(rows) >= 49
