@@ -194,28 +194,37 @@ def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     csr_ref = ray.put(build_sketch_csr(parts))
 
     def pairs_block(batch: pa.Table) -> pa.Table:
+        from dynaalign_ray import ckernels
+
         ids_s, st, en, vals = ray.get(csr_ref)
         my = np.asarray(batch.column("doc_id")).astype(np.int64)
         rows = np.searchsorted(ids_s, my)
         out_a, out_b, out_j = [], [], []
         for r in rows:
-            mine = vals[st[r] : en[r]]
-            la = en[r] - st[r]
             # ids_s sorted + distinct: candidates with larger id are r+1..n
-            for q in range(r + 1, len(ids_s)):
-                other = vals[st[q] : en[q]]
-                inter = np.intersect1d(mine, other, assume_unique=True)
-                union = la + (en[q] - st[q]) - len(inter)
-                j = len(inter) / union if union else 0.0
-                if j >= threshold:
-                    out_a.append(ids_s[r])
-                    out_b.append(ids_s[q])
-                    out_j.append(j)
+            jrow = ckernels.jaccard_row_vs_tail(vals, st, en, int(r))
+            if jrow is None:  # no compiler: numpy merge per candidate
+                mine = vals[st[r] : en[r]]
+                la = en[r] - st[r]
+                jrow = np.empty(len(ids_s) - r - 1, dtype=np.float64)
+                for q in range(r + 1, len(ids_s)):
+                    other = vals[st[q] : en[q]]
+                    inter = np.intersect1d(mine, other, assume_unique=True)
+                    union = la + (en[q] - st[q]) - len(inter)
+                    jrow[q - r - 1] = len(inter) / union if union else 0.0
+            hit = np.flatnonzero(jrow >= threshold)
+            if len(hit):
+                out_a.append(np.full(len(hit), ids_s[r], dtype=np.int64))
+                out_b.append(ids_s[r + 1 + hit])
+                out_j.append(jrow[hit])
+        cat = lambda xs, dt: (
+            np.concatenate(xs) if xs else np.empty(0, dtype=dt)
+        )
         return pa.table(
             {
-                "a": pa.array(np.array(out_a, dtype=np.int64)),
-                "b": pa.array(np.array(out_b, dtype=np.int64)),
-                "jaccard": round4(np.array(out_j, dtype=np.float64)),
+                "a": pa.array(cat(out_a, np.int64)),
+                "b": pa.array(cat(out_b, np.int64).astype(np.int64)),
+                "jaccard": round4(cat(out_j, np.float64)),
             }
         )
 

@@ -17,6 +17,31 @@ from dynaalign_ray.config import DedupConfig
 from dynaalign_ray.shingles import jaccard_from_sketches
 
 
+def _pairwise_jaccard(
+    va: np.ndarray,
+    sa: np.ndarray,
+    ea: np.ndarray,
+    vb: np.ndarray,
+    sb: np.ndarray,
+    eb: np.ndarray,
+    cap: int,
+) -> np.ndarray:
+    """Per-pair Jaccard over CSR sketch slices.  Prefers the compiled
+    merge-intersect kernel (ckernels, ~20x the Python dispatch path at
+    realistic sketch sizes); falls back to the per-pair numpy loop with
+    identical semantics when no C compiler is available."""
+    from dynaalign_ray import ckernels
+
+    jac = ckernels.jaccard_batch(va, sa, ea, vb, sb, eb, cap)
+    if jac is not None:
+        return jac
+    n = len(sa)
+    jac = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        jac[i] = jaccard_from_sketches(va[sa[i] : ea[i]], vb[sb[i] : eb[i]], cap)
+    return jac
+
+
 def _sketch_arrays(col) -> tuple[np.ndarray, np.ndarray]:
     """binary sketch column (LE-uint64 blobs) -> (flat values, element
     offsets) numpy views, zero-copy off the Arrow buffers."""
@@ -88,15 +113,11 @@ def verify_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
         n = batch.num_rows
     va, oa = _sketch_arrays(batch.column("sketch_a"))
     vb, ob = _sketch_arrays(batch.column("sketch_b"))
-    cap = cfg.sketch_cap
-    # per-pair sorted-set intersection: at realistic sketch sizes (~300
-    # values) np.intersect1d per pair beats a batch-wide lexsort 5x, and the
-    # stage's wall time is dominated by the joins, not this kernel
-    jac = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        jac[i] = jaccard_from_sketches(
-            va[oa[i] : oa[i + 1]], vb[ob[i] : ob[i + 1]], cap
-        )
+    oa64 = oa.astype(np.int64, copy=False)
+    ob64 = ob.astype(np.int64, copy=False)
+    jac = _pairwise_jaccard(
+        va, oa64[:-1], oa64[1:], vb, ob64[:-1], ob64[1:], cfg.sketch_cap
+    )
     keep = jac >= cfg.tau
     return pa.table(
         {
@@ -295,14 +316,15 @@ def _broadcast_verify(pairs_ds, sigs_ds, cfg: DedupConfig, pair_doc_ref, pair_do
         ok = (ids_s[ra] == aa) & (ids_s[rb] == bb)
         if not ok.all():
             aa, bb, ra, rb = aa[ok], bb[ok], ra[ok], rb[ok]
-        cap = cfg.sketch_cap
-        sa, ea = starts_s[ra], ends_s[ra]
-        sb, eb = starts_s[rb], ends_s[rb]
-        jac = np.empty(len(aa), dtype=np.float64)
-        for i in range(len(aa)):
-            jac[i] = jaccard_from_sketches(
-                vals_s[sa[i] : ea[i]], vals_s[sb[i] : eb[i]], cap
-            )
+        jac = _pairwise_jaccard(
+            vals_s,
+            starts_s[ra],
+            ends_s[ra],
+            vals_s,
+            starts_s[rb],
+            ends_s[rb],
+            cfg.sketch_cap,
+        )
         keep = jac >= cfg.tau
         return pa.table(
             {
