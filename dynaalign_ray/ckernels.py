@@ -78,6 +78,60 @@ void jaccard_batch(const uint64_t *va, const int64_t *sa, const int64_t *ea,
                              vb + sb[p], eb[p] - sb[p], cap);
 }
 
+/* Fused MinHash signatures over doc segments: sig[g][p] = min over the
+   segment's shingle hashes x of (a[p]*x + b[p]) [u64 wraparound], the
+   segmented min-reduce of shingles.minhash_signatures.  The numpy form
+   materializes (perm_chunk, n_shingles) DRAM temporaries per chunk —
+   memory-bandwidth-bound under many concurrent workers; this keeps the
+   num_perm minima in L1 and reads each shingle hash exactly once, so the
+   kernel is compute-bound and scales with cores.  Empty segments keep the
+   ~0 (U64_MAX "infinity") sentinel, matching the numpy path. */
+void minhash_segments(const uint64_t *restrict s,
+                      const int64_t *restrict seg_starts,
+                      const int64_t *restrict seg_counts,
+                      int64_t n_segs,
+                      const uint64_t *restrict a,
+                      const uint64_t *restrict b,
+                      int64_t num_perm,
+                      uint64_t *restrict out) {
+    for (int64_t g = 0; g < n_segs; g++) {
+        uint64_t *m = out + g * num_perm;
+        for (int64_t p = 0; p < num_perm; p++) m[p] = ~0ULL;
+        const uint64_t *x0 = s + seg_starts[g];
+        int64_t cnt = seg_counts[g];
+        for (int64_t i = 0; i < cnt; i++) {
+            uint64_t x = x0[i];
+            for (int64_t p = 0; p < num_perm; p++) {
+                uint64_t v = a[p] * x + b[p];
+                if (v < m[p]) m[p] = v;
+            }
+        }
+    }
+}
+
+/* Fused 64-bit SimHash over doc segments: bit j of the fingerprint is set
+   iff more than half the segment's shingle hashes have bit j set
+   (2*sum > count — ties round down, matching shingles.simhash_signatures).
+   Empty segments -> 0. */
+void simhash_segments(const uint64_t *restrict s,
+                      const int64_t *restrict seg_starts,
+                      const int64_t *restrict seg_counts,
+                      int64_t n_segs,
+                      uint64_t *restrict out) {
+    for (int64_t g = 0; g < n_segs; g++) {
+        int64_t cnt = seg_counts[g];
+        const uint64_t *x0 = s + seg_starts[g];
+        int32_t c[64] = {0};
+        for (int64_t i = 0; i < cnt; i++) {
+            uint64_t x = x0[i];
+            for (int j = 0; j < 64; j++) c[j] += (int32_t)((x >> j) & 1ULL);
+        }
+        uint64_t f = 0;
+        for (int j = 0; j < 64; j++) if (2LL * c[j] > cnt) f |= (1ULL << j);
+        out[g] = f;
+    }
+}
+
 /* One row vs a tail of CSR rows (exact all-pairs Jaccard query):
    row r's sketch is vals[st[r]:en[r]]; computes exact Jaccard of row
    `row` against rows row+1..n_rows-1 into out (length n_rows-row-1). */
@@ -144,6 +198,15 @@ def _build() -> ctypes.CDLL | None:
             _U64P, _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, _F64P,
         ]
         lib.jaccard_row_vs_tail.restype = None
+        lib.minhash_segments.argtypes = [
+            _U64P, _I64P, _I64P, ctypes.c_int64, _U64P, _U64P,
+            ctypes.c_int64, _U64P,
+        ]
+        lib.minhash_segments.restype = None
+        lib.simhash_segments.argtypes = [
+            _U64P, _I64P, _I64P, ctypes.c_int64, _U64P,
+        ]
+        lib.simhash_segments.restype = None
         return lib
     except Exception:
         return None
@@ -190,6 +253,59 @@ def jaccard_batch(
             _c64(va, np.uint64), _c64(sa, np.int64), _c64(ea, np.int64),
             _c64(vb, np.uint64), _c64(sb, np.int64), _c64(eb, np.int64),
             n, int(cap), out,
+        )
+    return out
+
+
+def minhash_segments(
+    shingle_hashes: np.ndarray,
+    seg_starts: np.ndarray,
+    seg_counts: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> np.ndarray | None:
+    """Fused (n_segs, num_perm) MinHash signature matrix (C path), or None
+    when the compiled kernel is unavailable.  Empty segments come back as
+    U64_MAX sentinel rows, matching shingles.minhash_signatures."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_segs = len(seg_counts)
+    num_perm = len(a)
+    out = np.empty((n_segs, num_perm), dtype=np.uint64)
+    if n_segs:
+        lib.minhash_segments(
+            _c64(shingle_hashes, np.uint64),
+            _c64(seg_starts, np.int64),
+            _c64(seg_counts, np.int64),
+            n_segs,
+            _c64(a, np.uint64),
+            _c64(b, np.uint64),
+            num_perm,
+            out,
+        )
+    return out
+
+
+def simhash_segments(
+    shingle_hashes: np.ndarray,
+    seg_starts: np.ndarray,
+    seg_counts: np.ndarray,
+) -> np.ndarray | None:
+    """Fused per-segment 64-bit SimHash (C path), or None when the
+    compiled kernel is unavailable.  Empty segments -> 0."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_segs = len(seg_counts)
+    out = np.empty(n_segs, dtype=np.uint64)
+    if n_segs:
+        lib.simhash_segments(
+            _c64(shingle_hashes, np.uint64),
+            _c64(seg_starts, np.int64),
+            _c64(seg_counts, np.int64),
+            n_segs,
+            out,
         )
     return out
 

@@ -215,6 +215,16 @@ def minhash_signatures(
     nonempty = counts > 0
     if not nonempty.any() or len(shingle_hashes) == 0:
         return sig
+    # fused C path: keeps the num_perm minima in L1 and reads each shingle
+    # once (the numpy chunked form below streams (perm_chunk, n_shingles)
+    # DRAM temporaries — memory-bandwidth-bound under concurrent workers)
+    from dynaalign_ray import ckernels
+
+    all_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=all_starts[1:])
+    fused = ckernels.minhash_segments(shingle_hashes, all_starts, counts, a, b)
+    if fused is not None:
+        return fused
     seg_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
     np.cumsum(counts[nonempty][:-1], out=seg_starts[1:])
     s = shingle_hashes
@@ -243,6 +253,15 @@ def simhash_signatures(
     nonempty = counts > 0
     if not nonempty.any() or len(shingle_hashes) == 0:
         return out
+    # fused C path (see minhash_signatures): per-segment bit counters stay
+    # in registers instead of an (n_shingles, bit_chunk) DRAM temporary
+    from dynaalign_ray import ckernels
+
+    all_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=all_starts[1:])
+    fused = ckernels.simhash_segments(shingle_hashes, all_starts, counts)
+    if fused is not None:
+        return fused
     seg_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
     np.cumsum(counts[nonempty][:-1], out=seg_starts[1:])
     seg_counts = counts[nonempty].astype(np.int64)

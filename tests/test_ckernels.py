@@ -111,6 +111,43 @@ def test_jaccard_row_vs_tail_matches_pairwise():
         np.testing.assert_array_equal(got, want)
 
 
+def test_fused_minhash_matches_numpy():
+    import unittest.mock as mock
+
+    import dynaalign_ray.ckernels as ck
+    import dynaalign_ray.shingles as S
+    from dynaalign_ray.hashing import make_permutations
+
+    rng = np.random.default_rng(17)
+    a, b = make_permutations(64, seed=99)
+    # counts include zeros (empty docs -> U64_MAX sentinel rows)
+    counts = rng.integers(0, 40, size=200).astype(np.int64)
+    counts[::13] = 0
+    sh = rng.integers(0, 2**63, size=int(counts.sum())).astype(np.uint64)
+    fused = S.minhash_signatures(sh, counts, a, b)
+    with mock.patch.object(ck, "minhash_segments", lambda *x: None):
+        plain = S.minhash_signatures(sh, counts, a, b)
+    np.testing.assert_array_equal(fused, plain)
+    assert (fused[counts == 0] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_fused_simhash_matches_numpy():
+    import unittest.mock as mock
+
+    import dynaalign_ray.ckernels as ck
+    import dynaalign_ray.shingles as S
+
+    rng = np.random.default_rng(23)
+    counts = rng.integers(0, 70, size=300).astype(np.int64)
+    counts[::7] = 0
+    sh = rng.integers(0, 2**64, size=int(counts.sum()), dtype=np.uint64)
+    fused = S.simhash_signatures(sh, counts)
+    with mock.patch.object(ck, "simhash_segments", lambda *x: None):
+        plain = S.simhash_signatures(sh, counts)
+    np.testing.assert_array_equal(fused, plain)
+    assert (fused[counts == 0] == 0).all()
+
+
 def test_verify_helper_falls_back_without_compiler(monkeypatch):
     """_pairwise_jaccard must produce identical output with the kernel
     disabled (the no-compiler degradation path)."""
