@@ -52,6 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
         "doc_fingerprints": c.doc_fingerprints,  # rows-only
         "doc_char_classes": c.doc_char_classes,
+        "doc_pii": c.doc_pii,
+        "doc_pii_redacted": c.doc_pii_redacted,
+        "doc_repetition": c.doc_repetition,
+        "doc_decontam": c.doc_decontam,
+        "doc_decontam_ngram": c.doc_decontam_ngram,  # rows-only (n-gram scale path)
         "doc_vocab": c.doc_vocab,
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
         "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
@@ -138,6 +143,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
                    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
             FROM documents
+        """,
+        "doc_pii": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9._%+-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                        '\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}')) AS BIGINT) AS n_phones,
+                   (n_emails + n_ips + n_phones) > 0 AS has_pii
+            FROM documents
+        """,
+        "doc_pii_redacted": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9._%+-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}', '<PHONE>', 'g')
+                       AS redacted
+            FROM documents
+        """,
+        "doc_repetition": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            wc AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w
+            ),
+            wagg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS maxc
+                FROM wc GROUP BY doc_id
+            ),
+            grams AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS g
+                FROM t WHERE len(toks) >= 2
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+            gagg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2,
+                       CAST(max(c) AS BIGINT) AS maxc2
+                FROM gc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(wagg.total, 0) AS n_tokens,
+                   COALESCE(wagg.n_distinct, 0) AS n_distinct,
+                   CASE WHEN wagg.total > 0
+                        THEN (wagg.total - wagg.n_distinct) / CAST(wagg.total AS DOUBLE)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN wagg.total > 0
+                        THEN wagg.maxc / CAST(wagg.total AS DOUBLE)
+                        ELSE 0.0 END AS top_word_frac,
+                   CASE WHEN gagg.total2 > 0
+                        THEN gagg.maxc2 / CAST(gagg.total2 AS DOUBLE)
+                        ELSE 0.0 END AS top_2gram_frac
+            FROM documents d
+            LEFT JOIN wagg ON wagg.doc_id = d.doc_id
+            LEFT JOIN gagg ON gagg.doc_id = d.doc_id
+        """,
+        "doc_decontam": """
+            WITH bench AS (
+                SELECT substr(text, 1, 120) AS snip
+                FROM documents WHERE doc_id < 20
+            )
+            SELECT d.doc_id,
+                   CAST((SELECT count(*) FROM bench b
+                         WHERE contains(d.text, b.snip)) AS BIGINT) AS n_hits,
+                   (SELECT count(*) FROM bench b
+                    WHERE contains(d.text, b.snip)) > 0 AS contaminated
+            FROM documents d
         """,
         "doc_lang_stats": """
             SELECT lang,

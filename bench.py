@@ -183,6 +183,7 @@ def run_scaling() -> dict:
     # levels early and late slots; min-of-reps is the standard
     # steady-state-throughput protocol and every individual run is recorded.
     runs: dict[int, list[dict]] = {lo: [], hi: []}
+    ceilings: list[dict] = []
     first = True
     for _ in range(2):
         for lvl in (lo, hi):
@@ -190,13 +191,37 @@ def run_scaling() -> dict:
                 time.sleep(20)
             first = False
             runs[lvl].append(run(lvl))
+        # same-session hardware ceiling: the pure no-Ray signature kernel in
+        # N independent processes at the SAME two levels.  This box drifts
+        # hour-to-hour (BENCH/BASELINE.md caveat); pipeline-vs-ceiling
+        # measured back-to-back is the drift-stable quantity.
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__) or ".", "scripts",
+                          "kernel_ceiling.py"), str(lo), str(hi)],
+            capture_output=True, text=True,
+        )
+        if proc.returncode == 0:
+            ceilings.append(json.loads(proc.stdout.strip().splitlines()[-1]))
     r_lo = min(runs[lo], key=lambda r: r["value"])
     r_lo["all_secs"] = [r["value"] for r in runs[lo]]
     r_hi = min(runs[hi], key=lambda r: r["value"])
     r_hi["all_secs"] = [r["value"] for r in runs[hi]]
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    ceil_out: dict = {}
+    if ceilings:
+        c_lo = max(c[f"docs_per_sec_{lo}"] for c in ceilings)
+        c_hi = max(c[f"docs_per_sec_{hi}"] for c in ceilings)
+        ceil_eff = (c_hi / c_lo) / (hi / lo)
+        ceil_out = {
+            f"ceiling_docs_per_sec_{lo}": c_lo,
+            f"ceiling_docs_per_sec_{hi}": c_hi,
+            "ceiling_efficiency": round(ceil_eff, 3),
+            "efficiency_vs_ceiling": round(eff / ceil_eff, 3),
+        }
     return {
+        **ceil_out,
         "metric": "scaling_efficiency",
         "sf": r_lo["sf"],
         "n_pages": r_lo["n_pages"],

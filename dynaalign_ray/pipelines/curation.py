@@ -612,3 +612,90 @@ def doc_similarity_stats(sf_dir: str, num_partitions: int = 8):
             "max_jaccard": round4([s.get("max_jaccard", 0.0)]),
         }
     )
+
+
+def doc_pii(sf_dir: str):
+    """Per-doc PII counts (emails / IPv4 / phones) — one Arrow RE2 pass per
+    pattern; the oracle runs the same pattern strings through DuckDB RE2."""
+    from dynaalign_ray.functions.pii import pii_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pii_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_pii_redacted(sf_dir: str):
+    """Redacted text (emails/IPs/phones -> typed placeholder tokens)."""
+    from dynaalign_ray.functions.pii import pii_redact_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-word / top-word /
+    top-2-gram fractions), lexsort+run-length vectorized per batch."""
+    from dynaalign_ray.functions.repetition import repetition_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# deterministic "benchmark set" for the decontam queries: the first
+# N_BENCH docs' first SNIP_LEN characters (the oracle SQL derives the
+# identical set from the same table, so no external data is involved)
+_DECONTAM_N_BENCH = 20
+_DECONTAM_SNIP_LEN = 120
+
+
+def _bench_snippets(sf_dir: str) -> list[str]:
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < _DECONTAM_N_BENCH,
+    )
+    t = t.sort_by("doc_id")
+    return [s[:_DECONTAM_SNIP_LEN] for s in t.column("text").to_pylist()]
+
+
+def doc_decontam(sf_dir: str):
+    """Exact-substring decontamination vs the deterministic benchmark set:
+    snippets are ray.put ONCE and fetched per actor in __init__."""
+    import ray
+
+    from dynaalign_ray.functions.decontam import SnippetDecontamActor
+
+    ds = _docs(sf_dir, ["doc_id", "text"])  # configures context first
+    snippets_ref = ray.put(_bench_snippets(sf_dir))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(
+        SnippetDecontamActor,
+        fn_constructor_args=(snippets_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(2, max(2, ncpu // 2)),
+    )
+
+
+def doc_decontam_ngram(sf_dir: str, n: int = 8):
+    """N-gram-overlap decontamination (the 100 TB scale path): benchmark
+    n-gram hash set broadcast once, searchsorted membership per batch."""
+    import ray
+
+    from dynaalign_ray.functions.decontam import NgramDecontamActor, build_ngram_set
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ngrams_ref = ray.put(build_ngram_set(_bench_snippets(sf_dir), n=n))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(
+        NgramDecontamActor,
+        fn_constructor_args=(ngrams_ref, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(2, max(2, ncpu // 2)),
+    )
