@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
         "doc_fingerprints": c.doc_fingerprints,  # rows-only
         "doc_char_classes": c.doc_char_classes,
+        "doc_bpe_tokens": c.doc_bpe_tokens,
         "doc_pii": c.doc_pii,
         "doc_pii_redacted": c.doc_pii_redacted,
         "doc_repetition": c.doc_repetition,
@@ -142,6 +143,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS BIGINT) AS n_punct,
                    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
                    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+            FROM documents
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                        AS BIGINT) AS n_pieces
             FROM documents
         """,
         "doc_pii": """

@@ -119,6 +119,9 @@ def run_bench() -> dict:
     timed("embedding_topk", lambda: c.embedding_topk(SF_DIR).num_rows)
     timed("top_customers", lambda: r.top_customers(SF_DIR, 10, P).count())
     timed("doc_curation_funnel", lambda: c.doc_curation_funnel(SF_DIR).num_rows)
+    timed("doc_repetition", lambda: c.doc_repetition(SF_DIR).count())
+    timed("doc_pii", lambda: c.doc_pii(SF_DIR).count())
+    timed("doc_decontam", lambda: c.doc_decontam(SF_DIR).count())
 
     result = {
         "metric": "neardup_pages_e2e",

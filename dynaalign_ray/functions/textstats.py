@@ -35,6 +35,25 @@ def token_count_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (the original's
+# trailing-space lookahead dropped — RE2 has no lookahead; both Arrow and
+# the DuckDB oracle compile this exact string through RE2, so counts agree)
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
+    """docs -> (doc_id, n_pieces): BPE-ish pre-tokenizer piece count — the
+    standard LLM-cost proxy (whitespace token counts undercount code/punct
+    heavy text)."""
+    n = pc.count_substring_regex(batch.column(col), BPE_PATTERN)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_pieces": n.cast(pa.int64()),
+        }
+    )
+
+
 def quality_score_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
     """docs -> per-doc quality features + a composite score in [0, 1].
 

@@ -699,3 +699,13 @@ def doc_decontam_ngram(sf_dir: str, n: int = 8):
         batch_size=1024,
         concurrency=(2, max(2, ncpu // 2)),
     )
+
+
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenizer piece counts (LLM-cost proxy), single Arrow
+    RE2 pass; the oracle compiles the identical pattern through DuckDB RE2."""
+    from dynaalign_ray.functions.textstats import bpe_token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -81,6 +81,35 @@ def test_pii_duckdb_parity_on_testdata():
         assert got.column(col).to_pylist() == want.column(col).to_pylist(), col
 
 
+def test_bpe_token_count_known_answer():
+    from dynaalign_ray.functions.textstats import bpe_token_count_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["it's a test-case 42", ""]),
+        }
+    )
+    # pieces: "it", "'s", " a", " test", "-", "case", " 42"
+    assert bpe_token_count_batch(t).column("n_pieces").to_pylist() == [7, 0]
+
+
+def test_bpe_token_count_duckdb_parity():
+    from dynaalign_ray.functions.textstats import bpe_token_count_batch
+
+    t = _docs_table()
+    got = bpe_token_count_batch(t).sort_by("doc_id")
+    want = duckdb.sql(
+        """
+        SELECT doc_id, CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+            AS BIGINT) AS n_pieces
+        FROM t ORDER BY doc_id
+        """
+    ).arrow()
+    assert got.column("n_pieces").to_pylist() == want.column("n_pieces").to_pylist()
+
+
 # ---------------------------------------------------------- repetition
 
 
