@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family (SURVEY.md §2.5 set-ops/dedup; engine additions)
         "doc_exact_dedup": c.doc_exact_dedup,
         "doc_norm_dedup": c.doc_norm_dedup,
+        "doc_chunk_stats": c.doc_chunk_stats,
+        "doc_chunk_dedup": c.doc_chunk_dedup,
         "doc_neardup_clusters": c.doc_neardup_clusters,  # rows-only
         "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
         "doc_curation_funnel": c.doc_curation_funnel,  # rows-only (composed funnel)
@@ -93,6 +95,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
             FROM documents
             GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        """,
+        "doc_chunk_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS word,
+                       unnest(range(len(regexp_extract_all(text, '\\S+')))) AS word_no
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, word_no // 10 AS chunk_no,
+                       string_agg(word, ' ' ORDER BY word_no) AS chunk
+                FROM w GROUP BY doc_id, word_no // 10
+            )
+            SELECT chunk, CAST(count(*) AS BIGINT) AS n_occ,
+                   min(doc_id) AS first_doc
+            FROM ex GROUP BY chunk HAVING count(*) > 1
+        """,
+        "doc_chunk_dedup": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS word,
+                       unnest(range(len(regexp_extract_all(text, '\\S+')))) AS word_no
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, word_no // 10 AS chunk_no,
+                       string_agg(word, ' ' ORDER BY word_no) AS chunk
+                FROM w GROUP BY doc_id, word_no // 10
+            ), ranked AS (
+                SELECT doc_id, chunk_no, chunk,
+                       row_number() OVER (
+                           PARTITION BY chunk ORDER BY doc_id, chunk_no
+                       ) AS rn
+                FROM ex
+            )
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       coalesce(string_agg(chunk, ' ' ORDER BY chunk_no)
+                                FILTER (WHERE rn = 1), '') AS clean_text,
+                       count(*) AS n_chunks,
+                       count(*) FILTER (WHERE rn > 1) AS n_removed
+                FROM ranked GROUP BY doc_id
+            ) a USING (doc_id)
         """,
         "doc_token_counts": """
             SELECT doc_id,

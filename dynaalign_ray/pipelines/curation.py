@@ -709,3 +709,29 @@ def doc_bpe_tokens(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         bpe_token_count_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def doc_chunk_stats(sf_dir: str, num_partitions: int = 8, chunk_words: int = 10):
+    """Duplicate-chunk stats (chunk, n_occ, first_doc): the CCNet paragraph-
+    dedup discovery step at word-window granularity (docs have no newlines)."""
+    from dynaalign_ray.stages.chunk_dedup import chunk_dup_stats
+
+    return chunk_dup_stats(
+        _docs(sf_dir, ["doc_id", "text"]),
+        num_partitions,
+        unit="words",
+        chunk_words=chunk_words,
+    )
+
+
+def doc_chunk_dedup(sf_dir: str, num_partitions: int = 8, chunk_words: int = 10):
+    """Corpus-wide chunk-level exact dedup (keep lexicographic-first
+    occurrence), documents re-assembled from surviving chunks."""
+    from dynaalign_ray.stages.chunk_dedup import chunk_dedup
+
+    return chunk_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        num_partitions,
+        unit="words",
+        chunk_words=chunk_words,
+    )
