@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only
         "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
         "doc_substring_pairs": c.doc_substring_pairs,  # rows-only
+        "doc_substring_dedup": c.doc_substring_dedup,  # rows-only (span removal)
         # --- text analysis
         "doc_token_counts": c.doc_token_counts,
         "doc_shingle_counts": c.doc_shingle_counts,
