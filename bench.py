@@ -122,6 +122,8 @@ def run_bench() -> dict:
     timed("doc_repetition", lambda: c.doc_repetition(SF_DIR).count())
     timed("doc_pii", lambda: c.doc_pii(SF_DIR).count())
     timed("doc_decontam", lambda: c.doc_decontam(SF_DIR).count())
+    timed("doc_chunk_dedup", lambda: c.doc_chunk_dedup(SF_DIR, P).count())
+    timed("doc_substring_dedup", lambda: c.doc_substring_dedup(SF_DIR, P).count())
 
     result = {
         "metric": "neardup_pages_e2e",
