@@ -22,8 +22,10 @@ string.  ``doc_id`` ties cannot happen (doc_id is unique), so the winner's
 doc is simply ``min(doc_id)``.
 
 Scale shape (10^12 docs): the explode emits only ``(chunk_hash, enc)``
-int64 pairs — never chunk text — into a hash-shuffle aggregate whose
-per-block combiner collapses within-block duplicates before the exchange.
+int64 pairs (plus one representative chunk string) into a hash
+repartition by chunk_hash followed by one local Arrow ``group_by`` per
+block — each key lands wholly in one block, so the local result is the
+global one.
 The duplicate-winner table (hashes with count >= 2 only) is broadcast once
 via ``ray.put`` and probed per batch with a binary search; the second pass
 re-derives chunks per batch and re-assembles documents with zero-copy Arrow
@@ -122,9 +124,13 @@ def explode_chunk_keys(
 
 def duplicate_chunk_groups(docs_ds, num_partitions: int, *, unit: str, chunk_words: int):
     """docs -> (chunk_hash, winner_enc, n_occ, chunk) for chunks with >= 2
-    occurrences.  ``chunk`` rides through the aggregate as Min over a column
-    of identical strings (one representative per group)."""
-    from ray.data.aggregate import Count, Min
+    occurrences.  ``chunk`` rides through the aggregate as min over a column
+    of identical strings (one representative per group).
+
+    Hash-repartition by chunk_hash then ONE Arrow ``group_by`` per block
+    (``batch_size=None`` = whole block, so each key is wholly local) — far
+    faster than Ray's groupby().aggregate() at ~10^6 distinct keys, where
+    per-key aggregate state dominates."""
 
     ex = docs_ds.map_batches(
         functools.partial(
@@ -133,16 +139,27 @@ def duplicate_chunk_groups(docs_ds, num_partitions: int, *, unit: str, chunk_wor
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    groups = ex.groupby("chunk_hash", num_partitions=num_partitions).aggregate(
-        Min("enc", alias_name="winner_enc"),
-        Count(alias_name="n_occ"),
-        Min("chunk", alias_name="chunk"),
+
+    def group_dups(b: pa.Table) -> pa.Table:
+        g = b.group_by("chunk_hash").aggregate(
+            [("enc", "min"), ("enc", "count"), ("chunk", "min")]
+        )
+        g = g.filter(pc.greater(g.column("enc_count"), 1))
+        return pa.table(
+            {
+                "chunk_hash": g.column("chunk_hash"),
+                "winner_enc": g.column("enc_min"),
+                "n_occ": g.column("enc_count"),
+                "chunk": g.column("chunk_min"),
+            }
+        )
+
+    return ex.repartition(num_blocks=num_partitions, keys=["chunk_hash"]).map_batches(
+        group_dups,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-
-    def only_dups(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(b.column("n_occ"), 1))
-
-    return groups.map_batches(only_dups, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def chunk_dup_stats(docs_ds, num_partitions: int, *, unit: str = "words", chunk_words: int = 10):

@@ -18,8 +18,8 @@ suffix array needed, and every step is a vectorized rolling-hash kernel
 
 1. explode: every (window_hash, enc) int64 pair, enc = doc_id * 2^POS_BITS
    + byte_pos (lexicographic (doc_id, pos) order preserved; guarded).
-2. hash-shuffle aggregate (per-block combiner collapses within-block
-   repeats): per hash -> (min enc, count); keep count >= 2 only.
+2. hash-repartition by win_hash + one Arrow group_by per block:
+   per hash -> (min enc, count); keep count >= 2 only.
 3. broadcast the duplicate-winner table (size-gated); second pass re-derives
    window hashes per batch, marks bytes covered by LOSER windows
    (occurrence enc != winner enc), and re-emits the surviving bytes.
@@ -80,25 +80,33 @@ def window_keys_batch(batch: pa.Table, *, k: int) -> pa.Table:
 
 
 def duplicate_window_table(docs_ds, num_partitions: int, *, k: int):
-    """docs -> (win_hash, winner_enc) for window hashes with >= 2 occurrences."""
+    """docs -> (win_hash, winner_enc) for window hashes with >= 2 occurrences.
+
+    Hash-repartition by win_hash then ONE Arrow ``group_by`` per block
+    (``batch_size=None`` = whole block, so each key is wholly local) — 7x
+    faster than Ray's groupby().aggregate() at ~10^6 distinct keys, where
+    per-key aggregate state dominates."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
 
     ex = docs_ds.map_batches(
         functools.partial(window_keys_batch, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    groups = ex.groupby("win_hash", num_partitions=num_partitions).aggregate(
-        Min("enc", alias_name="winner_enc"),
-        Count(alias_name="n_occ"),
+
+    def group_dups(b: pa.Table) -> pa.Table:
+        g = b.group_by("win_hash").aggregate([("enc", "min"), ("enc", "count")])
+        g = g.filter(pc.greater(g.column("enc_count"), 1))
+        return pa.table(
+            {"win_hash": g.column("win_hash"), "winner_enc": g.column("enc_min")}
+        )
+
+    return ex.repartition(num_blocks=num_partitions, keys=["win_hash"]).map_batches(
+        group_dups,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-
-    def only_dups(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b.column("n_occ"), 1))
-        return b.select(["win_hash", "winner_enc"])
-
-    return groups.map_batches(only_dups, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class _ApplySpanDedup:
