@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_sessions": c.events_user_sessions,
         "events_sliding_counts": c.events_sliding_counts,
         "embedding_topk_lsh": c.embedding_topk_lsh,  # rows-only (ANN)
+        "embedding_topk_ivf": c.embedding_topk_ivf,  # rows-only (ANN, IVF index)
         # --- relational operator surface
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,

@@ -16,7 +16,7 @@ import functools
 import numpy as np
 import pyarrow as pa
 
-from dynaalign_ray.hashing import mix64
+from dynaalign_ray.hashing import U64, mix64
 
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -358,6 +358,206 @@ def cosine_neardup_lsh(
         .map_batches(
             dedup_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
+    )
+
+
+def _topk_reduce(candidates_ds, k: int) -> pa.Table:
+    """Driver-side final reduce over per-block partial top-k candidate rows
+    (query_id, vec_id, cosine) — the input is ``num_blocks * k`` rows per
+    query, never the corpus.  Rank ties break on vec_id (deterministic)."""
+    import ray
+
+    parts = [ray.get(r) for r in candidates_ds.to_arrow_refs()]
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    allc = pa.concat_tables(nonempty)
+    q = np.asarray(allc.column("query_id"))
+    v = np.asarray(allc.column("vec_id"))
+    s = np.asarray(allc.column("cosine"))
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qi in np.unique(q):
+        m = q == qi
+        vv, ss = v[m], s[m]
+        order = np.lexsort((vv, -ss))[:k]
+        out_q.append(np.full(len(order), qi, dtype=np.int64))
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        out_v.append(vv[order])
+        out_s.append(ss[order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "rank": pa.array(np.concatenate(out_r), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+        }
+    )
+
+
+def train_centroids(
+    embeddings_ds,
+    n_centroids: int = 64,
+    *,
+    sample_cap: int = 200_000,
+    n_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids for the IVF index, trained on a BOUNDED
+    deterministic sample (never the full corpus): rows where
+    ``mix64(vec_id) < frac * 2^63`` are kept inside ``map_batches`` (hash
+    sampling — partition/order invariant), collected to the driver capped at
+    ~``sample_cap`` rows, then a few vectorized Lloyd iterations on the
+    L2-normalized sample.  Empty clusters are re-seeded from the rows
+    farthest from their assigned centroid (deterministic).  Returns an
+    (n_centroids, dim) unit-norm float64 matrix."""
+    import ray
+
+    n = embeddings_ds.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    # <= against frac * int64-max keeps everything at frac == 1 (no overflow)
+    cut = np.int64(frac * float(2**63 - 1025))
+
+    def sample_block(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        keep = mix64(ids.astype(U64)).astype(np.int64) & np.int64(2**63 - 1)
+        mask = keep <= cut
+        return pa.table({"embedding": batch.column(col).filter(pa.array(mask))})
+
+    parts = [
+        t
+        for t in (
+            ray.get(r)
+            for r in embeddings_ds.map_batches(
+                sample_block, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    sample = _normalize(
+        _embedding_matrix(pa.concat_tables(parts).combine_chunks(), "embedding")
+    )
+    m = sample.shape[0]
+    kk = min(n_centroids, m)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = sample[rng.choice(m, size=kk, replace=False)]
+    for _ in range(n_iter):
+        sims = sample @ cent.T  # (m, kk)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(m), assign]
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, sample)
+        counts = np.bincount(assign, minlength=kk)
+        empty = counts == 0
+        if empty.any():
+            # farthest-from-own-centroid rows become the new seeds
+            far = np.argsort(best)[: int(empty.sum())]
+            new[empty] = sample[far]
+            counts[empty] = 1
+        cent = _normalize(new / counts[:, None])
+    return cent
+
+
+def ivf_assign(
+    embeddings_ds,
+    centroids: np.ndarray,
+    *,
+    col: str = "embedding",
+):
+    """Add a ``centroid_id`` column (nearest centroid by cosine) — broadcast
+    centroids once, one matmul+argmax per batch.  At rest this enables the
+    true IVF layout: ``write_parquet(..., partition_cols=["centroid_id"])``
+    so a query touching ``nprobe`` lists reads only those partitions."""
+    import ray
+
+    ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        vecs = _normalize(_embedding_matrix(batch, col))
+        cid = np.argmax(vecs @ cent.T, axis=1).astype(np.int64)
+        return batch.append_column("centroid_id", pa.array(cid, type=pa.int64()))
+
+    return embeddings_ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ivf_topk(
+    embeddings_ds,
+    query_matrix: np.ndarray,
+    k: int = 5,
+    *,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) index — the centroid
+    counterpart of :func:`lsh_bucket_topk`: spherical k-means centroids
+    (trained on a bounded sample, :func:`train_centroids`), each query
+    probes its ``nprobe`` nearest lists, each batch scores only vectors
+    assigned to a probed list.  Same output schema as brute_force_topk;
+    prunes the matmul to ~``nprobe / n_centroids`` of the corpus.  With
+    data written via :func:`ivf_assign` + partitioned parquet, the read
+    itself prunes to the probed lists."""
+    import ray
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    if centroids is None:
+        centroids = train_centroids(
+            embeddings_ds, n_centroids, seed=seed, id_col=id_col, col=col
+        )
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    np_probe = min(nprobe, cent.shape[0])
+    qprobes = np.argsort(-(qm @ cent.T), axis=1)[:, :np_probe]  # (q, nprobe)
+    ref = ray.put((qm, cent, qprobes))
+
+    def local(batch: pa.Table) -> pa.Table:
+        queries, cc, probes = ray.get(ref)
+        vecs = _normalize(_embedding_matrix(batch, col))
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        assign = np.argmax(vecs @ cc.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(queries.shape[0]):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ queries[qi]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[mask][idx])
+            out_sim.append(sims[idx])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+    return _topk_reduce(
+        embeddings_ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True),
+        k,
     )
 
 

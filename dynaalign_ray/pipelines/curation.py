@@ -574,6 +574,26 @@ def embedding_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5):
     return lsh_bucket_topk(emb, qm, k=k, n_bits=6)
 
 
+def embedding_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5):
+    """Approximate cosine top-k via an IVF index (sample-trained spherical
+    k-means centroids, nprobe nearest lists per query) — the centroid
+    counterpart of the sign-LSH scale path; rows-only check (recall is
+    evaluated vs the exact path in tests)."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.similarity_search import ivf_topk
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in emb.filter(expr=f"vec_id < {n_queries}").take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return ivf_topk(emb, qm, k=k, n_centroids=32, nprobe=8)
+
+
 def doc_corpus_stats(sf_dir: str):
     """Corpus-level metrics: doc count + HLL approximate distinct tokens
     (mergeable-sketch aggregation; deterministic, rows-only check)."""

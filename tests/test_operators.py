@@ -247,6 +247,47 @@ class TestSimilaritySearch:
             rec += len(e & a) / len(e)
         assert rec / 3 >= 0.5
 
+    def test_ivf_variant_recall_and_assign(self, rd):
+        from dynaalign_ray.functions.similarity_search import (
+            brute_force_topk,
+            ivf_assign,
+            ivf_topk,
+            train_centroids,
+        )
+
+        rng = np.random.default_rng(2)
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        q = vecs[:3].astype(np.float64)
+        exact = brute_force_topk(ds, q, k=5).to_pandas()
+        # generous nprobe on random gaussian data (no cluster structure)
+        approx = ivf_topk(ds, q, k=5, n_centroids=16, nprobe=8, seed=7).to_pandas()
+        rec = 0.0
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            rec += len(e & a) / len(e)
+        assert rec / 3 >= 0.5
+        # nprobe = n_centroids degenerates to exact
+        full = ivf_topk(ds, q, k=5, n_centroids=16, nprobe=16, seed=7).to_pandas()
+        for qi in range(3):
+            e = exact[exact.query_id == qi].sort_values("rank").vec_id.tolist()
+            f = full[full.query_id == qi].sort_values("rank").vec_id.tolist()
+            assert e == f
+        # centroid training is deterministic; assignment covers every row
+        c1 = train_centroids(ds, 16, seed=7)
+        c2 = train_centroids(ds, 16, seed=7)
+        np.testing.assert_array_equal(c1, c2)
+        assigned = ivf_assign(ds, c1).to_pandas()
+        assert len(assigned) == 300
+        assert assigned.centroid_id.between(0, 15).all()
+
 
 class TestMultimodal:
     def test_strict_stub_raises(self, rd):
