@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam": c.doc_decontam,
         "doc_decontam_ngram": c.doc_decontam_ngram,  # rows-only (n-gram scale path)
         "doc_vocab": c.doc_vocab,
+        "doc_top_terms": c.doc_top_terms,
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
         "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
         # --- similarity search
@@ -301,6 +302,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
             FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
             WHERE len(toks) >= 3
+        """,
+        "doc_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY term
+            ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / CAST(df.df AS DOUBLE) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / CAST(df.df AS DOUBLE) DESC,
+                                    tf.term ASC
+                       ) AS rn
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df, score FROM ranked WHERE rn = 1
         """,
         "events_sliding_counts": """
             WITH e AS (

@@ -110,7 +110,25 @@ def run_bench() -> dict:
     queries["neardup_pages"] = round(headline, 3)
     assert n_out == n_pages, (n_out, n_pages)
 
-    # --- operator surface over the driver testdata
+    # --- operator surface over the driver testdata.  Scaling children skip
+    # it: the criterion is headline throughput, and ~2 min of extra load per
+    # child degrades the box for the next interleaved level (measured: the
+    # level that follows a long child reads up to 2x slower).
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        result = {
+            "metric": "neardup_pages_e2e",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "n_pages": n_pages,
+            "docs_per_sec": round(n_pages / headline, 1),
+            "cc": res.stats["cc"],
+        }
+        ray.shutdown()
+        return result
+
     timed("doc_neardup_clusters", lambda: c.doc_neardup_clusters(SF_DIR, P).count())
     timed("doc_exact_dedup", lambda: c.doc_exact_dedup(SF_DIR, P).count())
     timed("q1_pricing", lambda: r.q1_pricing(SF_DIR, P).count())
@@ -158,6 +176,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_BENCH_PAGES=scaling_pages,
+            GRAFT_HEADLINE_ONLY="1",
         )
         last_err = None
         for _attempt in range(2):  # one retry for transient Ray startup failures

@@ -504,6 +504,16 @@ def doc_vocab(sf_dir: str, k: int = 3, num_partitions: int = 8):
     )
 
 
+def doc_top_terms(sf_dir: str, num_partitions: int = 8):
+    """Per-document most-distinctive term by rarity-weighted frequency
+    (tf * n_docs / df over whitespace tokens; ties break on the
+    lexicographically-first term) — see functions/tfidf.py for the plan."""
+    from dynaalign_ray.functions.tfidf import top_terms
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return top_terms(docs, num_partitions)
+
+
 def events_user_sessions(sf_dir: str, num_partitions: int = 8):
     """Session windows (30-min gap) per user over the events table."""
     import ray.data as rd

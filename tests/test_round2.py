@@ -4,6 +4,7 @@ diagonal-run verify kernel (contiguity), LSH multiprobe expansion, and
 checkpoint invalidation on runtime knobs outside DedupConfig."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -886,3 +887,62 @@ class TestReviewFixes:
             parent[find(r["a"])] = find(r["b"])
         assert len({find(i) for i in range(50)}) == 1
         assert len(rows) >= 49
+
+
+class TestTopTerms:
+    def test_known_answer(self, rd):
+        from dynaalign_ray.functions.tfidf import top_terms
+
+        # 3 docs: "rare" appears only in doc 0 (df=1), "common" in all (df=3)
+        t = pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                "text": pa.array(
+                    [
+                        "common rare common",
+                        "common filler filler",
+                        "common  ",
+                    ]
+                ),
+            }
+        )
+        out = top_terms(rd.from_arrow(t), num_partitions=2).to_pandas()
+        out = out.set_index("doc_id").sort_index()
+        # doc 10: rare tf=1 df=1 score=3 beats common tf=2 df=3 score=2
+        assert out.loc[10, "term"] == "rare" and out.loc[10, "score"] == 3.0
+        # doc 11: filler tf=2 df=1 score=6
+        assert out.loc[11, "term"] == "filler" and out.loc[11, "score"] == 6.0
+        # doc 12: only common tf=1 df=3 score=1
+        assert out.loc[12, "term"] == "common" and out.loc[12, "score"] == 1.0
+
+    def test_duckdb_parity_sf0001(self, rd):
+        import duckdb
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        got = (
+            entry.queries()["doc_top_terms"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = (
+            con.sql(entry.oracle_sql()["doc_top_terms"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert got.doc_id.tolist() == want.doc_id.tolist()
+        assert got.term.tolist() == want.term.tolist()
+        assert got.tf.tolist() == want.tf.tolist()
+        assert got.df.tolist() == want.df.tolist()
+        # bit-exact: integer inputs, one multiply + one divide each side
+        assert got.score.tolist() == want.score.tolist()
