@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_order_counts": r.high_value_order_counts,
         "lineitem_topk_price": r.lineitem_topk_price,
         "orders_customer_hashjoin": r.orders_customer_hashjoin,
+        "events_order_asof": r.events_order_asof,
     }
 
 
@@ -302,6 +303,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
             FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
             WHERE len(toks) >= 3
+        """,
+        "events_order_asof": """
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_us(o.o_orderdate) AS BIGINT) AS last_order_us
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "doc_top_terms": """
             WITH tok AS (

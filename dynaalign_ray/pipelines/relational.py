@@ -338,3 +338,26 @@ def orders_customer_hashjoin(sf_dir: str, num_partitions: int = 8):
         Count(alias_name="n_orders"),
     )
     return _round_cols(agg, ["revenue"])
+
+
+def events_order_asof(sf_dir: str, num_partitions: int = 8):
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time (greatest o_orderdate <= ts per user) — the
+    "latest state at event time" lookup; see stages/asof.py for the plan.
+    Output carries the matched timestamp only (right-side payload columns
+    would be tie-nondeterministic when a user has several orders on the
+    matched date)."""
+    from dynaalign_ray.stages.asof import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id", "user_id"],
+        num_partitions=num_partitions,
+    ).rename_columns({"asof_ts_us": "last_order_us"})

@@ -946,3 +946,67 @@ class TestTopTerms:
         assert got.df.tolist() == want.df.tolist()
         # bit-exact: integer inputs, one multiply + one divide each side
         assert got.score.tolist() == want.score.tolist()
+
+
+class TestAsofJoin:
+    def test_known_answer(self, rd):
+        from dynaalign_ray.stages.asof import asof_join
+
+        left = pa.table(
+            {
+                "eid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "k": pa.array([7, 7, 7, 8, 9], pa.int64()),
+                "t": pa.array([100, 250, 50, 500, 10], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "rk": pa.array([7, 7, 8, 8], pa.int64()),
+                "rt": pa.array([100, 200, 400, 500], pa.int64()),
+            }
+        )
+        out = asof_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            left_on="k",
+            right_on="rk",
+            left_ts="t",
+            right_ts="rt",
+            left_cols=["eid", "k"],
+            num_partitions=2,
+        ).to_pandas().set_index("eid").sort_index()
+        # eid 1: t=100 matches rt=100 (inclusive); eid 2: t=250 -> rt=200
+        # eid 3: t=50 -> no right row <= 50 (dropped, inner semantics)
+        # eid 4: t=500 -> rt=500; eid 5: key 9 has no right rows (dropped)
+        assert out.index.tolist() == [1, 2, 4]
+        assert out.asof_ts_us.tolist() == [100, 200, 500]
+
+    def test_duckdb_parity_sf0001(self, rd):
+        import duckdb
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        got = (
+            entry.queries()["events_order_asof"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        for t in ("events", "orders"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            )
+        want = (
+            con.sql(entry.oracle_sql()["events_order_asof"])
+            .df()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        assert got.event_id.tolist() == want.event_id.tolist()
+        assert got.user_id.tolist() == want.user_id.tolist()
+        assert got.last_order_us.tolist() == want.last_order_us.tolist()
