@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam_ngram": c.doc_decontam_ngram,  # rows-only (n-gram scale path)
         "doc_vocab": c.doc_vocab,
         "doc_top_terms": c.doc_top_terms,
+        "doc_length_quantiles": c.doc_length_quantiles,
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
         "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
         # --- similarity search
@@ -303,6 +304,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
             FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
             WHERE len(toks) >= 3
+        """,
+        "doc_length_quantiles": """
+            WITH t AS (
+                SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+                FROM documents
+            )
+            SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,
+                   unnest(quantile_disc(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS n_tokens
+            FROM t
         """,
         "events_order_asof": """
             SELECT e.event_id, e.user_id,

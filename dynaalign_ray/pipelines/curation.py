@@ -504,6 +504,22 @@ def doc_vocab(sf_dir: str, k: int = 3, num_partitions: int = 8):
     )
 
 
+def doc_length_quantiles(sf_dir: str, num_partitions: int = 8):
+    """Exact token-count quantiles over the corpus (p25/p50/p75/p90/p99) —
+    the distributed-exact-quantile operator (value histogram, DuckDB
+    quantile_disc semantics); see functions/sketches.exact_int_quantiles."""
+    from dynaalign_ray.functions.sketches import exact_int_quantiles
+    from dynaalign_ray.functions.textstats import token_count_batch
+
+    counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = exact_int_quantiles(
+        counts, "n_tokens", [0.25, 0.5, 0.75, 0.9, 0.99], num_partitions
+    )
+    return out.rename_columns(["q", "n_tokens"])
+
+
 def doc_top_terms(sf_dir: str, num_partitions: int = 8):
     """Per-document most-distinctive term by rarity-weighted frequency
     (tf * n_docs / df over whitespace tokens; ties break on the

@@ -1010,3 +1010,38 @@ class TestAsofJoin:
         assert got.event_id.tolist() == want.event_id.tolist()
         assert got.user_id.tolist() == want.user_id.tolist()
         assert got.last_order_us.tolist() == want.last_order_us.tolist()
+
+
+class TestExactQuantiles:
+    def test_known_answer_and_duckdb_rule(self, rd):
+        import duckdb
+
+        from dynaalign_ray.functions.sketches import exact_int_quantiles
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 200, size=5000).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"n": pa.array(vals, pa.int64())}))
+        qs = [0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0]
+        got = exact_int_quantiles(ds, "n", qs, num_partitions=3)
+        con = duckdb.connect()
+        con.register("t", pa.table({"n": pa.array(vals, pa.int64())}))
+        for q, v in zip(got.column("q").to_pylist(), got.column("value").to_pylist()):
+            want = con.sql(f"SELECT quantile_disc(n, {q}) FROM t").fetchone()[0]
+            assert v == want, (q, v, want)
+
+    def test_query_duckdb_parity_sf0001(self, rd):
+        import duckdb
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        got = entry.queries()["doc_length_quantiles"]("/root/testdata/sf0.001")
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = con.sql(entry.oracle_sql()["doc_length_quantiles"]).arrow()
+        assert got.column("q").to_pylist() == want.column("q").to_pylist()
+        assert got.column("n_tokens").to_pylist() == want.column("n_tokens").to_pylist()
