@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": c.doc_jaccard_pairs,
         "doc_lang_stats": c.doc_lang_stats,
         "doc_top_longest": c.doc_top_longest,
+        "doc_top_by_source": c.doc_top_by_source,
         "doc_source_stats": c.doc_source_stats,
         "doc_quality": c.doc_quality,  # rows-only (heuristic composite)
         "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
@@ -304,6 +305,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
             FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
             WHERE len(toks) >= 3
+        """,
+        "doc_top_by_source": """
+            WITH ranked AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS rnk
+                FROM documents
+            )
+            SELECT source, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 3
         """,
         "doc_length_quantiles": """
             WITH t AS (

@@ -86,6 +86,71 @@ def doc_top_longest(sf_dir: str, k: int = 10):
     )
 
 
+def doc_top_by_source(sf_dir: str, k: int = 3, num_partitions: int = 8):
+    """Per-group ranked window (ROW_NUMBER PARTITION BY analog): top-k docs
+    per source by (n_chars desc, doc_id asc).  Plan: route by hash(source)
+    (hash only routes — groups are delimited by exact string comparison
+    inside the block, so exactness never depends on hash injectivity),
+    one Arrow sort per block, vectorized per-group rank, keep rank <= k.
+    Never a global sort; the shuffle carries the 3 narrow columns."""
+    from dynaalign_ray.hashing import hash_strings, to_id63
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        h = to_id63(hash_strings(batch.column("source").to_pylist()))
+        return batch.append_column("src_hash", pa.array(h, type=pa.int64()))
+
+    def topk_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("source", pa.string()),
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("rnk", pa.int64()),
+            ]
+        )
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("source", "ascending"),
+                ("n_chars", "descending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        s = b.take(idx)
+        src = s.column("source").combine_chunks()
+        if isinstance(src, pa.ChunkedArray):
+            src = src.chunk(0)
+        codes = np.asarray(src.dictionary_encode().indices, dtype=np.int64)
+        n = len(codes)
+        pos = np.arange(n, dtype=np.int64)
+        boundary = np.ones(n, dtype=bool)
+        boundary[1:] = codes[1:] != codes[:-1]
+        group_start = np.maximum.accumulate(np.where(boundary, pos, 0))
+        rnk = pos - group_start + 1
+        keep = rnk <= k
+        kept = s.filter(pa.array(keep))
+        return pa.table(
+            {
+                "source": kept.column("source"),
+                "doc_id": kept.column("doc_id"),
+                "n_chars": kept.column("n_chars"),
+                "rnk": pa.array(rnk[keep], type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(add_route, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["src_hash"])
+        .map_batches(
+            topk_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
 def doc_source_stats(sf_dir: str, num_partitions: int = 8):
     from ray.data.aggregate import Count, Max, Min
 

@@ -1045,3 +1045,33 @@ class TestExactQuantiles:
         want = con.sql(entry.oracle_sql()["doc_length_quantiles"]).arrow()
         assert got.column("q").to_pylist() == want.column("q").to_pylist()
         assert got.column("n_tokens").to_pylist() == want.column("n_tokens").to_pylist()
+
+
+class TestTopBySource:
+    def test_duckdb_parity_sf0001(self, rd):
+        import duckdb
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        got = (
+            entry.queries()["doc_top_by_source"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["source", "rnk"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = (
+            con.sql(entry.oracle_sql()["doc_top_by_source"])
+            .df()
+            .sort_values(["source", "rnk"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        for col in ("source", "doc_id", "n_chars", "rnk"):
+            assert got[col].tolist() == want[col].tolist(), col
