@@ -142,6 +142,11 @@ def run_bench() -> dict:
     timed("doc_decontam", lambda: c.doc_decontam(SF_DIR).count())
     timed("doc_chunk_dedup", lambda: c.doc_chunk_dedup(SF_DIR, P).count())
     timed("doc_substring_dedup", lambda: c.doc_substring_dedup(SF_DIR, P).count())
+    timed("doc_top_terms", lambda: c.doc_top_terms(SF_DIR, P).count())
+    timed("events_order_asof", lambda: r.events_order_asof(SF_DIR, P).count())
+    timed("doc_length_quantiles", lambda: c.doc_length_quantiles(SF_DIR, P).num_rows)
+    timed("doc_top_by_source", lambda: c.doc_top_by_source(SF_DIR, 3, P).count())
+    timed("embedding_topk_ivf", lambda: c.embedding_topk_ivf(SF_DIR).num_rows)
 
     result = {
         "metric": "neardup_pages_e2e",
