@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_clusters": c.doc_neardup_clusters,  # rows-only
         "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
         "doc_curation_funnel": c.doc_curation_funnel,  # rows-only (composed funnel)
+        "doc_tiered_funnel": c.doc_tiered_funnel,  # rows-only (doc->chunk->span->near tiers)
         "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only
         "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
         "doc_substring_pairs": c.doc_substring_pairs,  # rows-only

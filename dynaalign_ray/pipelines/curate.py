@@ -108,11 +108,21 @@ def curate_corpus(
     min_quality: float = 0.3,
     allowed_langs=("en",),
     min_tokens: int = 20,
+    chunk_unit: str | None = None,
+    chunk_words: int = 10,
+    span_k: int | None = None,
     num_partitions: int | None = None,
     approx_rows: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> CurationResult:
     """Run the full curation funnel; see module docstring.
+
+    ``chunk_unit`` ("lines" / "words") inserts the CCNet-style chunk-level
+    exact-dedup tier and ``span_k`` the ExactSubstr span-removal tier
+    between exact and near dedup, completing the tiered chain
+    doc-exact -> chunk -> byte-span -> MinHash-near: each tier rewrites
+    ``text`` (duplicated units cut, first occurrence kept) and the funnel
+    records what it removed (``chunks_removed`` / ``span_bytes_removed``).
 
     Returns kept docs (doc_id, text), the near-dup clusters table of the
     exact-dedup survivors, and the funnel counts per stage.  With
@@ -135,9 +145,11 @@ def curate_corpus(
         raise ValueError("provide exactly one of pages_ds / docs_ds")
     P = num_partitions or pick_num_partitions(approx_rows)
     langs_token = ",".join(sorted(allowed_langs)) if allowed_langs else "*"
+    tiers_token = f"cd{chunk_unit or '-'}:{chunk_words}|sd{span_k or '-'}"
     ckpt = CheckpointContext(
         checkpoint_dir,
-        f"{cfg.config_hash()}|q{min_quality}|l={langs_token}|t{min_tokens}|P{P}",
+        f"{cfg.config_hash()}|q{min_quality}|l={langs_token}|t{min_tokens}"
+        f"|{tiers_token}|P{P}",
     )
 
     if docs_ds is None:
@@ -179,6 +191,45 @@ def curate_corpus(
     if checkpoint_dir is None:
         exact_kept = exact_kept.materialize()
     funnel["after_exact_dedup"] = exact_kept.count()
+
+    # optional mid-funnel tiers: each rewrites text in place (duplicated
+    # units cut, lexicographic-first occurrence kept) before the near-dup
+    # tier sees it — the tiered-dedup chain doc -> chunk -> span -> near
+    def _clean_to_text(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("clean_text"),
+            }
+        )
+
+    if chunk_unit is not None:
+        from dynaalign_ray.stages.chunk_dedup import chunk_dedup
+
+        cd, fp2 = ckpt.run_stage(
+            "chunk_dedup",
+            fp2,
+            lambda: chunk_dedup(exact_kept, P, unit=chunk_unit, chunk_words=chunk_words),
+        )
+        if checkpoint_dir is None:
+            cd = cd.materialize()
+        funnel["chunks_removed"] = int(cd.sum("n_removed") or 0)
+        exact_kept = cd.map_batches(
+            _clean_to_text, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    if span_k is not None:
+        from dynaalign_ray.stages.span_dedup import span_dedup
+
+        sd, fp2 = ckpt.run_stage(
+            "span_dedup", fp2, lambda: span_dedup(exact_kept, P, k=span_k)
+        )
+        if checkpoint_dir is None:
+            sd = sd.materialize()
+        funnel["span_bytes_removed"] = int(sd.sum("n_removed_bytes") or 0)
+        exact_kept = sd.map_batches(
+            _clean_to_text, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     # stage 3: near dedup - cluster reps (keep flag) survive.  The inner
     # pipeline owns its own checkpoint lineage under a subdirectory.

@@ -320,6 +320,35 @@ def doc_curation_funnel(sf_dir: str, num_partitions: int = 8):
     )
 
 
+def doc_tiered_funnel(sf_dir: str, num_partitions: int = 8):
+    """FULL tiered-dedup chain in one call — quality/lang filter ->
+    doc-level exact dedup -> chunk-level exact dedup (CCNet form) ->
+    byte-span removal (ExactSubstr form) -> MinHash-LSH near dedup; each
+    tier rewrites text before the next sees it.  Returns (stage, n) rows
+    incl. chunks_removed / span_bytes_removed.  Rows-only driver check
+    (tiers are individually DuckDB-/oracle-gated)."""
+    from dynaalign_ray.pipelines.curate import curate_corpus
+
+    res = curate_corpus(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=DedupConfig(),
+        min_quality=0.2,
+        allowed_langs=None,
+        min_tokens=5,
+        chunk_unit="words",
+        chunk_words=10,
+        span_k=60,
+        num_partitions=num_partitions,
+    )
+    stages = list(res.funnel)
+    return pa.table(
+        {
+            "stage": pa.array(stages, pa.string()),
+            "n": pa.array([int(res.funnel[s]) for s in stages], pa.int64()),
+        }
+    )
+
+
 def doc_quality(sf_dir: str):
     from dynaalign_ray.functions.textstats import quality_score_batch
 

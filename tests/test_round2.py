@@ -1075,3 +1075,54 @@ class TestTopBySource:
         assert len(got) == len(want) > 0
         for col in ("source", "doc_id", "n_chars", "rnk"):
             assert got[col].tolist() == want[col].tolist(), col
+
+
+class TestTieredFunnel:
+    def test_sf0001_stages(self, rd):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        t = entry.queries()["doc_tiered_funnel"]("/root/testdata/sf0.001")
+        f = dict(zip(t.column("stage").to_pylist(), t.column("n").to_pylist()))
+        assert set(f) == {
+            "after_quality_lang",
+            "after_exact_dedup",
+            "chunks_removed",
+            "span_bytes_removed",
+            "after_near_dedup",
+        }
+        assert f["after_near_dedup"] <= f["after_exact_dedup"]
+        assert f["chunks_removed"] > 0  # the testdata plants chunk dups
+
+    def test_span_tier_fires_without_chunk_tier(self, rd):
+        from dynaalign_ray.pipelines.curate import curate_corpus
+
+        dup = "x" * 50 + "unique-long-shared-span-payload-" * 4  # >= 60 bytes shared
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha " * 30 + dup,
+                        "beta " * 30 + dup,
+                        "gamma " * 40,
+                    ]
+                ),
+            }
+        )
+        res = curate_corpus(
+            docs_ds=rd.from_arrow(docs),
+            min_quality=0.0,
+            allowed_langs=None,
+            min_tokens=1,
+            span_k=60,
+            num_partitions=2,
+        )
+        assert res.funnel["span_bytes_removed"] >= len(dup) - 60
+        # the rewritten text reaches the near-dup tier and the kept set
+        kept_texts = {r["doc_id"]: r["text"] for r in res.kept.take_all()}
+        assert all(dup not in t or d == min(
+            i for i, tx in kept_texts.items() if dup in tx
+        ) for d, t in kept_texts.items())
