@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk_price": r.lineitem_topk_price,
         "orders_customer_hashjoin": r.orders_customer_hashjoin,
         "events_order_asof": r.events_order_asof,
+        "events_type_users": r.events_type_users,
     }
 
 
@@ -327,6 +328,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,
                    unnest(quantile_disc(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS n_tokens
             FROM t
+        """,
+        "events_type_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "events_order_asof": """
             SELECT e.event_id, e.user_id,

@@ -129,6 +129,10 @@ def exact_int_quantiles(
         )
     )
     parts = [t for t in (ray.get(r) for r in hist.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"q": pa.array([], type=pa.float64()), "value": pa.array([], type=pa.int64())}
+        )
     tbl = pa.concat_tables(parts)
     vals = np.asarray(tbl.column("value")).astype(np.int64)
     counts = np.asarray(tbl.column("c")).astype(np.int64)

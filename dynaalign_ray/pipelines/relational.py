@@ -361,3 +361,26 @@ def events_order_asof(sf_dir: str, num_partitions: int = 8):
         left_cols=["event_id", "user_id"],
         num_partitions=num_partitions,
     ).rename_columns({"asof_ts_us": "last_order_us"})
+
+
+def events_type_users(sf_dir: str, num_partitions: int = 8):
+    """EXACT distinct-count aggregate: distinct users per event type.  Plan:
+    project (event_type, user_id), keyed repartition by user_id + one local
+    Arrow distinct per block (every (type, user) pair lands wholly in one
+    block, so local distinct == global distinct), then a tiny groupby-count
+    over the deduped pairs — the shuffle carries two narrow columns and the
+    final aggregate sees one row per distinct pair.  The approximate 100 TB
+    form is the mergeable HLL in functions/sketches.py."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        distinct_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pairs.groupby("event_type", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_users")
+    )

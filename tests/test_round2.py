@@ -1126,3 +1126,32 @@ class TestTieredFunnel:
         assert all(dup not in t or d == min(
             i for i, tx in kept_texts.items() if dup in tx
         ) for d, t in kept_texts.items())
+
+
+class TestDistinctCount:
+    def test_duckdb_parity_sf0001(self, rd):
+        import duckdb
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        got = (
+            entry.queries()["events_type_users"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        )
+        want = (
+            con.sql(entry.oracle_sql()["events_type_users"])
+            .df()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert got.event_type.tolist() == want.event_type.tolist()
+        assert got.n_users.tolist() == want.n_users.tolist()
