@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_hashjoin": r.orders_customer_hashjoin,
         "events_order_asof": r.events_order_asof,
         "events_type_users": r.events_type_users,
+        "events_user_deltas": r.events_user_deltas,
+        "events_user_running": r.events_user_running,
+        "lineitem_order_share": r.lineitem_order_share,
+        "orders_rollup": r.orders_rollup,
     }
 
 
@@ -333,6 +337,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_user_deltas": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(coalesce(
+                        epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id),
+                        -1) AS BIGINT) AS delta_us
+            FROM events
+        """,
+        "events_user_running": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents,
+                   CAST(row_number() OVER w AS BIGINT) AS run_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "lineitem_order_share": """
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round((CAST(round(l_extendedprice * 100) AS BIGINT)
+                          / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                                 OVER (PARTITION BY l_orderkey) AS DOUBLE))
+                         * 10000) / 10000 AS share
+            FROM lineitem
+        """,
+        "orders_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "events_order_asof": """
             SELECT e.event_id, e.user_id,

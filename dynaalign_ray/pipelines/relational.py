@@ -363,6 +363,135 @@ def events_order_asof(sf_dir: str, num_partitions: int = 8):
     ).rename_columns({"asof_ts_us": "last_order_us"})
 
 
+def events_user_deltas(sf_dir: str, num_partitions: int = 8):
+    """LAG window analog: per event, time since the user's previous event
+    (see stages/windows.user_lag_deltas for the plan)."""
+    from dynaalign_ray.stages.windows import user_lag_deltas
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return user_lag_deltas(ev, num_partitions)
+
+
+def events_user_running(sf_dir: str, num_partitions: int = 8):
+    """Running SUM/COUNT window analog over each user's event sequence
+    (see stages/windows.running_totals_block; exact integer cents keep the
+    running sum associative and therefore bit-identical to the oracle)."""
+    from dynaalign_ray.stages.windows import user_running_totals
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return user_running_totals(ev, num_partitions)
+
+
+def lineitem_order_share(sf_dir: str, num_partitions: int = 8):
+    """Partition-wide window aggregate joined back to its rows: each line
+    item's share of its order's total extended price.  Plan: ONE keyed
+    repartition on l_orderkey, then per block a vectorized segment sum
+    (dictionary-free: orderkey is already int64) broadcast back down the
+    segment — never a self-join, never a global sort.  Prices go through
+    exact integer cents so the per-order total is associative (same value
+    regardless of intra-segment addition order) and the share divides two
+    identical integers on both engine and oracle."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def share_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int64()),
+                ("share", pa.float64()),
+            ]
+        )
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        key = np.asarray(b.column("l_orderkey")).astype(np.int64)
+        lineno = np.asarray(b.column("l_linenumber")).astype(np.int64)
+        price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        order = np.lexsort((lineno, key))
+        key, lineno, price = key[order], lineno[order], price[order]
+        x = price * 100.0
+        cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        new = np.ones(len(key), dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        seg_id = np.cumsum(new) - 1
+        totals = np.add.reduceat(cents, starts)[seg_id]
+        share = np.asarray(
+            round4(cents.astype(np.float64) / totals.astype(np.float64))
+        )
+        return pa.table(
+            {"l_orderkey": key, "l_linenumber": lineno, "share": share},
+            schema=out_schema,
+        )
+
+    return li.repartition(num_blocks=num_partitions, keys=["l_orderkey"]).map_batches(
+        share_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def orders_rollup(sf_dir: str, num_partitions: int = 8):
+    """GROUP BY ROLLUP(status, priority) analog: finest-level distributed
+    aggregate first (count + exact integer-cent sum — both distributive),
+    then the coarser grouping-set levels are re-aggregated from the finest
+    partials in one driver-side pass.  The finest table is bounded by
+    |status| x |priority| (a few dozen rows at any sf), so the driver step
+    is O(groups), not O(rows); rolled-up key levels surface as 'ALL'
+    (coalesce on the oracle side) to keep the compare NULL-free."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("o_totalprice"), dtype=np.float64) * 100.0
+        c = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    finest = (
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
+    )
+
+    import ray.data as rd
+
+    from dynaalign_ray.joins import collect_arrow
+
+    t = collect_arrow(finest)  # bounded: one row per (status, priority) combo
+
+    def level(tbl: pa.Table, status_col, prio_col) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": status_col,
+                "o_orderpriority": prio_col,
+                "n": tbl.column("n"),
+                "total_cents": tbl.column("total_cents"),
+            }
+        )
+
+    all_arr = pa.array(["ALL"] * t.num_rows, type=pa.string())
+    stacked = pa.concat_tables(
+        [
+            level(t, t.column("o_orderstatus"), t.column("o_orderpriority")),
+            level(t, t.column("o_orderstatus"), all_arr),
+            level(t, all_arr, all_arr),
+        ]
+    )
+    out = stacked.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+        [("n", "sum"), ("total_cents", "sum")]
+    )
+    out = out.rename_columns(["o_orderstatus", "o_orderpriority", "n", "total_cents"])
+    return rd.from_arrow(
+        out.set_column(2, "n", out.column("n").cast(pa.int64())).set_column(
+            3, "total_cents", out.column("total_cents").cast(pa.int64())
+        )
+    )
+
+
 def events_type_users(sf_dir: str, num_partitions: int = 8):
     """EXACT distinct-count aggregate: distinct users per event type.  Plan:
     project (event_type, user_id), keyed repartition by user_id + one local

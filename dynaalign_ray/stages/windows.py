@@ -68,6 +68,128 @@ def user_sessions(events_ds, num_partitions: int, gap_us: int = 1_800_000_000):
     )
 
 
+def _user_order_block(batch, cols: tuple[str, ...]):
+    """Common prologue for the ordered-sequence kernels: pull (user_id, ts,
+    event_id [, extra]) out of an Arrow block as numpy, lexsort by
+    (user_id, ts, event_id) — event_id is unique, so the order is total and
+    matches ``ORDER BY ts, event_id`` inside each user partition."""
+    import pyarrow as pa
+
+    uid = np.asarray(batch.column("user_id")).astype(np.int64)
+    ts = np.asarray(batch.column("ts").cast(pa.int64()))
+    eid = np.asarray(batch.column("event_id")).astype(np.int64)
+    order = np.lexsort((eid, ts, uid))
+    extra = [np.asarray(batch.column(c)) for c in cols]
+    return (
+        uid[order],
+        ts[order],
+        eid[order],
+        [e[order] for e in extra],
+    )
+
+
+def _segment_starts(uid: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where a new user's run begins in a user-sorted
+    array (exact int64 comparison; routing hash never enters correctness)."""
+    new = np.ones(len(uid), dtype=bool)
+    new[1:] = uid[1:] != uid[:-1]
+    return new
+
+
+def lag_delta_block(batch):
+    """LAG analog: per event, microseconds since the user's previous event
+    (-1 for the user's first event).  One vectorized pass per block."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("delta_us", pa.int64()),
+        ]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid, ts, eid, _ = _user_order_block(batch, ())
+    delta = np.empty(len(ts), dtype=np.int64)
+    delta[0] = -1
+    delta[1:] = ts[1:] - ts[:-1]
+    delta[_segment_starts(uid)] = -1
+    return pa.table(
+        {"event_id": eid, "user_id": uid, "ts_us": ts, "delta_us": delta},
+        schema=out_schema,
+    )
+
+
+def running_totals_block(batch):
+    """Running window aggregate (SUM ... ROWS UNBOUNDED PRECEDING analog):
+    per event, the user's cumulative value-in-cents and running row number.
+    Cents (rint(value*100) as int64) make the running sum exact integer
+    arithmetic — associative, so the global-cumsum-minus-segment-offset
+    trick is bit-exact, unlike a float cumsum whose addition order matters."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("run_cents", pa.int64()),
+            ("run_n", pa.int64()),
+        ]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid, ts, eid, (val,) = _user_order_block(batch, ("value",))
+    x = np.asarray(val, dtype=np.float64) * 100.0
+    # half-away-from-zero, matching SQL round() (np.rint is half-to-even)
+    cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    csum = np.cumsum(cents)
+    pos = np.arange(len(uid), dtype=np.int64)
+    new = _segment_starts(uid)
+    group_start = np.maximum.accumulate(np.where(new, pos, 0))
+    # cumulative sum *before* each segment start, broadcast down the segment
+    offset = np.where(group_start > 0, csum[group_start - 1], 0)
+    run_cents = csum - offset
+    run_n = pos - group_start + 1
+    return pa.table(
+        {"event_id": eid, "user_id": uid, "run_cents": run_cents, "run_n": run_n},
+        schema=out_schema,
+    )
+
+
+def user_lag_deltas(events_ds, num_partitions: int):
+    """events(event_id, user_id, ts) -> per-event lag delta.  Plan: ONE keyed
+    repartition on user_id (each user's events co-located), then one
+    vectorized kernel per block — O(block log block), no per-group Python,
+    shuffle carries three int64 columns."""
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            lag_delta_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def user_running_totals(events_ds, num_partitions: int):
+    """events(event_id, user_id, ts, value) -> per-event running totals
+    (same plan shape as user_lag_deltas; one extra float column shuffled)."""
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "value"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            running_totals_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
 def sliding_window_counts(
     events_ds, num_partitions: int, size_us: int, step_us: int
 ):
