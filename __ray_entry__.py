@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": c.doc_repetition,
         "doc_decontam": c.doc_decontam,
         "doc_decontam_ngram": c.doc_decontam_ngram,  # rows-only (n-gram scale path)
+        "doc_decontam_bloom": c.doc_decontam_bloom,  # rows-only (Bloom cheap-filter stage)
+        "doc_sample": c.doc_sample,
+        "doc_stratified_sample": c.doc_stratified_sample,
         "doc_vocab": c.doc_vocab,
         "doc_top_terms": c.doc_top_terms,
         "doc_length_quantiles": c.doc_length_quantiles,
@@ -90,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_hashjoin": r.orders_customer_hashjoin,
         "events_order_asof": r.events_order_asof,
         "events_type_users": r.events_type_users,
+        "customers_no_big_orders": r.customers_no_big_orders,
         "events_user_deltas": r.events_user_deltas,
         "events_user_running": r.events_user_running,
         "lineitem_order_share": r.lineitem_order_share,
@@ -337,6 +341,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "doc_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ((doc_id % 1000003) * 31 + 7) % 100 < 5
+        """,
+        "doc_stratified_sample": """
+            WITH ranked AS (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 1000003) * 31 + 7) % 997, doc_id
+                       ) AS rnk
+                FROM documents
+            )
+            SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 20
+        """,
+        "customers_no_big_orders": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+            GROUP BY c_mktsegment
         """,
         "events_user_deltas": """
             SELECT event_id, user_id,

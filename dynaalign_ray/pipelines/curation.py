@@ -841,6 +841,122 @@ def doc_decontam_ngram(sf_dir: str, n: int = 8):
     )
 
 
+def doc_decontam_bloom(sf_dir: str, n: int = 8):
+    """Bloom-filter decontamination (cheap-filter stage of the 100 TB
+    filter/verify split): benchmark n-gram hashes folded into a ~16
+    bits/key Bloom filter broadcast once; n_maybe upper-bounds the exact
+    overlap (zero false negatives by construction — see
+    functions/decontam.build_bloom)."""
+    import ray
+
+    from dynaalign_ray.functions.decontam import (
+        BloomDecontamActor,
+        build_bloom,
+        build_ngram_set,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    bloom_ref = ray.put(build_bloom(build_ngram_set(_bench_snippets(sf_dir), n=n)))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(
+        BloomDecontamActor,
+        fn_constructor_args=(bloom_ref, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(2, max(2, ncpu // 2)),
+    )
+
+
+def doc_sample(sf_dir: str, rate_pct: int = 5):
+    """Deterministic corpus sampling: keep a fixed pseudo-random rate_pct%
+    of documents by an arithmetic hash of doc_id — reproducible across
+    engines and runs (the sampling decision is a pure function of the key,
+    so resumed / re-sharded runs pick the SAME sample; Ray's random_sample
+    would not).  All int64 arithmetic stays below 2^63 (doc_id is first
+    reduced mod 1000003), so the oracle's BIGINT expression is identical."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id")).astype(np.int64)
+        hv = ((d % 1000003) * 31 + 7) % 100
+        return batch.filter(pa.array(hv < rate_pct))
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_stratified_sample(sf_dir: str, k: int = 20, num_partitions: int = 8):
+    """Stratified per-group sampling: k docs per source, chosen by ranking
+    on a deterministic arithmetic hash (uniform within the stratum) — the
+    per-domain subsample step of a curation pipeline.  Same plan as
+    doc_top_by_source: route by hash(source), exact string group delimiting
+    inside the block, one sort + vectorized rank, keep rank <= k."""
+    from dynaalign_ray.hashing import hash_strings, to_id63
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id")).astype(np.int64)
+        hv = ((d % 1000003) * 31 + 7) % 997
+        h = to_id63(hash_strings(batch.column("source").to_pylist()))
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "doc_id": batch.column("doc_id"),
+                "hv": pa.array(hv, type=pa.int64()),
+                "src_hash": pa.array(h, type=pa.int64()),
+            }
+        )
+
+    def sample_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("source", pa.string()),
+                ("doc_id", pa.int64()),
+                ("rnk", pa.int64()),
+            ]
+        )
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("source", "ascending"),
+                ("hv", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        s = b.take(idx)
+        src = s.column("source").combine_chunks()
+        if isinstance(src, pa.ChunkedArray):
+            src = src.chunk(0)
+        codes = np.asarray(src.dictionary_encode().indices, dtype=np.int64)
+        n = len(codes)
+        pos = np.arange(n, dtype=np.int64)
+        boundary = np.ones(n, dtype=bool)
+        boundary[1:] = codes[1:] != codes[:-1]
+        group_start = np.maximum.accumulate(np.where(boundary, pos, 0))
+        rnk = pos - group_start + 1
+        keep = rnk <= k
+        kept = s.filter(pa.array(keep))
+        return pa.table(
+            {
+                "source": kept.column("source"),
+                "doc_id": kept.column("doc_id"),
+                "rnk": pa.array(rnk[keep], type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["src_hash"])
+        .map_batches(
+            sample_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
 def doc_bpe_tokens(sf_dir: str):
     """BPE-ish pre-tokenizer piece counts (LLM-cost proxy), single Arrow
     RE2 pass; the oracle compiles the identical pattern through DuckDB RE2."""

@@ -492,6 +492,38 @@ def orders_rollup(sf_dir: str, num_partitions: int = 8):
     )
 
 
+def customers_no_big_orders(sf_dir: str, threshold: float = 400_000.0, num_partitions: int = 8):
+    """Anti join via the broadcast-keyset pattern: customers that placed no
+    high-value order, counted per market segment.  The distinct o_custkey set is
+    reduced per block (local Arrow distinct after a keyed repartition), so
+    the driver concat sees one row per distinct key, then the sorted key
+    array is ray.put once and every filter task probes it with searchsorted
+    — no shuffle of the customer side.  At 10^9+ distinct keys the same
+    query flips to a partitioned hash anti-join (joins.hash_join skeleton);
+    the broadcast form is right while the key set fits a worker heap
+    (8 B/key: ~1 GB per 10^8 customers)."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import broadcast_semi_join, collect_arrow
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("o_totalprice"), threshold))
+        return b.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
+
+    keys = collect_arrow(
+        orders.repartition(num_blocks=num_partitions, keys=["o_custkey"]).map_batches(
+            distinct_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    no_orders = broadcast_semi_join(customer, keys, left_on="c_custkey", anti=True)
+    return no_orders.groupby("c_mktsegment", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_customers")
+    )
+
+
 def events_type_users(sf_dir: str, num_partitions: int = 8):
     """EXACT distinct-count aggregate: distinct users per event type.  Plan:
     project (event_type, user_id), keyed repartition by user_id + one local
