@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": c.doc_sample,
         "doc_stratified_sample": c.doc_stratified_sample,
         "doc_vocab": c.doc_vocab,
+        "doc_shingle_except": c.doc_shingle_except,
         "doc_top_terms": c.doc_top_terms,
         "doc_length_quantiles": c.doc_length_quantiles,
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
@@ -315,6 +316,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
             FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
             WHERE len(toks) >= 3
+        """,
+        "doc_shingle_except": """
+            WITH t AS (
+                SELECT source, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents WHERE source IN ('src0', 'src1')
+            ), s AS (
+                SELECT source, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            )
+            SELECT sh FROM s WHERE source = 'src0'
+            EXCEPT
+            SELECT sh FROM s WHERE source = 'src1'
         """,
         "doc_top_by_source": """
             WITH ranked AS (

@@ -714,6 +714,101 @@ def embedding_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5):
     return ivf_topk(emb, qm, k=k, n_centroids=32, nprobe=8)
 
 
+def doc_shingle_except(sf_dir: str, src_a: str = "src0", src_b: str = "src1", num_partitions: int = 8):
+    """Distributed EXCEPT set-op over an exploded set: distinct word
+    3-shingles that appear in ``src_a``'s documents but in none of
+    ``src_b``'s (raw token vocabularies of the synthetic sources fully
+    overlap; shingles discriminate).  Plan: filter to the two sources at
+    the read, vectorized shingle-string construction (flat token gather +
+    one ``binary_join_element_wise``), LOCAL per-block distinct of
+    (shingle, side-bit) partials — the combiner, so the shuffle carries
+    each block's distinct shingles once, not every occurrence — ONE keyed
+    repartition on hash(shingle), and a final exact string-grouped OR of
+    the side bits per block; keep in_a AND NOT in_b.  Exactness never
+    depends on the routing hash: shingles are compared as strings inside
+    the block."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.hashing import hash_strings, to_id63
+
+    configure_context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "text"],
+        filter=(pads.field("source") == src_a) | (pads.field("source") == src_b),
+    )
+
+    def shingle_partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("sh", pa.string()), ("in_a", pa.int8()), ("in_b", pa.int8()), ("route", pa.int64())]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        lst = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+        flat = pc.list_flatten(lst).combine_chunks()
+        lens = np.asarray(pc.list_value_length(lst), dtype=np.int64)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(nonempty))
+        # token counts per doc after dropping the ''-tokens a leading /
+        # trailing whitespace split produces (DuckDB's \\S+ never emits them)
+        bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        lens = np.add.reduceat(nonempty.astype(np.int64), bounds[:-1]) if len(flat) else lens * 0
+        lens[bounds[:-1] == bounds[1:]] = 0  # reduceat repeats on empty segments
+        n_sh = np.maximum(lens - 2, 0)
+        if n_sh.sum() == 0:
+            return out_schema.empty_table()
+        doc_start = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_start[1:])
+        # start index of every shingle: for each doc, doc_start .. doc_start+n_sh-1
+        first = np.repeat(doc_start, n_sh)
+        within = np.arange(int(n_sh.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n_sh) - n_sh, n_sh
+        )
+        starts = first + within
+        sh = pc.binary_join_element_wise(
+            flat.take(pa.array(starts)),
+            flat.take(pa.array(starts + 1)),
+            flat.take(pa.array(starts + 2)),
+            " ",
+        )
+        side_a = np.asarray(pc.equal(batch.column("source"), src_a))
+        a_of_sh = np.repeat(side_a, n_sh)
+        t = pa.table(
+            {
+                "sh": sh,
+                "in_a": pa.array(a_of_sh.astype(np.int8)),
+                "in_b": pa.array((~a_of_sh).astype(np.int8)),
+            }
+        )
+        part = t.group_by(["sh"]).aggregate([("in_a", "max"), ("in_b", "max")])
+        part = part.rename_columns(["sh", "in_a", "in_b"])
+        route = to_id63(hash_strings(part.column("sh").to_pylist()))
+        return part.append_column("route", pa.array(route, type=pa.int64())).cast(out_schema)
+
+    def except_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("sh", pa.string())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        g = b.group_by(["sh"]).aggregate([("in_a", "max"), ("in_b", "max")])
+        g = g.rename_columns(["sh", "in_a", "in_b"])
+        keep = pc.and_(
+            pc.equal(g.column("in_a"), pa.scalar(1, pa.int8())),
+            pc.equal(g.column("in_b"), pa.scalar(0, pa.int8())),
+        )
+        return g.filter(keep).select(["sh"])
+
+    return (
+        ds.map_batches(shingle_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["route"])
+        .map_batches(
+            except_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
 def doc_corpus_stats(sf_dir: str):
     """Corpus-level metrics: doc count + HLL approximate distinct tokens
     (mergeable-sketch aggregation; deterministic, rows-only check)."""

@@ -98,3 +98,26 @@ class TestDeterministicSampling:
         per = df.groupby("source").size()
         assert (per <= 20).all()
         assert (df.groupby("source").rnk.max() == per).all()
+
+
+class TestShingleExcept:
+    def test_duckdb_parity_and_disjointness(self, ray_session):
+        """doc_shingle_except == DuckDB EXCEPT, and the result is disjoint
+        from src_b's shingle set by construction."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        got = sorted(
+            entry.queries()["doc_shingle_except"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sh.tolist()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = sorted(con.sql(entry.oracle_sql()["doc_shingle_except"]).df().sh.tolist())
+        assert got == want and len(got) > 0
