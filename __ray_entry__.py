@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": c.doc_chunk_dedup,
         "doc_neardup_clusters": c.doc_neardup_clusters,  # rows-only
         "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
+        "doc_neardup_incremental": c.doc_neardup_incremental,  # rows-only (index probe)
         "doc_curation_funnel": c.doc_curation_funnel,  # rows-only (composed funnel)
         "doc_tiered_funnel": c.doc_tiered_funnel,  # rows-only (doc->chunk->span->near tiers)
         "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only

@@ -420,6 +420,38 @@ def doc_neardup_sized(sf_dir: str, num_partitions: int = 8):
     return res.clustered.select_columns(["doc_id", "cluster_id", "cluster_label", "round"])
 
 
+def doc_neardup_incremental(sf_dir: str, num_partitions: int = 8):
+    """Incremental near-dup probe (pipelines/incremental.py): 90% of the
+    documents table plays the indexed base corpus, the other 10% the new
+    snapshot; returns the new docs' cluster assignments.  Equality with the
+    full-batch run is pytest-proven (tests/test_incremental.py); this query
+    is rows-only for the driver."""
+    import tempfile
+
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.pipelines.incremental import build_index, incremental_dedup
+
+    configure_context()
+
+    def _side(new: bool):
+        def filt(batch: pa.Table) -> pa.Table:
+            m = (np.asarray(batch.column("doc_id")).astype(np.int64) % 10) == 9
+            return batch.filter(pa.array(m if new else ~m))
+
+        return filt
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = docs.map_batches(_side(False), batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(_side(True), batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory(prefix="dynaalign_incr_") as idx_dir:
+        build_index(base, index_dir=idx_dir, num_partitions=num_partitions)
+        res = incremental_dedup(new, index_dir=idx_dir, num_partitions=num_partitions)
+        # materialize inside the tempdir scope: the lazy plan reads the index
+        return res.new_clusters.materialize()
+
+
 def doc_minhash_signatures(sf_dir: str):
     """Deterministic signature table (doc_id, simhash, n_shingles)."""
     from dynaalign_ray.stages.minhash import signatures_dataset
