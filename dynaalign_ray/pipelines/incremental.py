@@ -168,41 +168,96 @@ def emit_incremental_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
     )
 
 
-def _map_endpoint_to_rep(edges_ds, clusters_ds, col: str, num_partitions: int):
-    """Left-outer hash join replacing an endpoint by its index cluster label
-    when the endpoint is an old doc (new docs miss -> identity)."""
-    import pyarrow.compute as pc
+_ENDPOINT_BROADCAST_LIMIT = 50_000_000  # distinct delta endpoints (int64 pairs)
 
-    from dynaalign_ray.joins import hash_join
 
-    other = "b" if col == "a" else "a"
-    joined = hash_join(
-        edges_ds,
-        clusters_ds,
-        left_on=col,
-        right_on="doc_id",
-        left_schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
-        ),
-        right_schema=pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
-        num_partitions=num_partitions,
-        how="left outer",
-    )
+def _endpoint_label_map(edges_ds, clusters_ds) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted endpoint ids, their index cluster labels) for every delta-edge
+    endpoint that exists in the index.
+
+    Plan: the delta endpoint set is tiny relative to the corpus, so it is
+    collected (ints only), broadcast via ray.put, and the corpus-sized
+    cluster table is scanned ONCE block-wise — each block returns only its
+    hits.  No shuffle of the index ever happens (a hash join here would
+    shuffle the full cluster table per probed snapshot).  Gate: past
+    ``_ENDPOINT_BROADCAST_LIMIT`` distinct endpoints the probe batch is no
+    longer 'a snapshot delta' and the partitioned ``joins.hash_join`` form
+    is the right plan — explicit error rather than a silent driver OOM."""
+    import ray
+
+    parts = [
+        np.asarray(t.column(c)).astype(np.int64)
+        for t in (
+            ray.get(r)
+            for r in edges_ds.select_columns(["a", "b"]).to_arrow_refs()
+        )
+        for c in ("a", "b")
+        if t.num_rows
+    ]
+    nodes = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    if len(nodes) > _ENDPOINT_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            f"{len(nodes)} distinct delta endpoints exceed the broadcast "
+            "limit; partition the probe batch, or swap this stage for two "
+            "joins.hash_join calls on (a) and (b)"
+        )
+    nodes_ref = ray.put(nodes)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(nodes_ref)
+        ids = np.asarray(batch.column("doc_id")).astype(np.int64)
+        if len(wanted) == 0 or len(ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        pos = np.minimum(np.searchsorted(wanted, ids), len(wanted) - 1)
+        hit = wanted[pos] == ids
+        return pa.table(
+            {"doc_id": batch.column("doc_id").filter(pa.array(hit)),
+             "cluster_id": batch.column("cluster_id").filter(pa.array(hit))}
+        )
+
+    hits = [
+        t
+        for t in (
+            ray.get(r)
+            for r in clusters_ds.map_batches(
+                probe, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not hits:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    merged = pa.concat_tables(hits)
+    ids = np.asarray(merged.column("doc_id")).astype(np.int64)
+    lbl = np.asarray(merged.column("cluster_id")).astype(np.int64)
+    order = np.argsort(ids)
+    return ids[order], lbl[order]
+
+
+def _collapse_endpoints(edges_ds, id_map: tuple[np.ndarray, np.ndarray]):
+    """Replace old-doc endpoints by their index label (misses = new docs
+    keep their id); one broadcast lookup per block, both columns at once."""
+    import ray
+
+    map_ref = ray.put(id_map)
 
     def collapse(batch: pa.Table) -> pa.Table:
-        rep = batch.column("cluster_id").combine_chunks()
-        orig = np.asarray(batch.column(col)).astype(np.int64)
-        out = np.asarray(rep.fill_null(0)).astype(np.int64).copy()
-        miss = np.asarray(rep.is_null())
-        out[miss] = orig[miss]
-        cols = {
-            col: pa.array(out, type=pa.int64()),
-            other: batch.column(other),
-            "jaccard": batch.column("jaccard"),
-        }
-        return pa.table({k: cols[k] for k in ("a", "b", "jaccard")})
+        ids, lbl = ray.get(map_ref)
+        out = {}
+        for col in ("a", "b"):
+            v = np.asarray(batch.column(col)).astype(np.int64)
+            if len(ids) and len(v):
+                pos = np.minimum(np.searchsorted(ids, v), len(ids) - 1)
+                hit = ids[pos] == v
+                v = v.copy()
+                v[hit] = lbl[pos[hit]]
+            out[col] = pa.array(v, type=pa.int64())
+        out["jaccard"] = batch.column("jaccard")
+        return pa.table(out)
 
-    return joined.map_batches(collapse, batch_format="pyarrow", zero_copy_batch=True)
+    return edges_ds.map_batches(collapse, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def incremental_dedup(
@@ -307,13 +362,14 @@ def incremental_dedup(
         pairs, union_sigs, cfg, P, approx_pairs=pairs.count()
     ).materialize()
 
-    # collapse old endpoints to their index cluster label; drop edges that
-    # fall inside one existing cluster (already merged)
+    # collapse old endpoints to their index cluster label (ONE columnar scan
+    # of the cluster table against the broadcast delta endpoint set — never
+    # a shuffle of the index); drop edges that fall inside one existing
+    # cluster (already merged)
     import pyarrow.compute as pc
 
-    mapped = _map_endpoint_to_rep(
-        _map_endpoint_to_rep(edges, clusters_ds, "a", P), clusters_ds, "b", P
-    ).map_batches(
+    id_map = _endpoint_label_map(edges, clusters_ds)
+    mapped = _collapse_endpoints(edges, id_map).map_batches(
         lambda b: b.filter(pc.invert(pc.equal(b.column("a"), b.column("b")))),
         batch_format="pyarrow",
         zero_copy_batch=True,

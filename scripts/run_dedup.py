@@ -33,6 +33,15 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--backend", default="minhash", choices=["minhash", "simhash", "substring"])
     ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
+    ap.add_argument(
+        "--mode",
+        default="full",
+        choices=["full", "build-index", "probe-index"],
+        help="full: one-shot dedup; build-index: dedup + persist the probe "
+        "index; probe-index: incremental dedup of --input against --index",
+    )
+    ap.add_argument("--index", default=None, help="index dir (probe-index: read; build-index: write)")
+    ap.add_argument("--index-out", default=None, help="probe-index: write the folded index here")
     args = ap.parse_args()
 
     import ray
@@ -60,6 +69,54 @@ def main() -> int:
         tau_quantile=args.tau_quantile,
         seed=args.seed,
     )
+    if args.mode != "full":
+        # incremental entry points (pipelines/incremental.py): pages input is
+        # extracted to docs(doc_id, text) first — the index stores signatures
+        # keyed by the url-hash doc ids, so snapshots compose.
+        from dynaalign_ray.extract import extract_text_batch
+        from dynaalign_ray.pipelines.incremental import (
+            build_index,
+            incremental_dedup,
+            update_index,
+        )
+
+        if not args.index:
+            ap.error(f"--mode {args.mode} requires --index")
+        docs = rd.read_parquet(args.input).map_batches(
+            extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        t0 = time.time()
+        if args.mode == "build-index":
+            meta = build_index(
+                docs, cfg, index_dir=args.index, num_partitions=args.num_partitions
+            )
+            print(json.dumps({"mode": "build-index", "wall_sec": round(time.time() - t0, 2), **meta}))
+        else:
+            res = incremental_dedup(
+                docs, index_dir=args.index, cfg=cfg, num_partitions=args.num_partitions
+            )
+            os.makedirs(args.output, exist_ok=True)
+            res.new_clusters.write_parquet(os.path.join(args.output, "new_clusters"))
+            res.edges.write_parquet(os.path.join(args.output, "delta_edges"))
+            if args.index_out:
+                update_index(args.index, res, args.index_out, cfg)
+            n_new = res.new_clusters.count()
+            wall = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "mode": "probe-index",
+                        "n_new_docs": n_new,
+                        "n_delta_edges": res.edges.count(),
+                        "n_cluster_merges": res.merges.num_rows,
+                        "wall_sec": round(wall, 2),
+                        "docs_per_sec": round(n_new / wall, 1),
+                    }
+                )
+            )
+        ray.shutdown()
+        return 0
+
     t0 = time.time()
     res = near_dedup(
         pages_ds=rd.read_parquet(args.input),
