@@ -30,8 +30,13 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from dynaalign_ray.pipelines import curation as c
     from dynaalign_ray.pipelines import relational as r
+    from dynaalign_ray.pipelines import webpages as w
 
     return {
+        # --- web-page / URL layer (input_hint page shape; derived view)
+        "pages_url_canonical": w.pages_url_canonical,
+        "pages_latest_snapshot": w.pages_latest_snapshot,
+        "pages_host_stats": w.pages_host_stats,
         # --- dedup family (SURVEY.md §2.5 set-ops/dedup; engine additions)
         "doc_exact_dedup": c.doc_exact_dedup,
         "doc_norm_dedup": c.doc_norm_dedup,
@@ -103,8 +108,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_PAGES_CTE = """
+        WITH pages AS (
+            SELECT doc_id, n_chars,
+                   'https://WWW.Site' || CAST(((doc_id // 3) % 20) AS VARCHAR)
+                     || '.Example/dir' || CAST(((doc_id // 3) % 7) AS VARCHAR)
+                     || '/page-' || CAST((doc_id // 3) AS VARCHAR)
+                     || CASE (doc_id % 3) WHEN 1 THEN '?utm_source=feed'
+                                          WHEN 2 THEN '#section-2' ELSE '' END AS url,
+                   1704067200000000 + doc_id * 900000000 + (doc_id * 37) % 1000 AS warc_us
+            FROM documents
+        ), canon AS (
+            SELECT doc_id, n_chars, url, warc_us,
+                   regexp_replace(lower(url), '[?#].*$', '') AS canon_url,
+                   regexp_extract(regexp_replace(lower(url), '[?#].*$', ''),
+                                  '^https://([^/]+)', 1) AS host
+            FROM pages
+        )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pages_url_canonical": _PAGES_CTE
+        + """
+            SELECT doc_id, url, canon_url, host FROM canon
+        """,
+        "pages_latest_snapshot": _PAGES_CTE
+        + """
+            SELECT canon_url,
+                   arg_max(doc_id, warc_us) AS doc_id,
+                   CAST(max(warc_us) AS BIGINT) AS latest_us,
+                   CAST(count(*) AS BIGINT) AS n_snapshots
+            FROM canon GROUP BY canon_url
+        """,
+        "pages_host_stats": _PAGES_CTE
+        + """
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM canon GROUP BY host
+        """,
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY text

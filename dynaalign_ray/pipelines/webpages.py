@@ -1,0 +1,263 @@
+"""URL-shaped web-page operators over the Common-Crawl-style page table
+(BASELINE.json ``input_hint``: pages(url, warc_ts, html, text, lang)).
+
+The driver testdata ships a ``documents`` table without url/warc_ts columns,
+so every query here first derives a deterministic ``pages`` view from
+``documents`` with pure integer/string arithmetic — the oracle SQL in
+``__ray_entry__`` derives the *same* view with the same expressions, so the
+operators themselves are DuckDB-hash-exact.  The derivation plants the two
+skews the operators must handle: ~3 snapshots per URL (crawl revisits) and
+raw-URL noise (mixed case, tracking query strings, fragments) that only
+canonicalization collapses.
+
+Operators (all map_batches over zero-copy Arrow; wide shuffles carry narrow
+derived columns only):
+
+- ``pages_url_canonical``  — map-only URL normalization (lowercase + strip
+  query/fragment) and host extraction, RE2 kernels in C.
+- ``pages_latest_snapshot`` — keep the newest crawl snapshot per canonical
+  URL (the Common-Crawl "latest segment wins" dedup tier that runs BEFORE
+  any content dedup).  Keyed repartition by canon_url + one per-block sort
+  and segment-last gather; never a global sort.
+- ``pages_host_stats``     — per-host page/url/char totals with an EXACT
+  distinct-URL count: canon_url-keyed repartition makes local distinct ==
+  global distinct (host is a function of canon_url, so every (host, url)
+  pair lands whole in one block), then a tiny sum-of-partials groupby.
+
+Reference parity: the reference (syl051088/DynaAlign) has no URL layer —
+its inputs are peptide strings — so these are engine additions required by
+the north star's web-page input shape, built on the same keyed-repartition
++ local-Arrow-group_by skeleton as stages/dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- shared derivation constants (mirrored verbatim in __ray_entry__ SQL)
+_WARC_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+_SNAPSHOT_STEP_US = 900_000_000  # 15 min between successive doc_ids
+_SUFFIXES = np.array(["", "?utm_source=feed", "#section-2"])
+
+_CANON_STRIP_RE = r"[?#].*$"
+_HOST_RE = r"^https://(?P<host>[^/]+)"
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def derive_pages(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, n_chars, ...) -> pages(doc_id, url, warc_us, n_chars).
+
+    Deterministic: url_key = doc_id // 3 (so ~3 raw snapshots share one
+    canonical URL), site/dir from url_key, raw-URL suffix cycles through
+    clean / tracking-query / fragment forms, warc_us strictly increases with
+    doc_id (unique — argmax-by-time is deterministic).
+    """
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    key = ids // 3
+    site = pc.cast(pa.array(key % 20), pa.string())
+    dirno = pc.cast(pa.array(key % 7), pa.string())
+    keystr = pc.cast(pa.array(key), pa.string())
+    suffix = pa.array(_SUFFIXES[ids % 3], type=pa.string())
+    url = pc.binary_join_element_wise(
+        "https://WWW.Site", site, ".Example/dir", dirno, "/page-", keystr, suffix, ""
+    )
+    warc_us = _WARC_BASE_US + ids * _SNAPSHOT_STEP_US + (ids * 37) % 1000
+    cols = {
+        "doc_id": pa.array(ids),
+        "url": url,
+        "warc_us": pa.array(warc_us, type=pa.int64()),
+    }
+    if "n_chars" in batch.column_names:
+        cols["n_chars"] = batch.column("n_chars")
+    return pa.table(cols)
+
+
+def canonicalize(url: pa.ChunkedArray | pa.Array):
+    """lowercase + strip query/fragment -> (canon_url, host), RE2 in C."""
+    canon = pc.replace_substring_regex(
+        pc.utf8_lower(url), pattern=_CANON_STRIP_RE, replacement=""
+    )
+    host = pc.struct_field(pc.extract_regex(canon, _HOST_RE), "host")
+    return canon, host
+
+
+def _add_canon(batch: pa.Table) -> pa.Table:
+    canon, host = canonicalize(batch.column("url"))
+    return batch.append_column("canon_url", canon).append_column("host", host)
+
+
+def _add_route(batch: pa.Table, key: str = "canon_url") -> pa.Table:
+    """Route-only int63 hash of a string key: the hash PLACES rows, exact
+    string comparison inside the block delimits groups (hash injectivity is
+    never a correctness dependency — same discipline as doc_top_by_source)."""
+    from dynaalign_ray.hashing import hash_strings, to_id63
+
+    h = to_id63(hash_strings(batch.column(key).to_pylist()))
+    return batch.append_column("route", pa.array(h, type=pa.int64()))
+
+
+def pages_url_canonical(sf_dir: str):
+    """Map-only: (doc_id, url, canon_url, host) — URL normalization."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        pages = derive_pages(batch)
+        canon, host = canonicalize(pages.column("url"))
+        return pa.table(
+            {
+                "doc_id": pages.column("doc_id"),
+                "url": pages.column("url"),
+                "canon_url": canon,
+                "host": host,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pages_latest_snapshot(sf_dir: str, num_partitions: int = 8):
+    """Latest-crawl-wins URL dedup: one row per canonical URL carrying the
+    newest snapshot's doc_id, its warc_us, and the snapshot count.
+
+    Plan: derive (doc_id, canon_url, warc_us) in the map stage (3 narrow
+    columns shuffle, never text/html), keyed repartition by hash(canon_url),
+    then per whole block ONE Arrow sort by (canon_url, warc_us) and a
+    vectorized segment-last gather.  warc_us is unique by construction so
+    the winner is deterministic without a tiebreak column.
+    """
+    out_schema = pa.schema(
+        [
+            ("canon_url", pa.string()),
+            ("doc_id", pa.int64()),
+            ("latest_us", pa.int64()),
+            ("n_snapshots", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pages = derive_pages(batch)
+        canon, _ = canonicalize(pages.column("url"))
+        t = pa.table(
+            {
+                "doc_id": pages.column("doc_id"),
+                "canon_url": canon,
+                "warc_us": pages.column("warc_us"),
+            }
+        )
+        return _add_route(t)
+
+    def latest_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            b, sort_keys=[("canon_url", "ascending"), ("warc_us", "ascending")]
+        )
+        s = b.take(idx)
+        urls = s.column("canon_url").combine_chunks()
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.chunk(0)
+        codes = np.asarray(urls.dictionary_encode().indices, dtype=np.int64)
+        n = len(codes)
+        # segment ends = positions where the NEXT row starts a new url
+        is_last = np.ones(n, dtype=bool)
+        is_last[:-1] = codes[1:] != codes[:-1]
+        last_pos = np.flatnonzero(is_last)
+        first_pos = np.concatenate([[0], last_pos[:-1] + 1])
+        kept = s.take(pa.array(last_pos))
+        return pa.table(
+            {
+                "canon_url": kept.column("canon_url"),
+                "doc_id": kept.column("doc_id"),
+                "latest_us": kept.column("warc_us"),
+                "n_snapshots": pa.array(last_pos - first_pos + 1, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["route"])
+        .map_batches(
+            latest_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+def pages_host_stats(sf_dir: str, num_partitions: int = 8):
+    """Per-host (n_pages, EXACT n_urls distinct, total_chars).
+
+    Exactness argument for the distinct count: rows are repartitioned by
+    canon_url and host = f(canon_url), so all copies of a (host, canon_url)
+    pair are in exactly one block — each block's local distinct-URL count is
+    disjoint from every other block's, and the final per-host sum of partials
+    is the exact global COUNT(DISTINCT canon_url).  The shuffle carries
+    (canon_url, host, n_chars) partials, never page payloads; the final
+    groupby sees one partial row per (block, host).
+    """
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pages = derive_pages(batch)
+        canon, host = canonicalize(pages.column("url"))
+        t = pa.table(
+            {
+                "canon_url": canon,
+                "host": host,
+                "n_chars": pages.column("n_chars"),
+            }
+        )
+        return _add_route(t)
+
+    partial_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("n_pages", pa.int64()),
+            ("n_urls", pa.int64()),
+            ("total_chars", pa.int64()),
+        ]
+    )
+
+    def host_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return partial_schema.empty_table()
+        per_url = b.group_by(["host", "canon_url"]).aggregate(
+            [("n_chars", "sum"), ([], "count_all")]
+        )
+        per_host = per_url.group_by("host").aggregate(
+            [("n_chars_sum", "sum"), ("count_all", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "host": per_host.column("host"),
+                "n_pages": pc.cast(per_host.column("count_all_sum"), pa.int64()),
+                "n_urls": pc.cast(per_host.column("count_all"), pa.int64()),
+                "total_chars": pc.cast(per_host.column("n_chars_sum_sum"), pa.int64()),
+            },
+            schema=partial_schema,
+        )
+
+    partials = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["route"])
+        .map_batches(
+            host_partials, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return partials.groupby("host", num_partitions=num_partitions).aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_urls", alias_name="n_urls"),
+        Sum("total_chars", alias_name="total_chars"),
+    )

@@ -1,0 +1,127 @@
+"""URL-layer operator tests (pipelines/webpages.py): canonicalization rules
+at the unit level, then latest-snapshot dedup and exact per-host distinct-URL
+counts against an independent DuckDB oracle over the same derived view."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def rd(ray_session):
+    return ray.data
+
+
+# -------------------------------------------------------------- unit level
+
+
+class TestCanonicalize:
+    def test_rules(self):
+        from dynaalign_ray.pipelines.webpages import canonicalize
+
+        urls = pa.array(
+            [
+                "https://WWW.SiteA.Example/dir1/page-9?utm_source=feed",
+                "https://www.sitea.example/dir1/page-9#section-2",
+                "https://www.sitea.example/dir1/page-9",
+                "https://Host.example/x?a=1#b",
+            ]
+        )
+        canon, host = canonicalize(urls)
+        assert canon.to_pylist() == ["https://www.sitea.example/dir1/page-9"] * 3 + [
+            "https://host.example/x"
+        ]
+        assert host.to_pylist() == ["www.sitea.example"] * 3 + ["host.example"]
+
+    def test_derive_pages_deterministic_and_grouped(self):
+        from dynaalign_ray.pipelines.webpages import canonicalize, derive_pages
+
+        batch = pa.table({"doc_id": pa.array(np.arange(12, dtype=np.int64))})
+        pages = derive_pages(batch)
+        canon, _ = canonicalize(pages.column("url"))
+        groups = {}
+        for d, u in zip(pages.column("doc_id").to_pylist(), canon.to_pylist()):
+            groups.setdefault(u, []).append(d)
+        # doc_ids 3k..3k+2 share one canonical URL; raw urls differ by suffix
+        for u, members in groups.items():
+            assert members == sorted(members)
+            assert {d // 3 for d in members} == {members[0] // 3}
+        raw = pages.column("url").to_pylist()
+        assert len(set(raw)) == len(raw)  # suffixes keep raw urls distinct
+        ts = pages.column("warc_us").to_pylist()
+        assert len(set(ts)) == len(ts)  # unique -> deterministic argmax
+
+
+# ------------------------------------------------------------ oracle level
+
+_PAGES_SQL = """
+    WITH pages AS (
+        SELECT doc_id, n_chars,
+               'https://WWW.Site' || CAST(((doc_id // 3) % 20) AS VARCHAR)
+                 || '.Example/dir' || CAST(((doc_id // 3) % 7) AS VARCHAR)
+                 || '/page-' || CAST((doc_id // 3) AS VARCHAR)
+                 || CASE (doc_id % 3) WHEN 1 THEN '?utm_source=feed'
+                                      WHEN 2 THEN '#section-2' ELSE '' END AS url,
+               1704067200000000 + doc_id * 900000000 + (doc_id * 37) % 1000 AS warc_us
+        FROM '{sf}/documents.parquet'
+    ), canon AS (
+        SELECT doc_id, n_chars, url, warc_us,
+               regexp_replace(lower(url), '[?#].*$', '') AS canon_url,
+               regexp_extract(regexp_replace(lower(url), '[?#].*$', ''),
+                              '^https://([^/]+)', 1) AS host
+        FROM pages
+    )
+"""
+
+
+class TestLatestSnapshot:
+    def test_matches_duckdb(self, rd, ray_session):
+        from dynaalign_ray.pipelines.webpages import pages_latest_snapshot
+
+        got = {
+            r["canon_url"]: (r["doc_id"], r["latest_us"], r["n_snapshots"])
+            for r in pages_latest_snapshot(SF, num_partitions=4).take_all()
+        }
+        want_rows = duckdb.sql(
+            _PAGES_SQL.format(sf=SF)
+            + """
+            SELECT canon_url, arg_max(doc_id, warc_us), max(warc_us), count(*)
+            FROM canon GROUP BY canon_url
+            """
+        ).fetchall()
+        want = {u: (d, t, n) for u, d, t, n in want_rows}
+        assert got == want
+        assert any(n > 1 for _, _, n in got.values())  # revisits planted
+
+    def test_winner_is_newest_member(self, rd, ray_session):
+        from dynaalign_ray.pipelines.webpages import pages_latest_snapshot
+
+        for r in pages_latest_snapshot(SF, num_partitions=4).take_all():
+            # members of a url group are doc_ids 3k..3k+2; warc_us increases
+            # with doc_id, so the winner must be the largest member present
+            assert r["doc_id"] % 3 == 2 or r["n_snapshots"] < 3
+
+
+class TestHostStats:
+    def test_matches_duckdb(self, rd, ray_session):
+        from dynaalign_ray.pipelines.webpages import pages_host_stats
+
+        got = {
+            r["host"]: (r["n_pages"], r["n_urls"], r["total_chars"])
+            for r in pages_host_stats(SF, num_partitions=4).take_all()
+        }
+        want_rows = duckdb.sql(
+            _PAGES_SQL.format(sf=SF)
+            + """
+            SELECT host, count(*), count(DISTINCT canon_url), sum(n_chars)
+            FROM canon GROUP BY host
+            """
+        ).fetchall()
+        want = {h: (p, u, c) for h, p, u, c in want_rows}
+        assert got == want
+        assert all(p >= u for p, u, _ in got.values())
