@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": c.doc_token_counts,
         "doc_shingle_counts": c.doc_shingle_counts,
         "doc_jaccard_pairs": c.doc_jaccard_pairs,
+        "doc_containment_pairs": c.doc_containment_pairs,
         "doc_lang_stats": c.doc_lang_stats,
         "doc_top_longest": c.doc_top_longest,
         "doc_top_by_source": c.doc_top_by_source,
@@ -245,6 +246,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.doc_id = a
             JOIN c cb ON cb.doc_id = b
             WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        """,
+        "doc_containment_pairs": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 10000.0 / least(ca.n, cb.n)) / 10000 AS containment
+            FROM inter
+            JOIN c ca ON ca.doc_id = a
+            JOIN c cb ON cb.doc_id = b
+            WHERE i * 1.0 / least(ca.n, cb.n) >= 0.8
         """,
         "doc_char_classes": """
             SELECT doc_id,

@@ -192,6 +192,37 @@ def doc_shingle_counts(sf_dir: str, k: int = 3):
     )
 
 
+def _shingle_sets_block(batch: pa.Table, *, k: int) -> pa.Table:
+    """(doc_id, text) -> (doc_id, sketch) where sketch is the doc's EXACT
+    sorted distinct word-k-shingle hash set packed as a binary CSR row
+    (bottom-k with an unbounded cap).  Shared by the exact all-pairs
+    Jaccard and containment queries."""
+    from dynaalign_ray.shingles import batch_shingle_hashes, bottomk_sketches
+
+    texts = batch.column("text").to_pylist()
+    hashes, counts = batch_shingle_hashes(texts, k, "word")
+    vals, sizes, _ = bottomk_sketches(hashes, counts, cap=1 << 62)
+    keep = sizes > 0
+    # dropping zero-length segments leaves the flat values array intact;
+    # only the offsets are rebuilt over the kept sizes
+    out_sizes = sizes[keep]
+    out_offs = np.zeros(len(out_sizes) + 1, dtype=np.int32)
+    np.cumsum(out_sizes * 8, out=out_offs[1:], dtype=np.int32)
+    sk = pa.Array.from_buffers(
+        pa.binary(),
+        len(out_sizes),
+        [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(vals.astype("<u8").tobytes())],
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.asarray(batch.column("doc_id")).astype(np.int64)[keep]
+            ),
+            "sketch": sk,
+        }
+    )
+
+
 def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     """EXACT all-pairs word-k-shingle Jaccard above ``threshold`` — the
     near-dup family's ground truth as an oracle-checkable query (the LSH
@@ -209,33 +240,9 @@ def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     import ray
 
     from dynaalign_ray.pipelines.relational import round4
-    from dynaalign_ray.shingles import batch_shingle_hashes, bottomk_sketches
-
-    def sets_block(batch: pa.Table, *, k: int) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        hashes, counts = batch_shingle_hashes(texts, k, "word")
-        vals, sizes, _ = bottomk_sketches(hashes, counts, cap=1 << 62)
-        keep = sizes > 0
-        # dropping zero-length segments leaves the flat values array intact;
-        # only the offsets are rebuilt over the kept sizes
-        out_sizes = sizes[keep]
-        out_offs = np.zeros(len(out_sizes) + 1, dtype=np.int32)
-        np.cumsum(out_sizes * 8, out=out_offs[1:], dtype=np.int32)
-        sk = pa.Array.from_buffers(
-            pa.binary(),
-            len(out_sizes),
-            [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(vals.astype("<u8").tobytes())],
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    np.asarray(batch.column("doc_id")).astype(np.int64)[keep]
-                ),
-                "sketch": sk,
-            }
-        )
-
     from dynaalign_ray.stages.verify import build_sketch_csr
+
+    sets_block = _shingle_sets_block
 
     # materialize ONCE: the lazy dataset is consumed twice (driver CSR
     # build + the pairs pass), which would re-run the shingle+sketch
@@ -290,6 +297,83 @@ def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
                 "a": pa.array(cat(out_a, np.int64)),
                 "b": pa.array(cat(out_b, np.int64).astype(np.int64)),
                 "jaccard": round4(cat(out_j, np.float64)),
+            }
+        )
+
+    return sets_ds.map_batches(pairs_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_containment_pairs(sf_dir: str, k: int = 3, threshold: float = 0.8):
+    """EXACT all-pairs shingle CONTAINMENT ``|A∩B| / min(|A|,|B|)`` above
+    ``threshold`` — the partial-duplicate detector (a short doc embedded in
+    a longer one scores 1.0 here but far below any Jaccard τ; the standard
+    complement to Jaccard dedup, cf. Broder's containment estimator).
+
+    Same broadcast-CSR physical plan as :func:`doc_jaccard_pairs`; the C
+    kernel returns the Jaccard row and the intersection count is recovered
+    exactly as ``i = j·(|A|+|B|)/(1+j)`` (integer within 1 ulp, rounded),
+    so one kernel serves both scores.  Small-corpus / verification plan —
+    the scale path is banded LSH over containment-calibrated signatures."""
+    import functools
+
+    import ray
+
+    from dynaalign_ray.pipelines.relational import round4
+    from dynaalign_ray.stages.verify import build_sketch_csr
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "containment": pa.array([], pa.float64()),
+        }
+    )
+    sets_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        functools.partial(_shingle_sets_block, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    parts = [t for t in (ray.get(r) for r in sets_ds.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    csr_ref = ray.put(build_sketch_csr(parts))
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        from dynaalign_ray import ckernels
+
+        ids_s, st, en, vals = ray.get(csr_ref)
+        sizes = en - st
+        my = np.asarray(batch.column("doc_id")).astype(np.int64)
+        rows = np.searchsorted(ids_s, my)
+        out_a, out_b, out_c = [], [], []
+        for r in rows:
+            la = sizes[r]
+            lb = sizes[r + 1 :]
+            jrow = ckernels.jaccard_row_vs_tail(vals, st, en, int(r))
+            if jrow is not None:
+                inter = np.rint(jrow * (la + lb) / (1.0 + jrow))
+            else:  # no compiler: numpy merge per candidate
+                mine = vals[st[r] : en[r]]
+                inter = np.empty(len(ids_s) - r - 1, dtype=np.float64)
+                for q in range(r + 1, len(ids_s)):
+                    other = vals[st[q] : en[q]]
+                    inter[q - r - 1] = len(
+                        np.intersect1d(mine, other, assume_unique=True)
+                    )
+            crow = inter / np.minimum(la, lb)
+            hit = np.flatnonzero(crow >= threshold)
+            if len(hit):
+                out_a.append(np.full(len(hit), ids_s[r], dtype=np.int64))
+                out_b.append(ids_s[r + 1 + hit])
+                out_c.append(crow[hit])
+        cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dtype=dt)
+        return pa.table(
+            {
+                "a": pa.array(cat(out_a, np.int64)),
+                "b": pa.array(cat(out_b, np.int64).astype(np.int64)),
+                "containment": round4(cat(out_c, np.float64)),
             }
         )
 
