@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_running": r.events_user_running,
         "lineitem_order_share": r.lineitem_order_share,
         "orders_rollup": r.orders_rollup,
+        "customer_order_counts": r.customer_order_counts,
+        "events_value_stats": r.events_value_stats,
     }
 
 
@@ -485,6 +487,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey,
+                   CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(coalesce(o.revenue_cents, 0) AS BIGINT) AS revenue_cents
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_orders,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+                FROM orders GROUP BY o_custkey
+            ) o ON c_custkey = o.o_custkey
+        """,
+        "events_value_stats": """
+            WITH c AS (
+                SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents,
+                   round((sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(cents * cents)
+                                    - CAST(sum(cents) AS HUGEINT) * sum(cents) AS DOUBLE))
+                          / count(*) / 100) * 10000) / 10000 AS stddev_value
+            FROM c GROUP BY event_type
         """,
         "events_order_asof": """
             SELECT e.event_id, e.user_id,

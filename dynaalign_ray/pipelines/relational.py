@@ -545,3 +545,137 @@ def events_type_users(sf_dir: str, num_partitions: int = 8):
     return pairs.groupby("event_type", num_partitions=num_partitions).aggregate(
         Count(alias_name="n_users")
     )
+
+
+def customer_order_counts(sf_dir: str, num_partitions: int = 8):
+    """LEFT OUTER join surface: every customer with their order count and
+    exact-cents revenue, INCLUDING zero-order customers (the rows an inner
+    join drops).  Plan: pre-aggregate orders per custkey first — the join's
+    right side and the shuffle carry one (custkey, n, cents) row per
+    customer-with-orders, never raw order rows — then the engine's
+    partitioned hash join with ``how="left outer"`` and a vectorized
+    null-fill.  LEFT JOIN analog of `orders_customer_hashjoin`."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("o_totalprice"), dtype=np.float64) * 100.0
+        c = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey", num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents")
+        )
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey"])
+    j = hash_join(
+        customer,
+        per_cust,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("n_orders", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+        num_partitions=num_partitions,
+        how="left outer",
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "n_orders": pc.coalesce(batch.column("n_orders"), zero),
+                "revenue_cents": pc.coalesce(batch.column("revenue_cents"), zero),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_value_stats(sf_dir: str, num_partitions: int = 8):
+    """EXACT distributed population stddev per event type.
+
+    Variance needs sum-of-squares; floats drift across summation orders, so
+    both engines aggregate EXACT integer cents: per whole batch one Arrow
+    group_by emits (n, Σcents, Σcents²) partials (all < 2^63), a tiny
+    groupby sums them, and the O(groups) finish computes
+    ``sqrt(n·Σc² − (Σc)²)/n/100`` with arbitrary-precision Python ints —
+    (Σc)² overflows int64, exactly why the finish never runs vectorized.
+    The oracle mirrors with HUGEINT.  Final stddev rounded 4 decimals on
+    identical doubles (round4 convention)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    partial_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("sum_cents", pa.int64()),
+            ("sumsq_cents", pa.int64()),
+        ]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("value"), dtype=np.float64) * 100.0
+        c = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(c, type=pa.int64()),
+                "sq": pa.array(c * c, type=pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("cents", "sum"), ("sq", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "sum_cents": g.column("cents_sum"),
+                "sumsq_cents": g.column("sq_sum"),
+            },
+            schema=partial_schema,
+        )
+
+    agg = (
+        ev.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type", num_partitions=num_partitions)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents", alias_name="sumsq_cents"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n").to_pylist()
+        sums = batch.column("sum_cents").to_pylist()
+        sqs = batch.column("sumsq_cents").to_pylist()
+        std = [
+            math.sqrt(float(n * q - s * s)) / n / 100.0 if n else 0.0
+            for n, s, q in zip(ns, sums, sqs)
+        ]
+        return batch.append_column("stddev_value", round4(np.array(std)))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
