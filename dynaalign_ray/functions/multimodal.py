@@ -1,23 +1,30 @@
-"""Multimodal column plumbing (engine addition per the build brief).
+"""Multimodal columns (engine addition per the build brief).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed metadata
-(media_type, width/height or sample_rate, byte length).  The Ray-side
-plumbing — schemas, actor-pool stages, batch sizing for large binary rows —
-is real and tested; the actual codec work is stubbed because no image/audio
-libraries exist in this environment:
+(media_type, width/height or sample_rate, byte length).  The container has
+no codec libraries, but two public formats need none — their specs are pure
+header + raw samples, parseable with ``struct``/numpy:
 
-- ``decode="strict"`` raises NotImplementedError at the decode step (the
-  honest stub), while
-- ``decode="fake"`` produces a deterministic hash-derived feature vector so
-  downstream stages (similarity search, dedup on features) can be exercised
-  end-to-end.
+- **PPM (P6)** binary images: ``P6\\n<w> <h>\\n<maxval>\\n`` + H*W*3 bytes.
+- **WAV (RIFF, PCM 16-bit)** audio: RIFF/fmt/data chunks + int16 samples.
+
+So decode, resize, perceptual hashing (dHash) and audio feature extraction
+are REAL for ``image/x-portable-pixmap`` and ``audio/wav`` payloads;
+compressed types (jpeg/mp4/...) stay honestly stubbed behind
+NotImplementedError (``decode="strict"``) or a deterministic hash-derived
+fake (``decode="fake"``) so pipeline plumbing tests still run end-to-end.
 
 Batch-size guidance: with payloads of B bytes, pick
 ``batch_size <= target_worker_bytes / B`` — these stages default to small
 batches (64) because a 1 MiB image x 1024-row batch would be 1 GiB per task.
+Per-payload decode is a Python-level loop by necessity (each row is one
+opaque blob — the row IS the vectorization unit); everything inside a
+payload is numpy.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -25,7 +32,7 @@ import pyarrow as pa
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
-        ("media_type", pa.string()),  # "image/jpeg", "audio/wav", ...
+        ("media_type", pa.string()),  # "image/x-portable-pixmap", "audio/wav", ...
         ("payload", pa.binary()),
         ("width", pa.int32()),
         ("height", pa.int32()),
@@ -35,15 +42,146 @@ MEDIA_SCHEMA = pa.schema(
 
 FEATURE_DIM = 64
 
+PPM_TYPE = "image/x-portable-pixmap"
+WAV_TYPE = "audio/wav"
+
+
+# --------------------------------------------------------------- PPM codec
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6) bytes."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_ppm expects an HxWx3 uint8 array")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> HxWx3 uint8 array (zero-copy frombuffer)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic + 3 whitespace-separated ints, '#' comment lines allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    n = w * h * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize: two integer index gathers, no Python loop."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return img[rows][:, cols]
+
+
+def image_dhash(img: np.ndarray) -> int:
+    """64-bit difference hash: grayscale -> 9x8 -> adjacent-column compare.
+    Standard public perceptual fingerprint (stable under small noise /
+    rescale) — the image analog of SimHash for near-dup bucketing."""
+    gray = img.astype(np.uint16).sum(axis=2) // 3  # cheap luma
+    small = resize_nearest(gray[..., None], 9, 8)[..., 0]
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+# --------------------------------------------------------------- WAV codec
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 mono samples -> RIFF/WAVE PCM bytes."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects a 1-D int16 array")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM 16-bit bytes -> (int16 samples flattened, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM 16-bit WAV supported")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """duration / RMS / zero-crossing rate / dominant frequency — all numpy
+    (np.fft for the spectral peak)."""
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    if n > 1:
+        spec = np.abs(np.fft.rfft(x))
+        spec[0] = 0.0  # ignore DC
+        dom = float(np.fft.rfftfreq(n, d=1.0 / rate)[int(np.argmax(spec))])
+    else:
+        dom = 0.0
+    return {
+        "duration_s": n / rate if rate else 0.0,
+        "rms": rms,
+        "zcr": zcr,
+        "dominant_hz": dom,
+    }
+
+
+# ------------------------------------------------------------ actor stages
+
 
 class MediaFeatureActor:
     """payload binary -> fixed-size feature vector (actor pool stage).
 
-    Real deployments load a codec + model in __init__ (once per actor);
-    here __init__ only fixes the decode mode and the fake-feature seed.
+    ``decode="strict"``: REAL decode for PPM/WAV payloads (image features =
+    per-channel mean/std + 16x dHash bits folded to FEATURE_DIM; audio
+    features = duration/rms/zcr/spectral profile), NotImplementedError for
+    compressed media types (no codec libs in this container).
+    ``decode="fake"``: deterministic hash-derived vector for plumbing tests.
+
     Use with::
 
-        ds.map_batches(MediaFeatureActor, fn_constructor_kwargs={"decode": "fake"},
+        ds.map_batches(MediaFeatureActor, fn_constructor_kwargs={"decode": "strict"},
                        batch_format="pyarrow", batch_size=64, concurrency=4)
     """
 
@@ -53,13 +191,47 @@ class MediaFeatureActor:
         self.decode = decode
         self.seed = seed
 
-    def _decode_payload(self, payload: bytes) -> np.ndarray:
-        if self.decode == "strict":
-            raise NotImplementedError(
-                "media decoding requires an image/audio codec library, which "
-                "is not available in this environment; use decode='fake' for "
-                "pipeline plumbing tests"
-            )
+    def _image_features(self, payload: bytes) -> np.ndarray:
+        img = decode_ppm(payload)
+        f = np.zeros(FEATURE_DIM, dtype=np.float64)
+        flat = img.reshape(-1, 3).astype(np.float64) / 255.0
+        f[0:3] = flat.mean(axis=0)
+        f[3:6] = flat.std(axis=0)
+        dh = image_dhash(img)
+        bits = np.unpackbits(np.frombuffer(struct.pack(">Q", dh), dtype=np.uint8))
+        f[6 : 6 + 58] = bits[:58] - 0.5
+        n = np.linalg.norm(f)
+        return f / n if n else f
+
+    def _audio_feature_vec(self, payload: bytes) -> np.ndarray:
+        samples, rate = decode_wav(payload)
+        base = audio_features(samples, rate)
+        f = np.zeros(FEATURE_DIM, dtype=np.float64)
+        f[0] = base["duration_s"]
+        f[1] = base["rms"]
+        f[2] = base["zcr"]
+        f[3] = base["dominant_hz"] / max(rate, 1)
+        if len(samples) >= 16:  # 8-band log-energy profile
+            spec = np.abs(np.fft.rfft(samples.astype(np.float64) / 32768.0))
+            bands = np.array_split(spec[1:], 8)
+            f[4:12] = [np.log1p(b.sum()) for b in bands]
+        n = np.linalg.norm(f)
+        return f / n if n else f
+
+    def _decode_payload(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.decode == "fake":
+            return self._fake_feature(payload)
+        if media_type == PPM_TYPE:
+            return self._image_features(payload)
+        if media_type == WAV_TYPE:
+            return self._audio_feature_vec(payload)
+        raise NotImplementedError(
+            f"decoding {media_type!r} requires a codec library, which is not "
+            "available in this environment; PPM/WAV decode natively, or use "
+            "decode='fake' for pipeline plumbing tests"
+        )
+
+    def _fake_feature(self, payload: bytes) -> np.ndarray:
         # deterministic fake: feature[i] = mix of payload bytes + i (unit norm)
         from dynaalign_ray.hashing import hash_u64
 
@@ -79,7 +251,10 @@ class MediaFeatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack([self._decode_payload(p) for p in payloads])
+        types = batch.column("media_type").to_pylist()
+        feats = np.stack(
+            [self._decode_payload(p, t) for p, t in zip(payloads, types)]
+        )
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1), type=pa.float32()), FEATURE_DIM
         )
@@ -92,18 +267,57 @@ class MediaFeatureActor:
         )
 
 
-def resize_stub_batch(batch: pa.Table, *, width: int, height: int) -> pa.Table:
-    """Schema-true resize stage: passes payloads through while rewriting the
-    size metadata (the real kernel would transform payload bytes)."""
-    n = batch.num_rows
+class ImageResizeActor:
+    """REAL resize stage for PPM payloads: decode -> nearest-neighbor gather
+    -> re-encode; metadata rewritten to match the actual new raster.  Other
+    media types pass through unchanged (a real deployment would dispatch to
+    the right codec per type)."""
+
+    def __init__(self, width: int, height: int):
+        self.width, self.height = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        widths = np.asarray(batch.column("width")).astype(np.int32).copy()
+        heights = np.asarray(batch.column("height")).astype(np.int32).copy()
+        out = []
+        for i, (p, t) in enumerate(zip(payloads, types)):
+            if t == PPM_TYPE:
+                resized = resize_nearest(decode_ppm(p), self.width, self.height)
+                p = encode_ppm(resized)
+                widths[i], heights[i] = self.width, self.height
+            out.append(p)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "media_type": batch.column("media_type"),
+                "payload": pa.array(out, type=pa.binary()),
+                "width": pa.array(widths, type=pa.int32()),
+                "height": pa.array(heights, type=pa.int32()),
+                "n_bytes": pa.array(
+                    np.fromiter((len(p) for p in out), dtype=np.int64, count=len(out))
+                ),
+            }
+        )
+
+
+def image_dhash_batch(batch: pa.Table) -> pa.Table:
+    """(media_id, payload) -> (media_id, dhash int63) for PPM rows — feeds
+    the SimHash-style Hamming bucketer for image near-dup."""
+    ids = np.asarray(batch.column("media_id")).astype(np.int64)
+    payloads = batch.column("payload").to_pylist()
+    types = batch.column("media_type").to_pylist()
+    keep, hashes = [], []
+    for i, (p, t) in enumerate(zip(payloads, types)):
+        if t == PPM_TYPE:
+            keep.append(ids[i])
+            # >> 1 keeps the hash in int63 (engine-wide key discipline)
+            hashes.append(image_dhash(decode_ppm(bytes(p))) >> 1)
     return pa.table(
         {
-            "media_id": batch.column("media_id"),
-            "media_type": batch.column("media_type"),
-            "payload": batch.column("payload"),
-            "width": pa.array([width] * n, type=pa.int32()),
-            "height": pa.array([height] * n, type=pa.int32()),
-            "n_bytes": batch.column("n_bytes"),
+            "media_id": pa.array(np.array(keep, dtype=np.int64)),
+            "dhash": pa.array(np.array(hashes, dtype=np.int64)),
         }
     )
 
@@ -111,7 +325,8 @@ def resize_stub_batch(batch: pa.Table, *, width: int, height: int) -> pa.Table:
 def frame_sample_plan_batch(batch: pa.Table, *, every_n: int = 30) -> pa.Table:
     """Video frame-sampling *plan*: one output row per (media, frame_index)
     without decoding — downstream decode stages consume the plan.  Frame
-    count is estimated from payload size (stub: 1 frame per 4 KiB)."""
+    count is estimated from payload size (stub: 1 frame per 4 KiB; real
+    container parsing needs a demuxer this environment lacks)."""
     ids = np.asarray(batch.column("media_id")).astype(np.int64)
     sizes = np.asarray(batch.column("n_bytes")).astype(np.int64)
     est_frames = np.maximum(sizes // 4096, 1)
@@ -130,19 +345,57 @@ def frame_sample_plan_batch(batch: pa.Table, *, every_n: int = 30) -> pa.Table:
     )
 
 
+def synth_image(media_id: int, width: int = 48, height: int = 32) -> np.ndarray:
+    """Deterministic synthetic raster: id-seeded gradient + blocks, so
+    near-dup variants (same base id + noise) have close dHashes."""
+    rng = np.random.Generator(np.random.PCG64(media_id))
+    yy, xx = np.mgrid[0:height, 0:width]
+    phase = rng.uniform(0.0, 2.0 * np.pi, size=3)
+    fx = 0.25 + 0.18 * (media_id % 7) + rng.uniform(0, 0.1)
+    fy = 0.12 + 0.09 * (media_id % 5) + rng.uniform(0, 0.1)
+    chans = [
+        127.5 + 127.5 * np.sin(fx * xx + fy * yy + phase[c]) for c in range(3)
+    ]
+    img = np.stack(chans, axis=2).astype(np.int16) + rng.integers(
+        -4, 5, size=(height, width, 3)
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+    """Deterministic media corpus: real PPM images, real PCM WAVs, and
+    opaque fake-video payloads (the still-stubbed type), round-robin."""
     rng = np.random.Generator(np.random.PCG64(seed))
     ids = np.arange(n, dtype=np.int64)
-    types = [["image/jpeg", "audio/wav", "video/mp4"][i % 3] for i in range(n)]
-    payloads = [rng.bytes(int(rng.integers(256, 8192))) for _ in range(n)]
+    types, payloads, widths, heights = [], [], [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            img = synth_image(i)
+            payloads.append(encode_ppm(img))
+            types.append(PPM_TYPE)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+        elif kind == 1:
+            t = np.arange(0, 2048) / 8000.0
+            freq = 200.0 + (i % 10) * 55.0
+            wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+            payloads.append(encode_wav(wave, 8000))
+            types.append(WAV_TYPE)
+            widths.append(0)
+            heights.append(0)
+        else:
+            payloads.append(rng.bytes(int(rng.integers(256, 8192))))
+            types.append("video/mp4")
+            widths.append(640)
+            heights.append(480)
     return pa.table(
         {
             "media_id": pa.array(ids),
             "media_type": pa.array(types, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array([640] * n, pa.int32()),
-            "height": pa.array([480] * n, pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
             "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
         }
     )

@@ -290,12 +290,21 @@ class TestSimilaritySearch:
 
 
 class TestMultimodal:
-    def test_strict_stub_raises(self, rd):
-        from dynaalign_ray.functions.multimodal import MediaFeatureActor, synth_media_table
+    def test_strict_decodes_ppm_wav_rejects_compressed(self, rd):
+        from dynaalign_ray.functions.multimodal import (
+            FEATURE_DIM,
+            MediaFeatureActor,
+            synth_media_table,
+        )
 
         actor = MediaFeatureActor(decode="strict")
+        # rows 0 (PPM) and 1 (WAV) decode for real now
+        out = actor(synth_media_table(2))
+        assert out.num_rows == 2
+        assert all(len(f) == FEATURE_DIM for f in out.column("feature").to_pylist())
+        # compressed media (row 2: video/mp4) still honestly raises
         with pytest.raises(NotImplementedError):
-            actor(synth_media_table(2))
+            actor(synth_media_table(3))
 
     def test_fake_decode_pipeline(self, rd):
         from dynaalign_ray.functions.multimodal import (
@@ -326,16 +335,27 @@ class TestMultimodal:
 
     def test_resize_and_frame_plan(self):
         from dynaalign_ray.functions.multimodal import (
+            PPM_TYPE,
+            ImageResizeActor,
+            decode_ppm,
             frame_sample_plan_batch,
-            resize_stub_batch,
             synth_media_table,
         )
 
-        media = synth_media_table(5)
-        resized = resize_stub_batch(media, width=224, height=224)
-        assert resized.column("width").to_pylist() == [224] * 5
+        media = synth_media_table(7)
+        resized = ImageResizeActor(width=224, height=224)(media)
+        for i, t in enumerate(resized.column("media_type").to_pylist()):
+            if t == PPM_TYPE:  # REAL raster resize, metadata matches payload
+                assert resized.column("width")[i].as_py() == 224
+                img = decode_ppm(resized.column("payload")[i].as_py())
+                assert img.shape == (224, 224, 3)
+            else:  # non-image rows pass through untouched
+                assert (
+                    resized.column("payload")[i].as_py()
+                    == media.column("payload")[i].as_py()
+                )
         plan = frame_sample_plan_batch(media, every_n=10)
-        assert plan.num_rows >= 5
+        assert plan.num_rows >= 2
 
 
 class TestSketchOps:
