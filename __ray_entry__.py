@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": c.doc_top_terms,
         "doc_length_quantiles": c.doc_length_quantiles,
         "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
+        "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
         "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
         # --- similarity search

@@ -91,12 +91,26 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+def _pool_mean(gray: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Mean-pool a 2-D array to (height, width): two reduceat passes.  Mean
+    pooling (not point sampling) is what makes the hash noise-stable —
+    per-pixel noise averages out over each cell."""
+    h, w = gray.shape
+    row_edges = (np.arange(height) * h) // height
+    col_edges = (np.arange(width) * w) // width
+    pooled = np.add.reduceat(np.add.reduceat(gray, row_edges, axis=0), col_edges, axis=1)
+    rows_n = np.diff(np.append(row_edges, h))
+    cols_n = np.diff(np.append(col_edges, w))
+    return pooled / np.outer(rows_n, cols_n)
+
+
 def image_dhash(img: np.ndarray) -> int:
-    """64-bit difference hash: grayscale -> 9x8 -> adjacent-column compare.
-    Standard public perceptual fingerprint (stable under small noise /
-    rescale) — the image analog of SimHash for near-dup bucketing."""
-    gray = img.astype(np.uint16).sum(axis=2) // 3  # cheap luma
-    small = resize_nearest(gray[..., None], 9, 8)[..., 0]
+    """64-bit difference hash: grayscale -> mean-pool to 9x8 -> adjacent-
+    column compare.  Standard public perceptual fingerprint (stable under
+    small noise / rescale) — the image analog of SimHash for near-dup
+    bucketing."""
+    gray = img.astype(np.float64).sum(axis=2) / 3.0  # cheap luma
+    small = _pool_mean(gray, 9, 8)
     bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
     return int(np.packbits(bits).view(">u8")[0])
 
@@ -360,6 +374,58 @@ def synth_image(media_id: int, width: int = 48, height: int = 32) -> np.ndarray:
         -4, 5, size=(height, width, 3)
     )
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def synth_image_corpus(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic all-PPM corpus with PLANTED near-dups: every 4th row is
+    a ±3-noise copy of the previous row's image (same base pattern), so the
+    ground-truth near-dup pair set is {(i-1, i) : i % 4 == 3}."""
+    ids = np.arange(n, dtype=np.int64)
+    payloads, widths, heights = [], [], []
+    for i in range(n):
+        if i % 4 == 3:
+            base = synth_image(i - 1)
+            rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+            img = np.clip(
+                base.astype(np.int16) + rng.integers(-3, 4, base.shape), 0, 255
+            ).astype(np.uint8)
+        else:
+            img = synth_image(i)
+        payloads.append(encode_ppm(img))
+        heights.append(img.shape[0])
+        widths.append(img.shape[1])
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array([PPM_TYPE] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+def dhash_signature_batch(batch: pa.Table) -> pa.Table:
+    """PPM rows -> (doc_id, simhash uint64, n_shingles=1): the adapter that
+    feeds image dHashes into the SimHash pigeonhole bucketer
+    (stages/simhash_stage.simhash_edges) unchanged — image near-dup is
+    Hamming near-dup, same shuffle skeleton."""
+    ids = np.asarray(batch.column("media_id")).astype(np.int64)
+    payloads = batch.column("payload").to_pylist()
+    types = batch.column("media_type").to_pylist()
+    keep, hashes = [], []
+    for i, (p, t) in enumerate(zip(payloads, types)):
+        if t == PPM_TYPE:
+            keep.append(ids[i])
+            hashes.append(image_dhash(decode_ppm(bytes(p))))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.array(keep, dtype=np.int64)),
+            "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
+            "n_shingles": pa.array(np.ones(len(keep), dtype=np.int64)),
+        }
+    )
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:

@@ -983,6 +983,46 @@ def media_features(sf_dir: str, num_partitions: int = 4):
     return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def media_image_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int = 10):
+    """Image near-duplicate pairs (rows-only): REAL PPM decode -> 64-bit
+    dHash -> the engine's SimHash pigeonhole bucketer (16 chunks of 4 bits
+    cover Hamming <= 15 by pigeonhole) -> exact vectorized Hamming verify.
+    The corpus is deterministic with planted noisy copies (every 4th image);
+    mean-pooled dHash keeps planted pairs <= ~9 bits apart and unrelated
+    images >= ~12, so max_hamming=10 separates them.
+
+    Scale note: 4-bit chunks have only 16 key values per chunk — a
+    skew-prone keyspace at 10^12 rows; the production setting is fewer,
+    wider chunks with a tighter Hamming bound (e.g. 4x16-bit, <= 3) exactly
+    as the text SimHash path defaults to, or salted sub-buckets via the
+    bands-stage hot-key machinery."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.multimodal import (
+        dhash_signature_batch,
+        synth_image_corpus,
+    )
+    from dynaalign_ray.stages.simhash_stage import simhash_edges
+
+    configure_context()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    corpus = synth_image_corpus(max(n_docs // 2, 16))
+    sigs = (
+        rd.from_arrow(corpus)
+        .repartition(num_blocks=num_partitions)
+        .map_batches(dhash_signature_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return simhash_edges(
+        sigs,
+        DedupConfig(),
+        num_partitions,
+        num_chunks=16,
+        max_hamming=max_hamming,
+    )
+
+
 def doc_corpus_stats(sf_dir: str):
     """Corpus-level metrics: doc count + HLL approximate distinct tokens
     (mergeable-sketch aggregation; deterministic, rows-only check)."""

@@ -87,3 +87,22 @@ class TestWAV:
     def test_rejects_non_riff(self):
         with pytest.raises(ValueError):
             decode_wav(b"OggS" + b"\x00" * 40)
+
+
+class TestImageNearDup:
+    def test_planted_pairs_found(self, ray_session):
+        from dynaalign_ray.pipelines.curation import media_image_neardup
+
+        rows = media_image_neardup(
+            "/root/testdata/sf0.001", num_partitions=4, max_hamming=10
+        ).take_all()
+        got = {(r["a"], r["b"]) for r in rows}
+        assert len(got) == len(rows)  # cross-chunk dedup held
+        # corpus size = max(n_docs // 2, 16); planted near-dups at i % 4 == 3
+        import pyarrow.parquet as pq
+
+        n = max(pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows // 2, 16)
+        planted = {(i - 1, i) for i in range(3, n, 4)}
+        missed = planted - got
+        assert not missed, f"missed planted near-dups: {sorted(missed)[:5]}"
+        assert all(r["hamming"] <= 10 for r in rows)
