@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": c.doc_stratified_sample,
         "doc_vocab": c.doc_vocab,
         "doc_shingle_except": c.doc_shingle_except,
+        "doc_shingle_intersect": c.doc_shingle_intersect,
         "doc_top_terms": c.doc_top_terms,
         "doc_length_quantiles": c.doc_length_quantiles,
         "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
@@ -406,6 +407,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT sh FROM s WHERE source = 'src0'
             EXCEPT
+            SELECT sh FROM s WHERE source = 'src1'
+        """,
+        "doc_shingle_intersect": """
+            WITH t AS (
+                SELECT source, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents WHERE source IN ('src0', 'src1')
+            ), s AS (
+                SELECT source, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            )
+            SELECT sh FROM s WHERE source = 'src0'
+            INTERSECT
             SELECT sh FROM s WHERE source = 'src1'
         """,
         "doc_top_by_source": """

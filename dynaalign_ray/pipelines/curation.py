@@ -831,18 +831,31 @@ def embedding_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5):
 
 
 def doc_shingle_except(sf_dir: str, src_a: str = "src0", src_b: str = "src1", num_partitions: int = 8):
-    """Distributed EXCEPT set-op over an exploded set: distinct word
-    3-shingles that appear in ``src_a``'s documents but in none of
-    ``src_b``'s (raw token vocabularies of the synthetic sources fully
+    """Distributed EXCEPT set-op: distinct word 3-shingles in ``src_a`` but
+    none of ``src_b``'s docs.  See :func:`_shingle_setop` for the plan."""
+    return _shingle_setop(sf_dir, src_a, src_b, num_partitions, op="except")
+
+
+def doc_shingle_intersect(sf_dir: str, src_a: str = "src0", src_b: str = "src1", num_partitions: int = 8):
+    """Distributed INTERSECT set-op: distinct word 3-shingles appearing in
+    BOTH sources' documents (the shared-boilerplate detector — cross-source
+    shingle overlap is exactly what inflates LSH buckets at web scale).
+    Same side-bit plan as :func:`doc_shingle_except`; keep in_a AND in_b."""
+    return _shingle_setop(sf_dir, src_a, src_b, num_partitions, op="intersect")
+
+
+def _shingle_setop(sf_dir: str, src_a: str, src_b: str, num_partitions: int, op: str):
+    """Shared side-bit set-op plan (EXCEPT / INTERSECT) over an exploded
+    set (raw token vocabularies of the synthetic sources fully
     overlap; shingles discriminate).  Plan: filter to the two sources at
     the read, vectorized shingle-string construction (flat token gather +
     one ``binary_join_element_wise``), LOCAL per-block distinct of
     (shingle, side-bit) partials — the combiner, so the shuffle carries
     each block's distinct shingles once, not every occurrence — ONE keyed
     repartition on hash(shingle), and a final exact string-grouped OR of
-    the side bits per block; keep in_a AND NOT in_b.  Exactness never
-    depends on the routing hash: shingles are compared as strings inside
-    the block."""
+    the side bits per block; keep by the op's side-bit predicate.
+    Exactness never depends on the routing hash: shingles are compared as
+    strings inside the block."""
     import pyarrow.dataset as pads
     import ray.data as rd
 
@@ -904,7 +917,11 @@ def doc_shingle_except(sf_dir: str, src_a: str = "src0", src_b: str = "src1", nu
         route = to_id63(hash_strings(part.column("sh").to_pylist()))
         return part.append_column("route", pa.array(route, type=pa.int64())).cast(out_schema)
 
-    def except_block(b: pa.Table) -> pa.Table:
+    b_bit = 0 if op == "except" else 1
+    if op not in ("except", "intersect"):
+        raise ValueError(f"op must be 'except' or 'intersect', got {op!r}")
+
+    def setop_block(b: pa.Table) -> pa.Table:
         out_schema = pa.schema([("sh", pa.string())])
         if b.num_rows == 0:
             return out_schema.empty_table()
@@ -912,7 +929,7 @@ def doc_shingle_except(sf_dir: str, src_a: str = "src0", src_b: str = "src1", nu
         g = g.rename_columns(["sh", "in_a", "in_b"])
         keep = pc.and_(
             pc.equal(g.column("in_a"), pa.scalar(1, pa.int8())),
-            pc.equal(g.column("in_b"), pa.scalar(0, pa.int8())),
+            pc.equal(g.column("in_b"), pa.scalar(b_bit, pa.int8())),
         )
         return g.filter(keep).select(["sh"])
 
@@ -920,7 +937,7 @@ def doc_shingle_except(sf_dir: str, src_a: str = "src0", src_b: str = "src1", nu
         ds.map_batches(shingle_partial, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(num_blocks=num_partitions, keys=["route"])
         .map_batches(
-            except_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+            setop_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
 
