@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shingle_intersect": c.doc_shingle_intersect,
         "doc_top_terms": c.doc_top_terms,
         "doc_length_quantiles": c.doc_length_quantiles,
+        "doc_source_quantiles": c.doc_source_quantiles,
         "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
         "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": r.orders_rollup,
         "customer_order_counts": r.customer_order_counts,
         "events_value_stats": r.events_value_stats,
+        "events_trailing_hour": r.events_trailing_hour,
     }
 
 
@@ -444,6 +446,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,
                    unnest(quantile_disc(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS n_tokens
             FROM t
+        """,
+        "doc_source_quantiles": """
+            SELECT source,
+                   unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS q,
+                   unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9])) AS n_chars
+            FROM documents GROUP BY source
+        """,
+        "events_trailing_hour": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                       AS trail_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS trail_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """,
         "events_type_users": """
             SELECT event_type,

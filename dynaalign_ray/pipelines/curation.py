@@ -1327,3 +1327,67 @@ def doc_substring_dedup(sf_dir: str, num_partitions: int = 8, k: int = 100):
     from dynaalign_ray.stages.span_dedup import span_dedup
 
     return span_dedup(_docs(sf_dir, ["doc_id", "text"]), num_partitions, k=k)
+
+
+def doc_source_quantiles(sf_dir: str, num_partitions: int = 8):
+    """Per-group EXACT discrete quantiles (quantile_disc ... GROUP BY
+    analog): n_chars quantiles per source.  Plan: route by hash(source)
+    (groups delimited by exact string compare in-block), ONE Arrow sort per
+    block, then O(groups x quantiles) rank picks — rank rule
+    max(0, ceil(q*n)-1), the same empirically-DuckDB-matched rule as
+    functions/sketches.exact_int_quantiles.  Never a global sort; shuffle
+    carries (source, n_chars) only."""
+    import math
+
+    from dynaalign_ray.hashing import hash_strings, to_id63
+
+    qs = (0.25, 0.5, 0.75, 0.9)
+    out_schema = pa.schema(
+        [("source", pa.string()), ("q", pa.float64()), ("n_chars", pa.int64())]
+    )
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        h = to_id63(hash_strings(batch.column("source").to_pylist()))
+        return batch.append_column("route", pa.array(h, type=pa.int64()))
+
+    def quantile_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            b, sort_keys=[("source", "ascending"), ("n_chars", "ascending")]
+        )
+        s = b.take(idx)
+        src = s.column("source").combine_chunks()
+        if isinstance(src, pa.ChunkedArray):
+            src = src.chunk(0)
+        vals = np.asarray(s.column("n_chars")).astype(np.int64)
+        codes = np.asarray(src.dictionary_encode().indices, dtype=np.int64)
+        bounds = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1], [True]])
+        )
+        out_src, out_q, out_v = [], [], []
+        for g in range(len(bounds) - 1):  # O(groups-per-block), not per-row
+            lo, hi = int(bounds[g]), int(bounds[g + 1])
+            n = hi - lo
+            for q in qs:
+                r = max(0, math.ceil(q * n) - 1)
+                out_src.append(src[lo].as_py())
+                out_q.append(q)
+                out_v.append(int(vals[lo + r]))
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "n_chars": pa.array(out_v, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(add_route, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["route"])
+        .map_batches(
+            quantile_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

@@ -679,3 +679,13 @@ def events_value_stats(sf_dir: str, num_partitions: int = 8):
         return batch.append_column("stddev_value", round4(np.array(std)))
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_trailing_hour(sf_dir: str, num_partitions: int = 8):
+    """RANGE-interval window: per event, the user's SUM/COUNT over the
+    trailing hour (boundary and ts-peers included, SQL RANGE semantics) —
+    see stages/windows.trailing_window_block for the composite-key plan."""
+    from dynaalign_ray.stages.windows import user_trailing_window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return user_trailing_window(ev, num_partitions, window_us=3_600_000_000)

@@ -226,3 +226,73 @@ def sliding_window_counts(
         .groupby(["window_start_us", "event_type"], num_partitions=num_partitions)
         .aggregate(Count(alias_name="n_events"))
     )
+
+
+def trailing_window_block(batch, *, window_us: int):
+    """RANGE-interval trailing window (SUM/COUNT OVER RANGE <window>
+    PRECEDING AND CURRENT ROW analog), fully vectorized across users.
+
+    After the (user_id, ts, event_id) lexsort, a composite key
+    ``rank(user)*K + (ts - ts_min)`` with ``K > ts_span + window_us`` makes
+    one GLOBAL pair of searchsorted calls respect per-user segment
+    boundaries: ``key_i - window_us`` can never cross below the previous
+    user's key range, so frame starts/ends never leak across users.  Frame
+    end uses side="right" on the key itself — RANGE frames include ALL
+    peers of the current row (equal ts), exactly like SQL.  Sums are exact
+    integer cents (prefix-sum difference, associative)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("trail_cents", pa.int64()),
+            ("trail_n", pa.int64()),
+        ]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid, ts, eid, (val,) = _user_order_block(batch, ("value",))
+    x = np.asarray(val, dtype=np.float64) * 100.0
+    cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    new = _segment_starts(uid)
+    rank = np.cumsum(new) - 1
+    ts_off = ts - ts.min()
+    stride = int(ts_off.max()) + int(window_us) + 2
+    if (int(rank[-1]) + 1) * stride >= 1 << 62:
+        raise NotImplementedError(
+            "composite window key would overflow int63; split the block "
+            "(smaller num_partitions per keyed repartition) or bucket time"
+        )
+    key = rank * stride + ts_off
+    start = np.searchsorted(key, key - int(window_us), side="left")
+    end = np.searchsorted(key, key, side="right")
+    prefix = np.zeros(len(cents) + 1, dtype=np.int64)
+    np.cumsum(cents, out=prefix[1:])
+    return pa.table(
+        {
+            "event_id": eid,
+            "user_id": uid,
+            "trail_cents": prefix[end] - prefix[start],
+            "trail_n": end - start,
+        },
+        schema=out_schema,
+    )
+
+
+def user_trailing_window(events_ds, num_partitions: int, window_us: int = 3_600_000_000):
+    """events(event_id, user_id, ts, value) -> per-event trailing-interval
+    SUM/COUNT.  Same ONE-keyed-repartition + one-vectorized-kernel plan as
+    the other ordered-sequence windows; shuffle carries four narrow columns."""
+    import functools
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "value"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            functools.partial(trailing_window_block, window_us=window_us),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

@@ -145,3 +145,94 @@ class TestDuckDBParity:
         assert list(got.columns) == list(want.columns)
         for c in got.columns:
             assert got[c].tolist() == want[c].tolist(), c
+
+
+class TestTrailingWindow:
+    def test_range_frame_semantics(self, ray_session):
+        """Boundary row (exactly window_us older) and ts-peers (including
+        later-sorted peers of the current row) are all inside the frame —
+        SQL RANGE semantics, not ROWS."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dynaalign_ray.stages.windows import trailing_window_block
+
+        W = 3_600_000_000
+        t0 = 1_700_000_000_000_000
+        # user 7: boundary hit at exactly -W; user 9: three ts-peers
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 10, 11, 12], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 9, 9, 9], pa.int64()),
+                "ts": pa.array(
+                    np.array([t0 - W, t0, t0 + 1, t0, t0, t0]), pa.timestamp("us")
+                ),
+                "value": pa.array([1.0, 2.0, 4.0, 1.0, 2.0, 4.0], pa.float64()),
+            }
+        )
+        out = {
+            r["event_id"]: (r["trail_cents"], r["trail_n"])
+            for r in trailing_window_block(tbl, window_us=W).to_pylist()
+        }
+        assert out[1] == (100, 1)
+        assert out[2] == (300, 2)  # boundary row at exactly -W included
+        assert out[3] == (600, 2)  # event 1 now outside (t0+1 - W > t0 - W)
+        # all three peers share the full peer frame (RANGE, not ROWS)
+        assert out[10] == out[11] == out[12] == (700, 3)
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from dynaalign_ray.pipelines.relational import events_trailing_hour
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["event_id"]: (r["trail_cents"], r["trail_n"])
+            for r in events_trailing_hour(sf, num_partitions=4).take_all()
+        }
+        want = {
+            e: (c, n)
+            for e, c, n in duckdb.sql(
+                f"""
+                SELECT event_id,
+                       sum(CAST(round(value * 100) AS BIGINT)) OVER w,
+                       count(*) OVER w
+                FROM '{sf}/events.parquet'
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                """
+            ).fetchall()
+        }
+        assert got == want
+
+
+class TestSourceQuantiles:
+    def test_singleton_and_tiny_groups(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dynaalign_ray.pipelines.curation import doc_source_quantiles
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "source": pa.array(["solo", "duo", "duo", "duo"]),
+                    "n_chars": pa.array([42, 10, 20, 30], pa.int64()),
+                    "text": pa.array(["x"] * 4),
+                    "lang": pa.array(["en"] * 4),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = {
+            (r["source"], r["q"]): r["n_chars"]
+            for r in doc_source_quantiles(str(tmp_path), num_partitions=2).take_all()
+        }
+        assert all(got[("solo", q)] == 42 for q in (0.25, 0.5, 0.75, 0.9))
+        # n=3, rank = max(0, ceil(q*3)-1): 0.25->0, 0.5->1, 0.75->2, 0.9->2
+        assert got[("duo", 0.25)] == 10
+        assert got[("duo", 0.5)] == 20
+        assert got[("duo", 0.75)] == 30
+        assert got[("duo", 0.9)] == 30
