@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_quantiles": c.doc_source_quantiles,
         "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
         "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
+        "media_audio_neardup": c.media_audio_neardup,  # rows-only (spectral hash)
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
         "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
         # --- similarity search
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": r.customer_order_counts,
         "events_value_stats": r.events_value_stats,
         "events_trailing_hour": r.events_trailing_hour,
+        "q3_shipping_priority": r.q3_shipping_priority,
     }
 
 
@@ -656,6 +658,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
+                       AS revenue,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000 DESC,
+                     l_orderkey
+            LIMIT 10
         """,
         "revenue_by_nation": """
             SELECT n_name,

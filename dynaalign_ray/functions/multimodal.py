@@ -376,6 +376,81 @@ def synth_image(media_id: int, width: int = 48, height: int = 32) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def audio_spectral_hash(samples: np.ndarray, n_bands: int = 64) -> int:
+    """64-bit spectral signature: |rfft| -> 64 equal bands -> bit c set
+    where band energy exceeds the mean band energy (the audio analog of
+    the image dHash).  Band-vs-mean (not band-vs-adjacent) because audio
+    spectra are sparse — adjacent compares of near-zero bands are noise
+    signs, while loud-band membership is stable under small additive
+    noise and distinct across tone layouts."""
+    x = samples.astype(np.float64) / 32768.0
+    spec = np.abs(np.fft.rfft(x))[1:]  # drop DC
+    if len(spec) < n_bands:
+        spec = np.pad(spec, (0, n_bands - len(spec)))
+    edges = (np.arange(n_bands) * len(spec)) // n_bands
+    bands = np.add.reduceat(spec, edges)
+    bits = bands > bands.mean()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def synth_audio_corpus(n: int, seed: int = 42, n_samples: int = 2048) -> pa.Table:
+    """Deterministic all-WAV corpus with PLANTED near-dups: every 4th row is
+    a noise-added copy of the previous row's signal; base signals are
+    id-seeded 3-tone mixes, so unrelated rows have distinct spectra."""
+    ids = np.arange(n, dtype=np.int64)
+    rate = 8000
+    t = np.arange(n_samples) / rate
+    payloads = []
+    for i in range(n):
+        if i % 4 == 3:
+            rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+            base = _synth_signal(i - 1, t)
+            sig = base + rng.normal(0, 0.01, n_samples)
+        else:
+            sig = _synth_signal(i, t)
+        payloads.append(
+            encode_wav(np.clip(sig * 12000, -32768, 32767).astype(np.int16), rate)
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array([WAV_TYPE] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+def _synth_signal(media_id: int, t: np.ndarray) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(media_id))
+    freqs = rng.uniform(100.0, 3200.0, size=3)
+    amps = rng.uniform(0.2, 0.6, size=3)
+    return sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+
+
+def audio_hash_signature_batch(batch: pa.Table) -> pa.Table:
+    """WAV rows -> (doc_id, simhash uint64, n_shingles=1) for the pigeonhole
+    Hamming bucketer — same adapter shape as dhash_signature_batch."""
+    ids = np.asarray(batch.column("media_id")).astype(np.int64)
+    payloads = batch.column("payload").to_pylist()
+    types = batch.column("media_type").to_pylist()
+    keep, hashes = [], []
+    for i, (p, t) in enumerate(zip(payloads, types)):
+        if t == WAV_TYPE:
+            samples, _ = decode_wav(bytes(p))
+            keep.append(ids[i])
+            hashes.append(audio_spectral_hash(samples))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.array(keep, dtype=np.int64)),
+            "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
+            "n_shingles": pa.array(np.ones(len(keep), dtype=np.int64)),
+        }
+    )
+
+
 def synth_image_corpus(n: int, seed: int = 42) -> pa.Table:
     """Deterministic all-PPM corpus with PLANTED near-dups: every 4th row is
     a ±3-noise copy of the previous row's image (same base pattern), so the

@@ -1040,6 +1040,37 @@ def media_image_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int =
     )
 
 
+def media_audio_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int = 3):
+    """Audio near-duplicate pairs (rows-only): REAL WAV decode -> 64-bit
+    spectral signature (band-vs-mean bits) -> the text SimHash pigeonhole
+    bucketer at its production setting (4x16-bit chunks, Hamming <= 3).
+    Deterministic corpus with planted noise-added copies; planted pairs
+    measure <= 1 bit apart, unrelated tone mixes >= ~5."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.multimodal import (
+        audio_hash_signature_batch,
+        synth_audio_corpus,
+    )
+    from dynaalign_ray.stages.simhash_stage import simhash_edges
+
+    configure_context()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    corpus = synth_audio_corpus(max(n_docs // 2, 16))
+    sigs = (
+        rd.from_arrow(corpus)
+        .repartition(num_blocks=num_partitions)
+        .map_batches(
+            audio_hash_signature_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return simhash_edges(
+        sigs, DedupConfig(), num_partitions, num_chunks=4, max_hamming=max_hamming
+    )
+
+
 def doc_corpus_stats(sf_dir: str):
     """Corpus-level metrics: doc count + HLL approximate distinct tokens
     (mergeable-sketch aggregation; deterministic, rows-only check)."""

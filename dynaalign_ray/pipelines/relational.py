@@ -689,3 +689,84 @@ def events_trailing_hour(sf_dir: str, num_partitions: int = 8):
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     return user_trailing_window(ev, num_partitions, window_us=3_600_000_000)
+
+
+def q3_shipping_priority(sf_dir: str, num_partitions: int = 8, k: int = 10):
+    """TPC-H Q3-shaped composition (filter -> semi-join -> hash join ->
+    groupby -> global top-k): top-k unshipped orders by discounted revenue
+    for one customer segment.  Plan: the segment's custkeys are a broadcast
+    keyset (semi join, no shuffle); date filters push to the parquet read;
+    the only shuffle join is lineitem ⋈ filtered-orders on orderkey; the
+    final sort feeds limit(k) so only k rows reach the driver.  Revenue is
+    ranked on the ROUNDED value with l_orderkey tiebreak so ordering never
+    depends on last-ulp float summation differences between engines."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Max, Sum
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.joins import broadcast_semi_join, collect_arrow, hash_join
+
+    configure_context()
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+    # keyset built from arrow block refs (collect_arrow) — never a
+    # driver-side Python row rebuild; semi join is a broadcast probe.  At
+    # 10^9+ segment keys this flips to the partitioned hash-join skeleton
+    # exactly as customers_no_big_orders documents.
+    seg_keys = collect_arrow(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def odate_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("o_orderdate"), cutoff))
+
+    o_f = broadcast_semi_join(
+        orders.map_batches(odate_filter, batch_format="pyarrow", zero_copy_batch=True),
+        seg_keys,
+        left_on="o_custkey",
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "orderdate_us": batch.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    import pyarrow.dataset as pads
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > np.datetime64("1995-03-15", "us"),
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "disc_price": pa.array(price * (1.0 - disc), type=pa.float64()),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True),
+        o_f.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("disc_price", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("orderdate_us", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    agg = j.groupby("l_orderkey", num_partitions=num_partitions).aggregate(
+        Sum("disc_price", alias_name="revenue"),
+        Max("orderdate_us", alias_name="orderdate_us"),  # constant per order
+    )
+    rounded = _round_cols(agg, ["revenue"])
+    return rounded.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)

@@ -106,3 +106,36 @@ class TestImageNearDup:
         missed = planted - got
         assert not missed, f"missed planted near-dups: {sorted(missed)[:5]}"
         assert all(r["hamming"] <= 10 for r in rows)
+
+
+class TestAudioNearDup:
+    def test_spectral_hash_separation(self):
+        from dynaalign_ray.functions.multimodal import (
+            audio_spectral_hash,
+            decode_wav,
+            synth_audio_corpus,
+        )
+
+        corpus = synth_audio_corpus(60)
+        hs = [
+            audio_spectral_hash(decode_wav(corpus.column("payload")[i].as_py())[0])
+            for i in range(60)
+        ]
+        ham = lambda a, b: bin(a ^ b).count("1")
+        for i in range(3, 60, 4):
+            assert ham(hs[i - 1], hs[i]) <= 3  # planted noisy copy stays close
+
+    def test_planted_pairs_found(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from dynaalign_ray.pipelines.curation import media_audio_neardup
+
+        rows = media_audio_neardup(
+            "/root/testdata/sf0.001", num_partitions=4, max_hamming=3
+        ).take_all()
+        got = {(r["a"], r["b"]) for r in rows}
+        n = max(pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows // 2, 16)
+        planted = {(i - 1, i) for i in range(3, n, 4)}
+        missed = planted - got
+        assert not missed, f"missed planted audio near-dups: {sorted(missed)[:5]}"
+        assert all(r["hamming"] <= 3 for r in rows)
