@@ -67,6 +67,7 @@ def run_bench() -> dict:
     from dynaalign_ray.exec import configure_context
     from dynaalign_ray.pipelines import curation as c
     from dynaalign_ray.pipelines import relational as r
+    from dynaalign_ray.pipelines import webpages as w
     from dynaalign_ray.pipelines.neardup import near_dedup
 
     configure_context()
@@ -147,6 +148,12 @@ def run_bench() -> dict:
     timed("doc_length_quantiles", lambda: c.doc_length_quantiles(SF_DIR, P).num_rows)
     timed("doc_top_by_source", lambda: c.doc_top_by_source(SF_DIR, 3, P).count())
     timed("embedding_topk_ivf", lambda: c.embedding_topk_ivf(SF_DIR).num_rows)
+    timed("pages_latest_snapshot", lambda: w.pages_latest_snapshot(SF_DIR, P).count())
+    timed("q3_shipping_priority", lambda: r.q3_shipping_priority(SF_DIR, P).count())
+    timed("customer_order_counts", lambda: r.customer_order_counts(SF_DIR, P).count())
+    timed("events_trailing_hour", lambda: r.events_trailing_hour(SF_DIR, P).count())
+    timed("doc_source_quantiles", lambda: c.doc_source_quantiles(SF_DIR, P).count())
+    timed("media_image_neardup", lambda: c.media_image_neardup(SF_DIR, P).count())
 
     result = {
         "metric": "neardup_pages_e2e",
