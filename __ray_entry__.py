@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_running": r.events_user_running,
         "lineitem_order_share": r.lineitem_order_share,
         "orders_rollup": r.orders_rollup,
+        "orders_cube": r.orders_cube,
         "customer_order_counts": r.customer_order_counts,
         "events_value_stats": r.events_value_stats,
         "events_trailing_hour": r.events_trailing_hour,
@@ -548,6 +549,13 @@ def oracle_sql() -> dict[str, str]:
                                     - CAST(sum(cents) AS HUGEINT) * sum(cents) AS DOUBLE))
                           / count(*) / 100) * 10000) / 10000 AS stddev_value
             FROM c GROUP BY event_type
+        """,
+        "orders_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "events_order_asof": """
             SELECT e.event_id, e.user_id,

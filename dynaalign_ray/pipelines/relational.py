@@ -428,11 +428,27 @@ def lineitem_order_share(sf_dir: str, num_partitions: int = 8):
     )
 
 
-def orders_rollup(sf_dir: str, num_partitions: int = 8):
-    """GROUP BY ROLLUP(status, priority) analog: finest-level distributed
+def orders_cube(sf_dir: str, num_partitions: int = 8):
+    """GROUP BY CUBE(status, priority): all four grouping sets re-aggregated
+    from the same finest distributed partials (see orders_rollup)."""
+    return orders_rollup(
+        sf_dir,
+        num_partitions,
+        grouping_sets=((True, True), (True, False), (False, True), (False, False)),
+    )
+
+
+def orders_rollup(
+    sf_dir: str,
+    num_partitions: int = 8,
+    grouping_sets: tuple = ((True, True), (True, False), (False, False)),
+):
+    """GROUP BY ROLLUP/CUBE/GROUPING SETS analog: finest-level distributed
     aggregate first (count + exact integer-cent sum — both distributive),
-    then the coarser grouping-set levels are re-aggregated from the finest
-    partials in one driver-side pass.  The finest table is bounded by
+    then every coarser grouping-set level is re-aggregated from the finest
+    partials in one driver-side pass.  ``grouping_sets`` lists the (keep
+    status, keep priority) combos — default is the ROLLUP lattice; CUBE
+    adds (False, True).  The finest table is bounded by
     |status| x |priority| (a few dozen rows at any sf), so the driver step
     is O(groups), not O(rows); rolled-up key levels surface as 'ALL'
     (coalesce on the oracle side) to keep the compare NULL-free."""
@@ -476,9 +492,12 @@ def orders_rollup(sf_dir: str, num_partitions: int = 8):
     all_arr = pa.array(["ALL"] * t.num_rows, type=pa.string())
     stacked = pa.concat_tables(
         [
-            level(t, t.column("o_orderstatus"), t.column("o_orderpriority")),
-            level(t, t.column("o_orderstatus"), all_arr),
-            level(t, all_arr, all_arr),
+            level(
+                t,
+                t.column("o_orderstatus") if keep_s else all_arr,
+                t.column("o_orderpriority") if keep_p else all_arr,
+            )
+            for keep_s, keep_p in grouping_sets
         ]
     )
     out = stacked.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(

@@ -112,3 +112,75 @@ class TestSketchLaws:
         for i in range(len(sizes)):
             seg = vals[off[i] : off[i + 1]]
             assert np.array_equal(seg, np.sort(seg))
+
+
+class TestTrailingWindowLaw:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),          # user
+                st.integers(0, 500),        # ts offset (us scale shrunk)
+                st.floats(-100, 100),       # value
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(1, 200),                # window size
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_matches_quadratic_reference(self, rows, window):
+        """trailing_window_block == the O(n^2) literal RANGE-frame definition
+        (same user, ts in [ts_i - W, ts_i], ALL peers included)."""
+        import pyarrow as pa
+
+        from dynaalign_ray.stages.windows import trailing_window_block
+
+        t0 = 1_700_000_000_000_000
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([t0 + t for _, t, _ in rows]), pa.timestamp("us")
+                ),
+                "value": pa.array([v for _, _, v in rows], pa.float64()),
+            }
+        )
+        out = {
+            r["event_id"]: (r["trail_cents"], r["trail_n"])
+            for r in trailing_window_block(tbl, window_us=window).to_pylist()
+        }
+        cents = [
+            int(np.sign(v * 100.0) * np.floor(abs(v * 100.0) + 0.5)) for _, _, v in rows
+        ]
+        for i, (u, t, _) in enumerate(rows):
+            frame = [
+                j
+                for j, (u2, t2, _) in enumerate(rows)
+                if u2 == u and t - window <= t2 <= t
+            ]
+            assert out[i] == (sum(cents[j] for j in frame), len(frame))
+
+
+class TestPpmRoundtripLaw:
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, w, h, seed):
+        from dynaalign_ray.functions.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.Generator(np.random.PCG64(seed))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+class TestWavRoundtripLaw:
+    @given(st.integers(0, 5000), st.integers(0, 2**31 - 1), st.sampled_from([8000, 16000, 44100]))
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, n, seed, rate):
+        from dynaalign_ray.functions.multimodal import decode_wav, encode_wav
+
+        rng = np.random.Generator(np.random.PCG64(seed))
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        out, r = decode_wav(encode_wav(samples, rate))
+        assert r == rate
+        np.testing.assert_array_equal(out, samples)
