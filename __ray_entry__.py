@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shingle_intersect": c.doc_shingle_intersect,
         "doc_top_terms": c.doc_top_terms,
         "doc_length_quantiles": c.doc_length_quantiles,
+        "doc_length_quantiles_cont": c.doc_length_quantiles_cont,
         "doc_source_quantiles": c.doc_source_quantiles,
         "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
         "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
@@ -448,6 +449,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,
                    unnest(quantile_disc(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS n_tokens
+            FROM t
+        """,
+        "doc_length_quantiles_cont": """
+            WITH t AS (
+                SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+                FROM documents
+            )
+            SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,
+                   unnest(list_transform(
+                        quantile_cont(n, [0.25, 0.5, 0.75, 0.9, 0.99]),
+                        x -> round(x * 10000) / 10000)) AS n_tokens
             FROM t
         """,
         "doc_source_quantiles": """

@@ -107,6 +107,70 @@ def exact_int_quantiles(
 
     import ray
 
+    vals, counts = _int_value_histogram(values_ds, col, num_partitions)
+    if vals is None:
+        return pa.table(
+            {"q": pa.array([], type=pa.float64()), "value": pa.array([], type=pa.int64())}
+        )
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        out_q.append(float(q))
+        out_v.append(int(vals[pos]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(out_v, type=pa.int64()),
+        }
+    )
+
+
+def exact_int_quantiles_cont(
+    values_ds, col: str, qs: list[float], num_partitions: int
+) -> pa.Table:
+    """EXACT interpolated quantiles (DuckDB ``quantile_cont`` rule) over the
+    same distributed value histogram as :func:`exact_int_quantiles`:
+    position ``p = q*(n-1)`` in the sorted multiset, linear interpolation
+    ``lo + (hi-lo)*(p - floor(p))`` between the elements at ``floor(p)`` /
+    ``ceil(p)``.  Inputs are exact ints, so both engines interpolate the
+    same numbers; results are 4-decimal rounded on both sides."""
+    import math
+
+    vals, counts = _int_value_histogram(values_ds, col, num_partitions)
+    if vals is None:
+        return pa.table(
+            {"q": pa.array([], type=pa.float64()), "value": pa.array([], type=pa.float64())}
+        )
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        p = q * (n - 1)
+        i0, i1 = math.floor(p), math.ceil(p)
+        lo = float(vals[int(np.searchsorted(cum, i0 + 1, side="left"))])
+        hi = float(vals[int(np.searchsorted(cum, i1 + 1, side="left"))])
+        out_q.append(float(q))
+        out_v.append(lo + (hi - lo) * (p - i0))
+    scaled = np.asarray(out_v, dtype=np.float64) * 10_000.0
+    rounded = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(rounded / 10_000.0, type=pa.float64()),
+        }
+    )
+
+
+def _int_value_histogram(values_ds, col: str, num_partitions: int):
+    """Distributed (value, count) histogram of an int column; returns
+    (sorted_values, counts) or (None, None) on empty input.  Shuffle
+    carries (value, count) partials only — at most ``blocks * distinct``
+    narrow rows, never the data column."""
+    import ray
+
     def partial(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column(col)).astype(np.int64)
         vals, counts = np.unique(v, return_counts=True)
@@ -130,25 +194,9 @@ def exact_int_quantiles(
     )
     parts = [t for t in (ray.get(r) for r in hist.to_arrow_refs()) if t.num_rows]
     if not parts:
-        return pa.table(
-            {"q": pa.array([], type=pa.float64()), "value": pa.array([], type=pa.int64())}
-        )
+        return None, None
     tbl = pa.concat_tables(parts)
     vals = np.asarray(tbl.column("value")).astype(np.int64)
     counts = np.asarray(tbl.column("c")).astype(np.int64)
     order = np.argsort(vals)
-    vals, counts = vals[order], counts[order]
-    cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
-    out_q, out_v = [], []
-    for q in qs:
-        idx = max(0, math.ceil(q * n) - 1)
-        pos = int(np.searchsorted(cum, idx + 1, side="left"))
-        out_q.append(float(q))
-        out_v.append(int(vals[pos]))
-    return pa.table(
-        {
-            "q": pa.array(out_q, type=pa.float64()),
-            "value": pa.array(out_v, type=pa.int64()),
-        }
-    )
+    return vals[order], counts[order]

@@ -730,6 +730,22 @@ def doc_length_quantiles(sf_dir: str, num_partitions: int = 8):
     return out.rename_columns(["q", "n_tokens"])
 
 
+def doc_length_quantiles_cont(sf_dir: str, num_partitions: int = 8):
+    """Exact INTERPOLATED token-count quantiles (DuckDB quantile_cont rule:
+    linear interpolation at position q*(n-1)) over the same distributed
+    value histogram; see functions/sketches.exact_int_quantiles_cont."""
+    from dynaalign_ray.functions.sketches import exact_int_quantiles_cont
+    from dynaalign_ray.functions.textstats import token_count_batch
+
+    counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = exact_int_quantiles_cont(
+        counts, "n_tokens", [0.25, 0.5, 0.75, 0.9, 0.99], num_partitions
+    )
+    return out.rename_columns(["q", "n_tokens"])
+
+
 def doc_top_terms(sf_dir: str, num_partitions: int = 8):
     """Per-document most-distinctive term by rarity-weighted frequency
     (tf * n_docs / df over whitespace tokens; ties break on the

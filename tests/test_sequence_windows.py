@@ -236,3 +236,27 @@ class TestSourceQuantiles:
         assert got[("duo", 0.5)] == 20
         assert got[("duo", 0.75)] == 30
         assert got[("duo", 0.9)] == 30
+
+
+class TestContQuantiles:
+    def test_matches_numpy_linear(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dynaalign_ray.exec import configure_context
+        from dynaalign_ray.functions.sketches import exact_int_quantiles_cont
+
+        configure_context()
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 300, size=777).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"n": pa.array(vals)})).repartition(num_blocks=4)
+        qs = [0.1, 0.25, 0.5, 0.9]
+        out = {
+            r["q"]: r["value"]
+            for r in exact_int_quantiles_cont(ds, "n", qs, 4).to_pylist()
+        }
+        for q in qs:
+            # numpy 'linear' uses the same q*(n-1) interpolation rule
+            want = float(np.percentile(vals, q * 100, method="linear"))
+            assert out[q] == pytest.approx(want, abs=1e-4)
