@@ -261,3 +261,87 @@ def pages_host_stats(sf_dir: str, num_partitions: int = 8):
         Sum("n_urls", alias_name="n_urls"),
         Sum("total_chars", alias_name="total_chars"),
     )
+
+
+def latest_snapshot_pages(
+    pages_ds,
+    num_partitions: int = 8,
+    canonicalize_urls: bool = True,
+    winner_limit: int = 200_000_000,
+):
+    """Crawl-revisit URL dedup over a full pages Dataset: keep only each
+    (canonical) URL's newest snapshot — the tier that runs BEFORE content
+    dedup on recrawled corpora.
+
+    Two-pass so html/text payloads NEVER enter a shuffle:
+
+    - PASS 1 (narrow): per block, local (url_id, max warc_us) partials —
+      the combiner — then ONE keyed repartition of (url_id, us) pairs and a
+      block max; the winner map (two int64 arrays, 16 B per distinct URL)
+      is ``ray.put`` once.
+    - PASS 2 (map-only): every pages block keeps rows whose
+      (url_id, warc_us) matches the winner map via searchsorted.
+
+    URL identity is ``doc_id_from_urls`` (the engine-wide int63 url->id
+    mapping used by extract_text_batch, so this stage's identity semantics
+    equal the flagship's).  Ties on warc_us keep all tied rows (no
+    arbitrary winner).  Size gate: beyond ``winner_limit`` distinct URLs
+    (16 B each — default ~3.2 GB) the broadcast map no longer fits a
+    worker heap; that form is the keyed-shuffle-of-payloads plan, not
+    implemented here.
+    """
+    import ray
+
+    from dynaalign_ray.hashing import doc_id_from_urls
+
+    def _url_ids(batch: pa.Table) -> np.ndarray:
+        urls = batch.column("url")
+        if canonicalize_urls:
+            urls, _ = canonicalize(urls)
+        return doc_id_from_urls(urls.to_pylist())
+
+    def partial_max(batch: pa.Table) -> pa.Table:
+        ids = _url_ids(batch)
+        us = np.asarray(batch.column("warc_ts").cast(pa.int64()))
+        t = pa.table(
+            {"url_id": pa.array(ids, type=pa.int64()), "us": pa.array(us, type=pa.int64())}
+        )
+        g = t.group_by("url_id").aggregate([("us", "max")])
+        return pa.table({"url_id": g.column("url_id"), "us": g.column("us_max")})
+
+    def block_max(b: pa.Table) -> pa.Table:
+        g = b.group_by("url_id").aggregate([("us", "max")])
+        return pa.table({"url_id": g.column("url_id"), "us": g.column("us_max")})
+
+    winners = (
+        pages_ds.select_columns(["url", "warc_ts"])
+        .map_batches(partial_max, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["url_id"])
+        .map_batches(
+            block_max, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    parts = [t for t in (ray.get(r) for r in winners.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pages_ds
+    wt = pa.concat_tables(parts)
+    if wt.num_rows > winner_limit:
+        raise NotImplementedError(
+            f"{wt.num_rows} distinct URLs exceeds winner_limit={winner_limit}; "
+            "use the keyed-shuffle plan (repartition pages by url hash and "
+            "take per-block segment max) for corpora past broadcast scale"
+        )
+    ids = np.asarray(wt.column("url_id")).astype(np.int64)
+    us = np.asarray(wt.column("us")).astype(np.int64)
+    order = np.argsort(ids)
+    winner_ref = ray.put((ids[order], us[order]))
+
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        wids, wus = ray.get(winner_ref)
+        ids = _url_ids(batch)
+        mine = np.asarray(batch.column("warc_ts").cast(pa.int64()))
+        pos = np.searchsorted(wids, ids)
+        keep = mine == wus[pos]
+        return batch.filter(pa.array(keep))
+
+    return pages_ds.map_batches(keep_latest, batch_format="pyarrow", zero_copy_batch=True)

@@ -34,6 +34,13 @@ def main() -> int:
     ap.add_argument("--backend", default="minhash", choices=["minhash", "simhash", "substring"])
     ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     ap.add_argument(
+        "--url-dedup",
+        action="store_true",
+        help="pre-tier: keep only the newest snapshot per canonical URL "
+        "(crawl-revisit dedup; payloads never shuffled — see "
+        "pipelines/webpages.latest_snapshot_pages)",
+    )
+    ap.add_argument(
         "--mode",
         default="full",
         choices=["full", "build-index", "probe-index"],
@@ -118,8 +125,15 @@ def main() -> int:
         return 0
 
     t0 = time.time()
+    pages_ds = rd.read_parquet(args.input)
+    if args.url_dedup:
+        from dynaalign_ray.pipelines.webpages import latest_snapshot_pages
+
+        pages_ds = latest_snapshot_pages(
+            pages_ds, num_partitions=args.num_partitions or 8
+        )
     res = near_dedup(
-        pages_ds=rd.read_parquet(args.input),
+        pages_ds=pages_ds,
         cfg=cfg,
         checkpoint_dir=args.checkpoint,
         num_partitions=args.num_partitions,

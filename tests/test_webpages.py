@@ -125,3 +125,47 @@ class TestHostStats:
         want = {h: (p, u, c) for h, p, u, c in want_rows}
         assert got == want
         assert all(p >= u for p, u, _ in got.values())
+
+
+class TestLatestSnapshotPages:
+    def test_revisits_collapse_to_newest(self, rd, ray_session):
+        """Duplicate a third of the fixture pages with bumped warc_ts; the
+        stage must keep exactly the newest snapshot per URL and never touch
+        unique-URL rows — and the kept payloads are the bumped ones."""
+        import pyarrow.compute as pc
+
+        from dynaalign_ray.fixtures import generate_pages
+        from dynaalign_ray.pipelines.webpages import latest_snapshot_pages
+
+        pages, _ = generate_pages(150, seed=42)
+        dup = pages.slice(0, 50)
+        bumped = dup.set_column(
+            dup.column_names.index("warc_ts"),
+            "warc_ts",
+            pc.add(dup.column("warc_ts").cast(pa.int64()), 86_400_000_000).cast(
+                pa.timestamp("us")
+            ),
+        )
+        # mark the bumped copies via lang so winners are identifiable
+        bumped = bumped.set_column(
+            bumped.column_names.index("lang"), "lang", pa.array(["xx"] * 50)
+        )
+        both = pa.concat_tables([pages, bumped])
+        out = latest_snapshot_pages(
+            rd.from_arrow(both).repartition(num_blocks=4), num_partitions=4
+        ).take_all()
+        assert len(out) == 150  # one row per distinct URL
+        by_url = {r["url"]: r for r in out}
+        dup_urls = set(dup.column("url").to_pylist())
+        for u, r in by_url.items():
+            assert r["lang"] == ("xx" if u in dup_urls else r["lang"])
+        assert sum(1 for r in out if r["lang"] == "xx") == 50
+
+    def test_ties_keep_all(self, rd, ray_session):
+        from dynaalign_ray.fixtures import generate_pages
+        from dynaalign_ray.pipelines.webpages import latest_snapshot_pages
+
+        pages, _ = generate_pages(20, seed=1)
+        both = pa.concat_tables([pages, pages.slice(0, 5)])  # exact ts ties
+        out = latest_snapshot_pages(rd.from_arrow(both), num_partitions=2).take_all()
+        assert len(out) == 25  # tied snapshots both kept (documented)
