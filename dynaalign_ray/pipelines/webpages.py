@@ -287,8 +287,11 @@ def latest_snapshot_pages(
     equal the flagship's).  Ties on warc_us keep all tied rows (no
     arbitrary winner).  Size gate: beyond ``winner_limit`` distinct URLs
     (16 B each — default ~3.2 GB) the broadcast map no longer fits a
-    worker heap; that form is the keyed-shuffle-of-payloads plan, not
-    implemented here.
+    worker heap and the plan flips to the keyed-shuffle form
+    (:func:`_latest_snapshot_shuffle`), which repartitions full page rows
+    by url hash and takes the per-URL segment max inside each block —
+    payloads do cross the exchange there, the unavoidable cost of the
+    10^10+-URL regime.
     """
     import ray
 
@@ -326,11 +329,7 @@ def latest_snapshot_pages(
         return pages_ds
     wt = pa.concat_tables(parts)
     if wt.num_rows > winner_limit:
-        raise NotImplementedError(
-            f"{wt.num_rows} distinct URLs exceeds winner_limit={winner_limit}; "
-            "use the keyed-shuffle plan (repartition pages by url hash and "
-            "take per-block segment max) for corpora past broadcast scale"
-        )
+        return _latest_snapshot_shuffle(pages_ds, num_partitions, canonicalize_urls)
     ids = np.asarray(wt.column("url_id")).astype(np.int64)
     us = np.asarray(wt.column("us")).astype(np.int64)
     order = np.argsort(ids)
@@ -345,3 +344,48 @@ def latest_snapshot_pages(
         return batch.filter(pa.array(keep))
 
     return pages_ds.map_batches(keep_latest, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _latest_snapshot_shuffle(pages_ds, num_partitions: int, canonicalize_urls: bool):
+    """Keyed-shuffle plan for latest_snapshot_pages past broadcast scale:
+    route full page rows by url_id, then inside each block keep rows whose
+    warc_us equals their URL's max (ties keep all — same semantics as the
+    broadcast plan; URLs are delimited by exact url_id compare, and url_id
+    is the engine-wide identity, so the two plans agree row-for-row)."""
+    import ray  # noqa: F401  (parity with the broadcast plan's imports)
+
+    from dynaalign_ray.hashing import doc_id_from_urls
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        if canonicalize_urls:
+            urls, _ = canonicalize(urls)
+        ids = doc_id_from_urls(urls.to_pylist())
+        return batch.append_column("url_id", pa.array(ids, type=pa.int64()))
+
+    def keep_block_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.drop_columns(["url_id"])
+        ids = np.asarray(b.column("url_id")).astype(np.int64)
+        us = np.asarray(b.column("warc_ts").cast(pa.int64()))
+        order = np.lexsort((us, ids))
+        sids, sus = ids[order], us[order]
+        # per-segment max broadcast down the segment (last element of each
+        # url_id run after the (id, us) lexsort is that URL's max)
+        is_last = np.ones(len(sids), dtype=bool)
+        is_last[:-1] = sids[1:] != sids[:-1]
+        last_pos = np.flatnonzero(is_last)
+        seg_id = np.cumsum(np.concatenate([[True], sids[1:] != sids[:-1]])) - 1
+        max_per_seg = sus[last_pos]
+        keep_sorted = sus == max_per_seg[seg_id]
+        keep = np.empty(len(ids), dtype=bool)
+        keep[order] = keep_sorted
+        return b.filter(pa.array(keep)).drop_columns(["url_id"])
+
+    return (
+        pages_ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["url_id"])
+        .map_batches(
+            keep_block_max, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

@@ -169,3 +169,35 @@ class TestLatestSnapshotPages:
         both = pa.concat_tables([pages, pages.slice(0, 5)])  # exact ts ties
         out = latest_snapshot_pages(rd.from_arrow(both), num_partitions=2).take_all()
         assert len(out) == 25  # tied snapshots both kept (documented)
+
+    def test_shuffle_plan_agrees_with_broadcast(self, rd, ray_session):
+        """Forcing winner_limit=0 flips to the keyed-shuffle plan; both
+        plans must keep exactly the same rows."""
+        import pyarrow.compute as pc
+
+        from dynaalign_ray.fixtures import generate_pages
+        from dynaalign_ray.pipelines.webpages import latest_snapshot_pages
+
+        pages, _ = generate_pages(120, seed=3)
+        dup = pages.slice(0, 40)
+        bumped = dup.set_column(
+            dup.column_names.index("warc_ts"),
+            "warc_ts",
+            pc.add(dup.column("warc_ts").cast(pa.int64()), 1_000_000).cast(
+                pa.timestamp("us")
+            ),
+        )
+        both = pa.concat_tables([pages, bumped, pages.slice(50, 10)])  # + ties
+        key = lambda r: (r["url"], r["warc_ts"])
+        a = sorted(
+            map(key, latest_snapshot_pages(rd.from_arrow(both), num_partitions=3).take_all())
+        )
+        b = sorted(
+            map(
+                key,
+                latest_snapshot_pages(
+                    rd.from_arrow(both), num_partitions=3, winner_limit=0
+                ).take_all(),
+            )
+        )
+        assert a == b and len(a) == 130  # 120 urls + 10 tied duplicates
