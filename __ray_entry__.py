@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shingle_except": c.doc_shingle_except,
         "doc_shingle_intersect": c.doc_shingle_intersect,
         "doc_top_terms": c.doc_top_terms,
+        "doc_heavy_tokens": c.doc_heavy_tokens,
         "doc_length_quantiles": c.doc_length_quantiles,
         "doc_length_quantiles_cont": c.doc_length_quantiles_cont,
         "doc_source_quantiles": c.doc_source_quantiles,
@@ -450,6 +451,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,
                    unnest(quantile_disc(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS n_tokens
             FROM t
+        """,
+        "doc_heavy_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 10
         """,
         "doc_length_quantiles_cont": """
             WITH t AS (

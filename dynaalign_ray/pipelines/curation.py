@@ -1376,6 +1376,18 @@ def doc_substring_dedup(sf_dir: str, num_partitions: int = 8, k: int = 100):
     return span_dedup(_docs(sf_dir, ["doc_id", "text"]), num_partitions, k=k)
 
 
+def doc_heavy_tokens(sf_dir: str, k: int = 10, num_partitions: int = 8):
+    """EXACT top-k tokens by global count via the bounded-candidate heavy-
+    hitter plan (functions/heavyhitters.top_tokens): per-block top-w
+    summaries + eps bounds -> certified candidate superset -> broadcast
+    exact verify.  The wide pass ships blocks×w rows, never the vocabulary."""
+    from dynaalign_ray.functions.heavyhitters import top_tokens
+
+    return top_tokens(
+        _docs(sf_dir, ["doc_id", "text"]), k=k, num_partitions=num_partitions
+    )
+
+
 def doc_source_quantiles(sf_dir: str, num_partitions: int = 8):
     """Per-group EXACT discrete quantiles (quantile_disc ... GROUP BY
     analog): n_chars quantiles per source.  Plan: route by hash(source)

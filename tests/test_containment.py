@@ -93,3 +93,49 @@ class TestContainmentPairs:
         for key, v in want.items():
             assert got[key] == pytest.approx(v, abs=1e-4)
         assert len(want) > 0
+
+
+class TestHeavyTokens:
+    def _write(self, tmp_path, texts):
+        return _write_docs(tmp_path, texts)
+
+    def test_matches_exact_counter(self, ray_session, tmp_path):
+        from collections import Counter
+
+        from dynaalign_ray.pipelines.curation import doc_heavy_tokens
+
+        rng = np.random.default_rng(9)
+        # zipf-ish: token ti has weight ~ 1/(i+1)
+        vocab = [f"t{i}" for i in range(200)]
+        weights = np.array([1.0 / (i + 1) for i in range(200)])
+        weights /= weights.sum()
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(5, 60), p=weights))
+            for _ in range(120)
+        ]
+        sf = self._write(tmp_path, texts)
+        got = [(r["token"], r["n"]) for r in doc_heavy_tokens(sf, k=10).take_all()]
+        cnt = Counter(t for x in texts for t in x.split())
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == want
+
+    def test_tiny_w_falls_back_exact(self, ray_session, tmp_path):
+        """With w too small the eps bound can't certify the candidates; the
+        plan must flip to the exact fallback and still be exact."""
+        from collections import Counter
+
+        from dynaalign_ray.functions.heavyhitters import top_tokens
+
+        import ray.data as rd
+        from dynaalign_ray.exec import configure_context
+
+        rng = np.random.default_rng(10)
+        vocab = [f"w{i}" for i in range(500)]  # flat distribution
+        texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(80)]
+        sf = self._write(tmp_path, texts)
+        configure_context()
+        ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]).repartition(num_blocks=6)
+        got = [(r["token"], r["n"]) for r in top_tokens(ds, k=5, w=3).take_all()]
+        cnt = Counter(t for x in texts for t in x.split())
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert got == want
