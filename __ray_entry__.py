@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": r.customer_order_counts,
         "events_value_stats": r.events_value_stats,
         "events_trailing_hour": r.events_trailing_hour,
+        "events_type_users_approx": r.events_type_users_approx,  # rows-only (grouped HLL)
         "q3_shipping_priority": r.q3_shipping_priority,
     }
 

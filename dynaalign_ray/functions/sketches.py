@@ -200,3 +200,95 @@ def _int_value_histogram(values_ds, col: str, num_partitions: int):
     counts = np.asarray(tbl.column("c")).astype(np.int64)
     order = np.argsort(vals)
     return vals[order], counts[order]
+
+
+def grouped_approx_distinct(
+    ds, key: str, value: str, num_partitions: int, p: int = 12
+) -> "object":
+    """Approximate COUNT(DISTINCT value) per group via GROUPED mergeable HLL
+    — the 100 TB form of events_type_users (whose exact plan must co-locate
+    every distinct (key, value) pair; this one shuffles one 2^p-byte
+    register row per (block, group) instead).
+
+    Plan: per block, one lexsort by key delimits groups and each group's
+    int64 values are splitmix-hashed into an HLL register array (binary
+    column); keyed repartition by hash(key); per block, register-wise max
+    merge per group (exact string compare delimits — routing hash never
+    enters correctness); estimate locally.  Error ~1.04/sqrt(2^p) (~1.6%
+    at p=12, 4 KiB per group-partial)."""
+    import functools
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dynaalign_ray.hashing import hash_strings, mix64, to_id63
+
+    out_partial = pa.schema(
+        [("grp", pa.string()), ("regs", pa.binary()), ("route", pa.int64())]
+    )
+
+    def partial(batch: pa.Table, *, p: int) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_partial.empty_table()
+        idx = pc.sort_indices(batch, sort_keys=[(key, "ascending")])
+        s = batch.take(idx)
+        grp = s.column(key).combine_chunks()
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.chunk(0)
+        codes = np.asarray(grp.dictionary_encode().indices, dtype=np.int64)
+        vals = mix64(np.asarray(s.column(value)).astype(np.uint64))
+        bounds = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1], [True]])
+        )
+        names, blobs = [], []
+        for g in range(len(bounds) - 1):  # O(groups-per-block)
+            lo, hi = int(bounds[g]), int(bounds[g + 1])
+            names.append(grp[lo].as_py())
+            blobs.append(hll_from_hashes(vals[lo:hi], p=p).tobytes())
+        route = to_id63(hash_strings(names))
+        return pa.table(
+            {
+                "grp": pa.array(names, pa.string()),
+                "regs": pa.array(blobs, pa.binary()),
+                "route": pa.array(route, pa.int64()),
+            },
+            schema=out_partial,
+        )
+
+    out_schema = pa.schema([("grp", pa.string()), ("n_approx", pa.int64())])
+
+    def merge_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(b, sort_keys=[("grp", "ascending")])
+        s = b.take(idx)
+        grp = s.column("grp").combine_chunks()
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.chunk(0)
+        codes = np.asarray(grp.dictionary_encode().indices, dtype=np.int64)
+        blobs = s.column("regs").to_pylist()
+        bounds = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1], [True]])
+        )
+        names, ests = [], []
+        for g in range(len(bounds) - 1):
+            lo, hi = int(bounds[g]), int(bounds[g + 1])
+            regs = hll_merge(
+                [np.frombuffer(blobs[i], dtype=np.uint8) for i in range(lo, hi)]
+            )
+            names.append(grp[lo].as_py())
+            ests.append(int(round(hll_estimate(regs))))
+        return pa.table(
+            {"grp": pa.array(names, pa.string()), "n_approx": pa.array(ests, pa.int64())},
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(
+            functools.partial(partial, p=p), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(num_blocks=num_partitions, keys=["route"])
+        .map_batches(
+            merge_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

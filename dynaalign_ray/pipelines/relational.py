@@ -789,3 +789,13 @@ def q3_shipping_priority(sf_dir: str, num_partitions: int = 8, k: int = 10):
     )
     rounded = _round_cols(agg, ["revenue"])
     return rounded.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def events_type_users_approx(sf_dir: str, num_partitions: int = 8):
+    """Grouped mergeable-HLL distinct users per event type — the 100 TB form
+    of events_type_users (rows-only; pytest gates the estimate within 5%)."""
+    from dynaalign_ray.functions.sketches import grouped_approx_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_approx_distinct(ev, "event_type", "user_id", num_partitions)
+    return out.rename_columns(["event_type", "n_users_approx"])

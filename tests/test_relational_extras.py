@@ -91,3 +91,24 @@ class TestEventsValueStats:
         cents = [111, 222, 333, 444, 555] * 7
         assert r["sum_cents"] == sum(cents)
         assert r["sumsq_cents"] == sum(c * c for c in cents)
+
+
+class TestGroupedHll:
+    def test_within_5pct_of_exact(self, rd, ray_session):
+        import duckdb
+
+        from dynaalign_ray.pipelines.relational import events_type_users_approx
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["event_type"]: r["n_users_approx"]
+            for r in events_type_users_approx(sf, num_partitions=4).take_all()
+        }
+        want = dict(
+            duckdb.sql(
+                f"SELECT event_type, count(DISTINCT user_id) FROM '{sf}/events.parquet' GROUP BY event_type"
+            ).fetchall()
+        )
+        assert set(got) == set(want)
+        for t, exact in want.items():
+            assert abs(got[t] - exact) / exact < 0.05, (t, got[t], exact)
