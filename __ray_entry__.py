@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam_bloom": c.doc_decontam_bloom,  # rows-only (Bloom cheap-filter stage)
         "doc_sample": c.doc_sample,
         "doc_stratified_sample": c.doc_stratified_sample,
+        "doc_weighted_sample": c.doc_weighted_sample,
         "doc_vocab": c.doc_vocab,
         "doc_shingle_except": c.doc_shingle_except,
         "doc_shingle_intersect": c.doc_shingle_intersect,
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational operator surface
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
+        "revenue_by_region": r.revenue_by_region,
         "top_customers": r.top_customers,
         "events_hourly": r.events_hourly,
         "part_type_stats": r.part_type_stats,
@@ -507,6 +509,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= 20
+        """,
+        "doc_weighted_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ((doc_id % 1000003) * 37 + 11) % 50000 < n_chars
+        """,
+        "revenue_by_region": """
+            SELECT r_name,
+                   round((sum(o_totalprice)) * 10000) / 10000 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "customers_no_big_orders": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers

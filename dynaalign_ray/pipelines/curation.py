@@ -1450,3 +1450,22 @@ def doc_source_quantiles(sf_dir: str, num_partitions: int = 8):
             quantile_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+def doc_weighted_sample(sf_dir: str, scale: int = 50):
+    """Deterministic length-WEIGHTED sampling: P(keep) ∝ n_chars — the
+    quality-weighted subsample step (longer docs more likely kept).  Keep
+    iff arithmetic-hash(doc_id) mod (scale·1000) < n_chars, i.e. a doc of
+    n_chars c is kept with probability min(1, c/(scale·1000)); pure
+    function of (key, weight) so resharded/resumed runs agree.  All int64
+    arithmetic below 2^63 — the oracle BIGINT expression is identical."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id")).astype(np.int64)
+        c = np.asarray(batch.column("n_chars")).astype(np.int64)
+        hv = ((d % 1000003) * 37 + 11) % (scale * 1000)
+        return batch.filter(pa.array(hv < c))
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True
+    )

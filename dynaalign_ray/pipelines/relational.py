@@ -799,3 +799,62 @@ def events_type_users_approx(sf_dir: str, num_partitions: int = 8):
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
     out = grouped_approx_distinct(ev, "event_type", "user_id", num_partitions)
     return out.rename_columns(["event_type", "n_users_approx"])
+
+
+def revenue_by_region(sf_dir: str, num_partitions: int = 8):
+    """Four-table dimension chain (orders ⋈ customer ⋈ nation ⋈ region):
+    every dimension goes through the size-gated dim_join; the two tiny
+    dimensions broadcast, customer flips to the hash join past the gate."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import dim_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    j1 = dim_join(
+        orders,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        fact_schema=pa.schema([("o_custkey", pa.int64()), ("o_totalprice", pa.float64())]),
+        dim_schema=pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    j2 = dim_join(
+        j1,
+        nation,
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+        fact_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("c_nationkey", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema([("n_nationkey", pa.int64()), ("n_regionkey", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    j3 = dim_join(
+        j2,
+        region,
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+        fact_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("c_nationkey", pa.int64()),
+                ("n_regionkey", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema([("r_regionkey", pa.int64()), ("r_name", pa.string())]),
+        num_partitions=num_partitions,
+    )
+    agg = j3.groupby("r_name", num_partitions=num_partitions).aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return _round_cols(agg, ["revenue"])
