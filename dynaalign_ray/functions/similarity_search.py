@@ -535,10 +535,14 @@ def ivf_topk(
                 continue
             sims = vecs[mask] @ queries[qi]
             kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            # deterministic block-local top-k: same (score desc, vec_id asc)
+            # tie rule as _topk_reduce, so ties at the k boundary never depend
+            # on how blocks were split (argpartition would pick arbitrarily)
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, -sims))[:kk]
             out_q.append(np.full(kk, qi, dtype=np.int64))
-            out_id.append(ids[mask][idx])
-            out_sim.append(sims[idx])
+            out_id.append(cand_ids[order])
+            out_sim.append(sims[order])
         if not out_q:
             return pa.table(
                 {
@@ -607,10 +611,14 @@ def lsh_bucket_topk(
                 continue
             sims = vecs[mask] @ queries[qi]
             kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            # deterministic block-local top-k: same (score desc, vec_id asc)
+            # tie rule as _topk_reduce, so ties at the k boundary never depend
+            # on how blocks were split (argpartition would pick arbitrarily)
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, -sims))[:kk]
             out_q.append(np.full(kk, qi, dtype=np.int64))
-            out_id.append(ids[mask][idx])
-            out_sim.append(sims[idx])
+            out_id.append(cand_ids[order])
+            out_sim.append(sims[order])
         if not out_q:
             return pa.table(
                 {

@@ -24,8 +24,11 @@ Physical plan (all Arrow-C / numpy, no per-row Python):
    doc's best (score desc, term asc) row.
 
 Scale: the broadcast df table is vocabulary-sized; past
-``joins.BROADCAST_ROW_LIMIT`` the plan raises with the hash-join-on-
-hash(term) route spelled out (same gate pattern as stages/span_dedup.py).
+``joins.BROADCAST_ROW_LIMIT`` the plan switches automatically to a
+partitioned ``joins.hash_join`` on ``hash(term)`` with a post-join
+string-equality filter — exact regardless of hash collisions (a collision
+only produces an extra joined row that the string check drops).  Both
+plans are pin-able via ``plan=`` for the plan-agreement tests.
 """
 
 from __future__ import annotations
@@ -99,30 +102,18 @@ def document_frequencies(tf_ds, num_partitions: int):
     )
 
 
-def top_terms(docs_ds, num_partitions: int, *, n_docs: int | None = None):
-    """docs -> (doc_id, term, tf, df, score): each doc's highest-scoring term,
-    score = tf * n_docs / df, ties broken by lexicographically-first term.
-    Docs with no tokens emit no row."""
+def _scored_tf_broadcast(tf, df_ds, n: float):
+    """tf rows scored against a BROADCAST df table (one plasma replica)."""
     import ray
 
-    from dynaalign_ray.joins import BROADCAST_ROW_LIMIT, collect_arrow
+    from dynaalign_ray.joins import collect_arrow
 
-    if n_docs is None:
-        n_docs = docs_ds.count()
-    tf = term_frequencies(docs_ds)
-    df_tbl = collect_arrow(document_frequencies(tf, num_partitions))
-    if df_tbl.num_rows > BROADCAST_ROW_LIMIT:
-        raise NotImplementedError(
-            "df table exceeds the broadcast gate; at this vocabulary size "
-            "route the lookup through joins.hash_join on hash(term) (collision "
-            "odds ~V^2/2^64) or a per-partition df shard join"
-        )
+    df_tbl = collect_arrow(df_ds)
     order = pc.sort_indices(df_tbl, sort_keys=[("term", "ascending")])
     df_tbl = df_tbl.take(order)
     terms_sorted = np.asarray(df_tbl.column("term").to_pylist(), dtype=object)
     df_sorted = np.asarray(df_tbl.column("df")).astype(np.int64)
     ref = ray.put((terms_sorted, df_sorted))
-    n = float(n_docs)
 
     def score_block(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -145,6 +136,101 @@ def top_terms(docs_ds, num_partitions: int, *, n_docs: int | None = None):
             }
         )
 
+    return tf.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _scored_tf_hashjoin(tf, df_ds, n: float, num_partitions: int):
+    """tf rows scored via a partitioned hash_join on hash(term) — the
+    vocabulary-too-big-to-broadcast plan.  The join key is the int63 term
+    hash; the post-join ``term == df_term`` string filter makes the result
+    exact regardless of hash collisions (a collision only adds a joined row
+    the filter drops)."""
+    from dynaalign_ray.joins import hash_join
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        h = to_id63(hash_strings(batch.column("term").to_pylist()))
+        return batch.append_column("term_hash", pa.array(h, type=pa.int64()))
+
+    def rename_df(batch: pa.Table) -> pa.Table:
+        h = to_id63(hash_strings(batch.column("term").to_pylist()))
+        return pa.table(
+            {
+                "term_hash": pa.array(h, type=pa.int64()),
+                "df_term": batch.column("term"),
+                "df": batch.column("df"),
+            }
+        )
+
+    lt = tf.map_batches(add_route, batch_format="pyarrow", zero_copy_batch=True)
+    rt = df_ds.map_batches(rename_df, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(
+        lt,
+        rt,
+        left_on="term_hash",
+        right_on="term_hash",
+        left_schema=pa.schema(
+            [
+                ("term_hash", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("term", pa.string()),
+                ("tf", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("term_hash", pa.int64()), ("df_term", pa.string()), ("df", pa.int64())]
+        ),
+        num_partitions=num_partitions,
+        how="inner",
+    )
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("term"), batch.column("df_term")))
+        tfv = np.asarray(b.column("tf")).astype(np.int64)
+        dfv = np.asarray(b.column("df")).astype(np.int64)
+        score = tfv.astype(np.float64) * n / dfv.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "term": b.column("term"),
+                "tf": b.column("tf"),
+                "df": b.column("df"),
+                "score": pa.array(score, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_terms(
+    docs_ds,
+    num_partitions: int,
+    *,
+    n_docs: int | None = None,
+    plan: str | None = None,
+):
+    """docs -> (doc_id, term, tf, df, score): each doc's highest-scoring term,
+    score = tf * n_docs / df, ties broken by lexicographically-first term.
+    Docs with no tokens emit no row.
+
+    ``plan``: None = auto (broadcast while the df table fits
+    ``joins.BROADCAST_ROW_LIMIT``, else the partitioned hash(term) join), or
+    force "broadcast" / "join"."""
+    from dynaalign_ray.joins import BROADCAST_ROW_LIMIT
+
+    if plan not in (None, "broadcast", "join"):
+        raise ValueError(f"unknown plan {plan!r}")
+    if n_docs is None:
+        n_docs = docs_ds.count()
+    tf = term_frequencies(docs_ds)
+    df_ds = document_frequencies(tf, num_partitions).materialize()
+    if plan is None:
+        plan = "broadcast" if df_ds.count() <= BROADCAST_ROW_LIMIT else "join"
+    n = float(n_docs)
+    if plan == "join":
+        scored = _scored_tf_hashjoin(tf, df_ds, n, num_partitions)
+    else:
+        scored = _scored_tf_broadcast(tf, df_ds, n)
+
     def top1_block(b: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             b,
@@ -160,10 +246,6 @@ def top_terms(docs_ds, num_partitions: int, *, n_docs: int | None = None):
         first[1:] = d[1:] != d[:-1]
         return s.filter(pa.array(first))
 
-    return (
-        tf.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(num_blocks=num_partitions, keys=["doc_id"])
-        .map_batches(
-            top1_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-        )
+    return scored.repartition(num_blocks=num_partitions, keys=["doc_id"]).map_batches(
+        top1_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )

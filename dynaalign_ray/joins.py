@@ -152,6 +152,35 @@ def broadcast_join(
 BROADCAST_ROW_LIMIT = 2_000_000  # dimension rows above this hash-join instead
 
 
+def pack_int64_list(list_arr) -> pa.Array:
+    """list<int64> -> binary (little-endian int64 payload) — pyarrow's acero
+    join rejects nested types as non-key payload ("Data type list<...> is not
+    supported in join non-key field"), so list payloads ride joins as packed
+    bytes.  Zero per-row Python: the list's values/offsets buffers are
+    re-labelled as a BinaryArray's data/offsets (x8)."""
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
+    flat = np.asarray(list_arr.flatten()).astype(np.int64)
+    # rebuild offsets from per-row lengths (robust to sliced arrays, whose
+    # raw offsets buffer still carries the pre-slice positions)
+    lens = np.asarray(
+        pc.fill_null(pc.list_value_length(list_arr), 0)
+    ).astype(np.int64)
+    offs = (np.concatenate([[0], np.cumsum(lens)]) * 8).astype(np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        len(list_arr),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
+def unpack_int64_blob(value) -> np.ndarray:
+    """One packed row (bytes or None) back to its int64 ndarray."""
+    if value is None:
+        return np.empty(0, dtype=np.int64)
+    return np.frombuffer(value, dtype=np.int64)
+
+
 def collect_arrow(ds) -> pa.Table:
     """Concat a (known-small) Dataset into one Arrow table directly from its
     block refs — zero-copy concat of Arrow blocks, never a per-row Python

@@ -117,7 +117,8 @@ def curate_corpus(
 ) -> CurationResult:
     """Run the full curation funnel; see module docstring.
 
-    ``chunk_unit`` ("lines" / "words") inserts the CCNet-style chunk-level
+    ``chunk_unit`` ("line" / "words"; the alias "lines" is normalised)
+    inserts the CCNet-style chunk-level
     exact-dedup tier and ``span_k`` the ExactSubstr span-removal tier
     between exact and near dedup, completing the tiered chain
     doc-exact -> chunk -> byte-span -> MinHash-near: each tier rewrites
@@ -143,6 +144,8 @@ def curate_corpus(
     configure_context()
     if (pages_ds is None) == (docs_ds is None):
         raise ValueError("provide exactly one of pages_ds / docs_ds")
+    if chunk_unit == "lines":  # accept the documented plural alias
+        chunk_unit = "line"
     P = num_partitions or pick_num_partitions(approx_rows)
     langs_token = ",".join(sorted(allowed_langs)) if allowed_langs else "*"
     tiers_token = f"cd{chunk_unit or '-'}:{chunk_words}|sd{span_k or '-'}"

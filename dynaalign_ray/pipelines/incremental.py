@@ -181,8 +181,9 @@ def _endpoint_label_map(edges_ds, clusters_ds) -> tuple[np.ndarray, np.ndarray]:
     hits.  No shuffle of the index ever happens (a hash join here would
     shuffle the full cluster table per probed snapshot).  Gate: past
     ``_ENDPOINT_BROADCAST_LIMIT`` distinct endpoints the probe batch is no
-    longer 'a snapshot delta' and the partitioned ``joins.hash_join`` form
-    is the right plan — explicit error rather than a silent driver OOM."""
+    longer 'a snapshot delta'; the caller (:func:`incremental_dedup`)
+    switches to :func:`_collapse_endpoints_hashjoin` BEFORE this collect
+    happens — the raise here is a backstop for direct callers."""
     import ray
 
     parts = [
@@ -260,6 +261,73 @@ def _collapse_endpoints(edges_ds, id_map: tuple[np.ndarray, np.ndarray]):
     return edges_ds.map_batches(collapse, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _collapse_endpoints_hashjoin(edges_ds, clusters_ds, num_partitions: int):
+    """Partitioned form of endpoint collapse — the past-the-gate plan: two
+    ``joins.hash_join`` passes (LEFT OUTER on ``a`` then on ``b``) against
+    the index cluster table, coalescing the matched label over the raw id.
+    Shuffles the cluster table twice (acceptable when the delta itself is
+    too big to broadcast); output is row-for-row identical to the broadcast
+    plan up to ordering."""
+    import pyarrow.compute as pc
+
+    from dynaalign_ray.joins import hash_join
+
+    def coalesce(col: str, lbl: str):
+        def f(batch: pa.Table) -> pa.Table:
+            out = {}
+            for name in batch.column_names:
+                if name == lbl:
+                    continue
+                if name == col:
+                    out[name] = pc.coalesce(
+                        pc.cast(batch.column(lbl), pa.int64()),
+                        pc.cast(batch.column(col), pa.int64()),
+                    )
+                else:
+                    out[name] = batch.column(name)
+            return pa.table(out)
+
+        return f
+
+    edges_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def rename_clusters(lbl: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), lbl: batch.column("cluster_id")}
+            )
+
+        return f
+
+    step1 = hash_join(
+        edges_ds,
+        clusters_ds.map_batches(
+            rename_clusters("a_lbl"), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        left_on="a",
+        right_on="doc_id",
+        left_schema=edges_schema,
+        right_schema=pa.schema([("doc_id", pa.int64()), ("a_lbl", pa.int64())]),
+        num_partitions=num_partitions,
+        how="left outer",
+    ).map_batches(coalesce("a", "a_lbl"), batch_format="pyarrow", zero_copy_batch=True)
+    step2 = hash_join(
+        step1,
+        clusters_ds.map_batches(
+            rename_clusters("b_lbl"), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        left_on="b",
+        right_on="doc_id",
+        left_schema=edges_schema,
+        right_schema=pa.schema([("doc_id", pa.int64()), ("b_lbl", pa.int64())]),
+        num_partitions=num_partitions,
+        how="left outer",
+    ).map_batches(coalesce("b", "b_lbl"), batch_format="pyarrow", zero_copy_batch=True)
+    return step2.select_columns(["a", "b", "jaccard"])
+
+
 def incremental_dedup(
     new_docs_ds,
     *,
@@ -267,11 +335,17 @@ def incremental_dedup(
     cfg: DedupConfig = DedupConfig(),
     num_partitions: int | None = None,
     salt_hot: bool = True,
+    endpoint_plan: str | None = None,
 ) -> IncrementalResult:
     """Probe a new batch against the persisted index (see module docstring).
 
     ``new_docs_ds`` must carry (doc_id, text); doc ids must not collide
-    with the index (the caller's id scheme — url hashes — guarantees it)."""
+    with the index (the caller's id scheme — url hashes — guarantees it).
+
+    ``endpoint_plan``: None = auto (broadcast the delta endpoint set while
+    it fits ``_ENDPOINT_BROADCAST_LIMIT`` — decided from the edge count, so
+    nothing oversize is ever collected — else two partitioned hash joins
+    against the cluster table), or force "broadcast" / "join"."""
     import functools
 
     import ray.data as rd
@@ -368,8 +442,22 @@ def incremental_dedup(
     # cluster (already merged)
     import pyarrow.compute as pc
 
-    id_map = _endpoint_label_map(edges, clusters_ds)
-    mapped = _collapse_endpoints(edges, id_map).map_batches(
+    if endpoint_plan not in (None, "broadcast", "join"):
+        raise ValueError(f"unknown endpoint_plan {endpoint_plan!r}")
+    if endpoint_plan is None:
+        # 2 * edge count bounds the distinct endpoint count; metadata-cheap
+        # on the materialized edge set, and decided BEFORE any collect
+        endpoint_plan = (
+            "broadcast"
+            if 2 * edges.count() <= _ENDPOINT_BROADCAST_LIMIT
+            else "join"
+        )
+    if endpoint_plan == "join":
+        mapped_raw = _collapse_endpoints_hashjoin(edges, clusters_ds, P)
+    else:
+        id_map = _endpoint_label_map(edges, clusters_ds)
+        mapped_raw = _collapse_endpoints(edges, id_map)
+    mapped = mapped_raw.map_batches(
         lambda b: b.filter(pc.invert(pc.equal(b.column("a"), b.column("b")))),
         batch_format="pyarrow",
         zero_copy_batch=True,

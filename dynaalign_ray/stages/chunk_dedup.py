@@ -21,17 +21,29 @@ is the lexicographic minimum over all occurrences of that exact chunk
 string.  ``doc_id`` ties cannot happen (doc_id is unique), so the winner's
 doc is simply ``min(doc_id)``.
 
-Scale shape (10^12 docs): the explode emits only ``(chunk_hash, enc)``
-int64 pairs (plus one representative chunk string) into a hash
-repartition by chunk_hash followed by one local Arrow ``group_by`` per
-block — each key lands wholly in one block, so the local result is the
-global one.
-The duplicate-winner table (hashes with count >= 2 only) is broadcast once
-via ``ray.put`` and probed per batch with a binary search; the second pass
-re-derives chunks per batch and re-assembles documents with zero-copy Arrow
-``binary_join`` — no text ever shuffles.  The broadcast is size-gated
-(``max_broadcast_rows``); above the gate the dup table would move to a
-partitioned join + per-partition reassembly (not needed at bench scale).
+Exactness discipline: the shuffle is ROUTED by the 64-bit content hash but
+GROUPED by the chunk string inside each block, and the broadcast-plan probe
+string-verifies every hash hit against the winner's representative chunk —
+a cross-string hash collision can co-locate two chunks in one block but can
+never delete a non-duplicate (the repo-wide "exactness never depends on
+hash injectivity" rule).
+
+Physical plans (size-gated, both exact):
+
+- ``plan="broadcast"`` (default while the duplicate-winner table fits
+  ``max_broadcast_rows``): the winner table — (chunk_hash, winner_enc,
+  chunk) for chunk strings with >= 2 occurrences — is ``ray.put`` once and
+  probed per batch with a binary search + string verify; documents are
+  re-assembled with zero-copy Arrow ``binary_join``.
+- ``plan="join"`` (the 10^12-doc fallback, chosen automatically above the
+  gate): LOSER occurrences (every occurrence of a duplicated chunk except
+  the winner) are emitted directly from the same keyed winner blocks —
+  each chunk string's rows are wholly local after the one hash shuffle, so
+  no second join against the corpus is needed — grouped per ``doc_id``
+  into drop lists, and ``joins.hash_join``-ed against the docs; the apply
+  pass cuts the listed chunk_nos.  Nothing is ever broadcast; every table
+  in the plan scales with the number of DUPLICATE occurrences, not the
+  corpus.
 """
 
 from __future__ import annotations
@@ -122,15 +134,32 @@ def explode_chunk_keys(
     return pa.table(cols)
 
 
-def duplicate_chunk_groups(docs_ds, num_partitions: int, *, unit: str, chunk_words: int):
-    """docs -> (chunk_hash, winner_enc, n_occ, chunk) for chunks with >= 2
-    occurrences.  ``chunk`` rides through the aggregate as min over a column
-    of identical strings (one representative per group).
+def _winner_groups_block(b: pa.Table) -> pa.Table:
+    """One keyed block -> duplicated-chunk winner groups, grouped by the
+    chunk STRING (hash only routed the shuffle): (chunk_hash, winner_enc,
+    n_occ, chunk)."""
+    g = b.group_by("chunk").aggregate(
+        [("enc", "min"), ("enc", "count"), ("chunk_hash", "min")]
+    )
+    g = g.filter(pc.greater(g.column("enc_count"), 1))
+    return pa.table(
+        {
+            "chunk_hash": g.column("chunk_hash_min"),
+            "winner_enc": g.column("enc_min"),
+            "n_occ": pc.cast(g.column("enc_count"), pa.int64()),
+            "chunk": g.column("chunk"),
+        }
+    )
 
-    Hash-repartition by chunk_hash then ONE Arrow ``group_by`` per block
-    (``batch_size=None`` = whole block, so each key is wholly local) — far
-    faster than Ray's groupby().aggregate() at ~10^6 distinct keys, where
-    per-key aggregate state dominates."""
+
+def duplicate_chunk_groups(docs_ds, num_partitions: int, *, unit: str, chunk_words: int):
+    """docs -> (chunk_hash, winner_enc, n_occ, chunk) for chunk strings with
+    >= 2 occurrences.
+
+    Hash-repartition by chunk_hash then ONE Arrow ``group_by`` (on the chunk
+    string) per block (``batch_size=None`` = whole block, so each key is
+    wholly local) — far faster than Ray's groupby().aggregate() at ~10^6
+    distinct keys, where per-key aggregate state dominates."""
 
     ex = docs_ds.map_batches(
         functools.partial(
@@ -139,23 +168,8 @@ def duplicate_chunk_groups(docs_ds, num_partitions: int, *, unit: str, chunk_wor
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-
-    def group_dups(b: pa.Table) -> pa.Table:
-        g = b.group_by("chunk_hash").aggregate(
-            [("enc", "min"), ("enc", "count"), ("chunk", "min")]
-        )
-        g = g.filter(pc.greater(g.column("enc_count"), 1))
-        return pa.table(
-            {
-                "chunk_hash": g.column("chunk_hash"),
-                "winner_enc": g.column("enc_min"),
-                "n_occ": g.column("enc_count"),
-                "chunk": g.column("chunk_min"),
-            }
-        )
-
     return ex.repartition(num_blocks=num_partitions, keys=["chunk_hash"]).map_batches(
-        group_dups,
+        _winner_groups_block,
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -181,18 +195,77 @@ def chunk_dup_stats(docs_ds, num_partitions: int, *, unit: str = "words", chunk_
     return dups.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _dup_and_losers(docs_ds, num_partitions: int, *, unit: str, chunk_words: int):
+    """One explode + ONE keyed shuffle -> a tagged union per block:
+
+    - kind=0 rows: winner groups (chunk_hash, enc=winner_enc, n_occ, chunk)
+    - kind=1 rows: LOSER occurrences (enc) — every occurrence of a
+      duplicated chunk string except its winner.
+
+    Each chunk string's occurrences are wholly local after the shuffle, so
+    losers come from an in-block Arrow join — no corpus-sized second pass.
+    Both physical plans of :func:`chunk_dedup` read from this one dataset."""
+    ex = docs_ds.map_batches(
+        functools.partial(
+            explode_chunk_keys, unit=unit, chunk_words=chunk_words, with_text=True
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def split_block(b: pa.Table) -> pa.Table:
+        w = _winner_groups_block(b)
+        winners = pa.table(
+            {
+                "kind": pa.array(np.zeros(w.num_rows, dtype=np.int8)),
+                "chunk_hash": w.column("chunk_hash"),
+                "enc": w.column("winner_enc"),
+                "n_occ": w.column("n_occ"),
+                "chunk": w.column("chunk"),
+            }
+        )
+        # losers: in-block string join of occurrences against winner mins
+        occ = pa.table({"chunk": b.column("chunk"), "enc": b.column("enc")})
+        win_keys = pa.table(
+            {"chunk": w.column("chunk"), "wenc": w.column("winner_enc")}
+        )
+        j = occ.join(win_keys, keys=["chunk"], join_type="inner")
+        j = j.filter(pc.not_equal(j.column("enc"), j.column("wenc")))
+        n = j.num_rows
+        losers = pa.table(
+            {
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "chunk_hash": pa.nulls(n, type=pa.int64()),
+                "enc": j.column("enc"),
+                "n_occ": pa.nulls(n, type=pa.int64()),
+                "chunk": pa.nulls(n, type=pa.string()),
+            }
+        )
+        return pa.concat_tables([winners, losers]).combine_chunks()
+
+    return ex.repartition(num_blocks=num_partitions, keys=["chunk_hash"]).map_batches(
+        split_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 class _ApplyChunkDedup:
-    """Actor-pool second pass: re-derive chunks per batch, drop loser
-    occurrences via binary search in the broadcast dup table, re-assemble
-    documents with Arrow binary_join.  The broadcast object is fetched once
-    per actor (zero-copy plasma read), not per batch."""
+    """Actor-pool second pass (broadcast plan): re-derive chunks per batch,
+    drop loser occurrences via binary search in the broadcast dup table —
+    every hash hit is STRING-VERIFIED against the winner's representative
+    chunk, so a 64-bit collision can never delete a non-duplicate — then
+    re-assemble documents with Arrow binary_join.  The broadcast object is
+    fetched once per actor (zero-copy plasma read), not per batch."""
 
     def __init__(self, dup_ref, *, unit: str, chunk_words: int):
         import ray
 
-        dup_hashes, winner_enc = ray.get(dup_ref)
+        dup_hashes, winner_enc, dup_chunks = ray.get(dup_ref)
         self.dup_hashes = dup_hashes  # sorted int64
         self.winner_enc = winner_enc
+        self.dup_chunks = dup_chunks  # object ndarray aligned with dup_hashes
         self.unit = unit
         self.chunk_words = chunk_words
         self.joiner = "\n" if unit == "line" else " "
@@ -202,33 +275,138 @@ class _ApplyChunkDedup:
             batch.column("text"), unit=self.unit, chunk_words=self.chunk_words
         )
         n_docs = batch.num_rows
-        h = content_hash(chunks.to_pylist())
+        chunk_list = chunks.to_pylist()
+        h = content_hash(chunk_list)
         enc = _enc_keys(batch, parent, chunk_no)
-        if len(self.dup_hashes):
-            pos = np.minimum(
-                np.searchsorted(self.dup_hashes, h), len(self.dup_hashes) - 1
-            )
-            drop = (self.dup_hashes[pos] == h) & (self.winner_enc[pos] != enc)
+        nh = len(self.dup_hashes)
+        if nh and len(h):
+            cand = np.searchsorted(self.dup_hashes, h, side="left")
+            in_range = cand < nh
+            cand = np.minimum(cand, nh - 1)
+            hit = in_range & (self.dup_hashes[cand] == h)
+            # string-verify every hash hit (collision safety); equal-hash
+            # runs longer than 1 are ~2^-64-rare — scan them individually
+            hit_idx = np.flatnonzero(hit)
+            if len(hit_idx):
+                occ = np.asarray(chunk_list, dtype=object)
+                eq = self.dup_chunks[cand[hit_idx]] == occ[hit_idx]
+                for t in hit_idx[~eq]:
+                    p = int(cand[t]) + 1
+                    hv = h[t]
+                    hit[t] = False
+                    while p < nh and self.dup_hashes[p] == hv:
+                        if self.dup_chunks[p] == chunk_list[t]:
+                            hit[t] = True
+                            cand[t] = p
+                            break
+                        p += 1
+            drop = hit & (self.winner_enc[cand] != enc)
         else:
             drop = np.zeros(len(h), dtype=bool)
-        keep = ~drop
-        kept_counts = np.bincount(parent[keep], minlength=n_docs)
-        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
-        kept_chunks = chunks.take(pa.array(np.flatnonzero(keep)))
-        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_chunks)
-        clean = pc.binary_join(lists, self.joiner)
-        # binary_join of an empty list yields "" (never null) — matches the
-        # oracle's coalesce('')
-        n_chunks = np.bincount(parent, minlength=n_docs)
-        n_removed = np.bincount(parent[drop], minlength=n_docs)
+        return _reassemble(batch, chunks, parent, drop, n_docs, self.joiner)
+
+
+def _reassemble(
+    batch: pa.Table,
+    chunks: pa.Array,
+    parent: np.ndarray,
+    drop: np.ndarray,
+    n_docs: int,
+    joiner: str,
+) -> pa.Table:
+    """Shared re-assembly: cut dropped chunk occurrences, binary_join the
+    survivors per document (empty survivor list yields "", never null —
+    matches the oracle's coalesce(''))."""
+    keep = ~drop
+    kept_counts = np.bincount(parent[keep], minlength=n_docs)
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+    kept_chunks = chunks.take(pa.array(np.flatnonzero(keep)))
+    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_chunks)
+    clean = pc.binary_join(lists, joiner)
+    n_chunks = np.bincount(parent, minlength=n_docs)
+    n_removed = np.bincount(parent[drop], minlength=n_docs)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "clean_text": clean,
+            "n_chunks": pa.array(n_chunks, type=pa.int64()),
+            "n_removed": pa.array(n_removed, type=pa.int64()),
+        }
+    )
+
+
+def _chunk_dedup_join_plan(docs_ds, losers_ds, num_partitions: int, *, unit, chunk_words):
+    """Partitioned plan: loser encs -> per-doc drop lists -> hash_join against
+    the docs -> per-batch cut.  No broadcast; every intermediate scales with
+    the duplicate-occurrence count."""
+    from dynaalign_ray.joins import hash_join, pack_int64_list, unpack_int64_blob
+
+    def derive(b: pa.Table) -> pa.Table:
+        enc = np.asarray(b.column("enc")).astype(np.int64)
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "clean_text": clean,
-                "n_chunks": pa.array(n_chunks, type=pa.int64()),
-                "n_removed": pa.array(n_removed, type=pa.int64()),
+                "doc_id": pa.array(enc // _CHUNK_CAP, type=pa.int64()),
+                "chunk_no": pa.array(enc % _CHUNK_CAP, type=pa.int64()),
             }
         )
+
+    def to_lists(b: pa.Table) -> pa.Table:
+        # list payloads ride the join as packed int64 bytes (acero rejects
+        # nested non-key types; see joins.pack_int64_list)
+        g = b.group_by("doc_id").aggregate([("chunk_no", "list")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "drop_blob": pack_int64_list(g.column("chunk_no_list")),
+            }
+        )
+
+    loser_lists = (
+        losers_ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(
+            to_lists, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    joined = hash_join(
+        docs_ds.select_columns(["doc_id", "text"]),
+        loser_lists,
+        left_on="doc_id",
+        right_on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("drop_blob", pa.binary())]),
+        num_partitions=num_partitions,
+        how="left outer",
+    )
+    joiner = "\n" if unit == "line" else " "
+
+    def apply(batch: pa.Table) -> pa.Table:
+        chunks, parent, chunk_no = _split_chunks(
+            batch.column("text"), unit=unit, chunk_words=chunk_words
+        )
+        n_docs = batch.num_rows
+        dl = batch.column("drop_blob")
+        if isinstance(dl, pa.ChunkedArray):
+            dl = dl.combine_chunks()
+        valid = np.flatnonzero(np.asarray(pc.is_valid(dl)))
+        if len(valid):
+            blobs = [unpack_int64_blob(dl[int(i)].as_py()) for i in valid]
+            drop_parent = np.repeat(valid, [len(x) for x in blobs]).astype(np.int64)
+            drop_nos = np.concatenate(blobs)
+            drop_keys = np.sort(drop_parent * _CHUNK_CAP + drop_nos)
+            occ_keys = parent * _CHUNK_CAP + chunk_no
+            if len(occ_keys):
+                pos = np.minimum(
+                    np.searchsorted(drop_keys, occ_keys), len(drop_keys) - 1
+                )
+                drop = drop_keys[pos] == occ_keys
+            else:
+                drop = np.zeros(0, dtype=bool)
+        else:
+            drop = np.zeros(len(parent), dtype=bool)
+        return _reassemble(batch, chunks, parent, drop, n_docs, joiner)
+
+    return joined.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def chunk_dedup(
@@ -238,34 +416,58 @@ def chunk_dedup(
     unit: str = "words",
     chunk_words: int = 10,
     max_broadcast_rows: int = 50_000_000,
+    plan: str | None = None,
 ):
     """docs -> (doc_id, clean_text, n_chunks, n_removed) with duplicate chunk
-    occurrences removed corpus-wide (keep lexicographic-first)."""
+    occurrences removed corpus-wide (keep lexicographic-first).
+
+    ``plan``: None = auto (broadcast while the winner table fits
+    ``max_broadcast_rows``, else the partitioned join plan), or force
+    "broadcast" / "join" (plan-agreement tests pin each)."""
     import ray
 
-    dups = duplicate_chunk_groups(
+    if plan not in (None, "broadcast", "join"):
+        raise ValueError(f"unknown plan {plan!r}")
+    both = _dup_and_losers(
         docs_ds, num_partitions, unit=unit, chunk_words=chunk_words
-    ).select_columns(["chunk_hash", "winner_enc"])
-    parts = [t for t in (ray.get(r) for r in dups.to_arrow_refs()) if t.num_rows]
-    dup_tbl = (
-        pa.concat_tables(parts)
-        if parts
-        else pa.table(
+    ).materialize()
+
+    def _only(kind: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("kind"), kind))
+
+        return f
+
+    winners_ds = both.map_batches(
+        _only(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if plan is None:
+        n_winners = winners_ds.count()
+        plan = "broadcast" if n_winners <= max_broadcast_rows else "join"
+    if plan == "join":
+        losers_ds = both.map_batches(
+            _only(1), batch_format="pyarrow", zero_copy_batch=True
+        ).select_columns(["enc"])
+        return _chunk_dedup_join_plan(
+            docs_ds, losers_ds, num_partitions, unit=unit, chunk_words=chunk_words
+        )
+
+    from dynaalign_ray.joins import collect_arrow
+
+    dup_tbl = collect_arrow(winners_ds.select_columns(["chunk_hash", "enc", "chunk"]))
+    if dup_tbl.num_rows == 0:
+        dup_tbl = pa.table(
             {
                 "chunk_hash": pa.array([], type=pa.int64()),
-                "winner_enc": pa.array([], type=pa.int64()),
+                "enc": pa.array([], type=pa.int64()),
+                "chunk": pa.array([], type=pa.string()),
             }
         )
-    )
-    if dup_tbl.num_rows > max_broadcast_rows:
-        raise NotImplementedError(
-            "duplicate-chunk table exceeds the broadcast gate; the partitioned "
-            "join + per-partition reassembly path is the 100 TB fallback"
-        )
     hashes = np.asarray(dup_tbl.column("chunk_hash")).astype(np.int64)
-    winners = np.asarray(dup_tbl.column("winner_enc")).astype(np.int64)
+    winners = np.asarray(dup_tbl.column("enc")).astype(np.int64)
+    chunks_rep = np.asarray(dup_tbl.column("chunk").to_pylist(), dtype=object)
     order = np.argsort(hashes, kind="stable")
-    dup_ref = ray.put((hashes[order], winners[order]))
+    dup_ref = ray.put((hashes[order], winners[order], chunks_rep[order]))
     return docs_ds.map_batches(
         _ApplyChunkDedup,
         fn_constructor_kwargs={

@@ -14,27 +14,30 @@ a span of length >= k is duplicated iff some stride-1 k-gram window inside
 it has a colliding occurrence elsewhere, so adjacent-suffix LCP >= k
 detection reduces exactly to duplicate k-gram-hash detection — no global
 suffix array needed, and every step is a vectorized rolling-hash kernel
-(``substring._gram_hashes``, O(n) per doc in the 2^64 ring).
+(``substring._gram_hashes``, O(n) per doc in the 2^64 ring).  Window
+identity is the 63-bit rolling hash (the published ExactSubstr practice);
+a cross-window collision — odds ~(windows^2)/2^64, i.e. ~1e-4 even at 10^9
+windows — can only remove a span that merely HASHES like a duplicate; the
+k-byte window length makes the damage bounded and this bound is the
+documented exactness caveat of the operator.
 
 1. explode: every (window_hash, enc) int64 pair, enc = doc_id * 2^POS_BITS
    + byte_pos (lexicographic (doc_id, pos) order preserved; guarded).
 2. hash-repartition by win_hash + one Arrow group_by per block:
-   per hash -> (min enc, count); keep count >= 2 only.
-3. broadcast the duplicate-winner table (size-gated); second pass re-derives
-   window hashes per batch, marks bytes covered by LOSER windows
-   (occurrence enc != winner enc), and re-emits the surviving bytes.
+   per hash -> (min enc = winner, count); duplicated hashes (count >= 2)
+   yield the winner row AND every LOSER occurrence enc (all co-located).
+3. apply: cut every byte covered by a loser window (difference-array pass).
 
-Keep-first guarantee: for a duplicated span of L >= k bytes, every one of
-its L-k+1 windows loses in every non-first occurrence, so the union of
-loser windows covers the whole span — the copy is removed in full while the
-first occurrence is untouched.
+Physical plans (size-gated, identical output):
 
-Scale shape: stride-1 emission is O(corpus bytes) rows of two int64s — the
-exact form, run per corpus shard.  At 10^12 docs the discovery step instead
-goes through the winnowing candidate-pair stage (``substring_edges``) and
-this kernel runs only on pair members; the broadcast gate raises
-NotImplementedError past ``max_broadcast_rows`` to keep that boundary
-explicit.
+- ``plan="broadcast"`` (default while the duplicate-winner table fits
+  ``max_broadcast_rows``): winner table broadcast once, second pass
+  re-derives window hashes per batch and marks loser windows.
+- ``plan="join"`` (the 10^12-doc fallback, chosen automatically above the
+  gate): loser encs from step 2 are grouped per doc_id into position lists
+  and ``joins.hash_join``-ed against the docs; the apply pass cuts the
+  listed positions directly — no re-hashing, no broadcast, and every
+  intermediate scales with the duplicate-window count, not the corpus.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ import functools
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dynaalign_ray.stages.substring import _gram_hashes
 
@@ -86,7 +90,6 @@ def duplicate_window_table(docs_ds, num_partitions: int, *, k: int):
     (``batch_size=None`` = whole block, so each key is wholly local) — 7x
     faster than Ray's groupby().aggregate() at ~10^6 distinct keys, where
     per-key aggregate state dominates."""
-    import pyarrow.compute as pc
 
     ex = docs_ds.map_batches(
         functools.partial(window_keys_batch, k=k),
@@ -109,12 +112,86 @@ def duplicate_window_table(docs_ds, num_partitions: int, *, k: int):
     )
 
 
-class _ApplySpanDedup:
-    """Second pass: cut every byte covered by a loser duplicate window.
+def _dup_and_losers(docs_ds, num_partitions: int, *, k: int):
+    """One explode + ONE keyed shuffle -> tagged union per block:
 
-    The mask construction is a difference-array pass (add 1 at loser window
-    start, subtract 1 after its end, cumulative sum > 0 = covered) — O(doc
-    bytes), no per-byte Python."""
+    - kind=0: winner rows (win_hash, enc=winner_enc)
+    - kind=1: loser occurrences (enc) of duplicated window hashes
+
+    Both physical plans of :func:`span_dedup` read from this one dataset."""
+    ex = docs_ds.map_batches(
+        functools.partial(window_keys_batch, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def split_block(b: pa.Table) -> pa.Table:
+        g = b.group_by("win_hash").aggregate([("enc", "min"), ("enc", "count")])
+        g = g.filter(pc.greater(g.column("enc_count"), 1))
+        winners = pa.table(
+            {
+                "kind": pa.array(np.zeros(g.num_rows, dtype=np.int8)),
+                "win_hash": g.column("win_hash"),
+                "enc": g.column("enc_min"),
+            }
+        )
+        j = b.join(
+            pa.table({"win_hash": g.column("win_hash"), "wenc": g.column("enc_min")}),
+            keys=["win_hash"],
+            join_type="inner",
+        )
+        j = j.filter(pc.not_equal(j.column("enc"), j.column("wenc")))
+        losers = pa.table(
+            {
+                "kind": pa.array(np.ones(j.num_rows, dtype=np.int8)),
+                "win_hash": pa.nulls(j.num_rows, type=pa.int64()),
+                "enc": j.column("enc"),
+            }
+        )
+        return pa.concat_tables([winners, losers]).combine_chunks()
+
+    return ex.repartition(num_blocks=num_partitions, keys=["win_hash"]).map_batches(
+        split_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _cut_rows(
+    batch: pa.Table, starts_per_doc: list[np.ndarray], k: int
+) -> pa.Table:
+    """Shared removal kernel: per doc, cut every byte covered by a loser
+    window start (difference-array pass — O(doc bytes), no per-byte Python)."""
+    texts = batch.column("text").to_pylist()
+    clean, removed, dup_windows = [], [], []
+    for text, starts in zip(texts, starts_per_doc):
+        if len(starts):
+            raw = text.encode("utf-8")
+            diff = np.zeros(len(raw) + 1, dtype=np.int32)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + k, len(raw)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = np.frombuffer(raw, dtype=np.uint8)[~covered]
+            clean.append(kept.tobytes().decode("utf-8", errors="ignore"))
+            removed.append(int(covered.sum()))
+        else:
+            clean.append(text)
+            removed.append(0)
+        dup_windows.append(int(len(starts)))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "clean_text": pa.array(clean, type=pa.string()),
+            "n_removed_bytes": pa.array(removed, type=pa.int64()),
+            "n_dup_windows": pa.array(dup_windows, type=pa.int64()),
+        }
+    )
+
+
+class _ApplySpanDedup:
+    """Broadcast-plan second pass: re-derive window hashes per batch, mark
+    loser windows (occurrence enc != winner enc), cut their bytes."""
 
     def __init__(self, dup_ref, *, k: int):
         import ray
@@ -126,9 +203,8 @@ class _ApplySpanDedup:
         k = self.k
         doc_ids = np.asarray(batch.column("doc_id")).astype(np.int64)
         texts = batch.column("text").to_pylist()
-        clean, removed, dup_windows = [], [], []
+        starts_per_doc = []
         for i, text in enumerate(texts):
-            raw = text.encode("utf-8")
             g = _gram_hashes(text, k)
             h = (g >> np.uint64(1)).astype(np.int64)
             if len(self.dup_hashes) and len(h):
@@ -139,27 +215,67 @@ class _ApplySpanDedup:
                 lose = (self.dup_hashes[pos] == h) & (self.winner_enc[pos] != enc)
             else:
                 lose = np.zeros(len(h), dtype=bool)
-            starts = np.flatnonzero(lose)
-            if len(starts):
-                diff = np.zeros(len(raw) + 1, dtype=np.int32)
-                np.add.at(diff, starts, 1)
-                np.add.at(diff, starts + k, -1)
-                covered = np.cumsum(diff[:-1]) > 0
-                kept = np.frombuffer(raw, dtype=np.uint8)[~covered]
-                clean.append(kept.tobytes().decode("utf-8", errors="ignore"))
-                removed.append(int(covered.sum()))
-            else:
-                clean.append(text)
-                removed.append(0)
-            dup_windows.append(int(len(starts)))
+            starts_per_doc.append(np.flatnonzero(lose))
+        return _cut_rows(batch, starts_per_doc, k)
+
+
+def _span_dedup_join_plan(docs_ds, losers_ds, num_partitions: int, *, k: int):
+    """Partitioned plan: loser encs -> per-doc position lists -> hash_join
+    against the docs -> difference-array cut.  No broadcast, no re-hashing."""
+    from dynaalign_ray.joins import hash_join, pack_int64_list, unpack_int64_blob
+
+    def derive(b: pa.Table) -> pa.Table:
+        enc = np.asarray(b.column("enc")).astype(np.int64)
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "clean_text": pa.array(clean, type=pa.string()),
-                "n_removed_bytes": pa.array(removed, type=pa.int64()),
-                "n_dup_windows": pa.array(dup_windows, type=pa.int64()),
+                "doc_id": pa.array(enc // _POS_CAP, type=pa.int64()),
+                "pos": pa.array(enc % _POS_CAP, type=pa.int64()),
             }
         )
+
+    def to_lists(b: pa.Table) -> pa.Table:
+        # list payloads ride the join as packed int64 bytes (acero rejects
+        # nested non-key types; see joins.pack_int64_list)
+        g = b.group_by("doc_id").aggregate([("pos", "list")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "drop_blob": pack_int64_list(g.column("pos_list")),
+            }
+        )
+
+    loser_lists = (
+        losers_ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(
+            to_lists, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    joined = hash_join(
+        docs_ds.select_columns(["doc_id", "text"]),
+        loser_lists,
+        left_on="doc_id",
+        right_on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("drop_blob", pa.binary())]),
+        num_partitions=num_partitions,
+        how="left outer",
+    )
+
+    def apply(batch: pa.Table) -> pa.Table:
+        dl = batch.column("drop_blob")
+        if isinstance(dl, pa.ChunkedArray):
+            dl = dl.combine_chunks()
+        starts_per_doc: list[np.ndarray] = [
+            np.empty(0, dtype=np.int64) for _ in range(batch.num_rows)
+        ]
+        for i in np.flatnonzero(np.asarray(pc.is_valid(dl))):
+            starts_per_doc[int(i)] = unpack_int64_blob(dl[int(i)].as_py())
+        return _cut_rows(
+            batch.select(["doc_id", "text"]), starts_per_doc, k
+        )
+
+    return joined.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def span_dedup(
@@ -168,31 +284,47 @@ def span_dedup(
     *,
     k: int = 100,
     max_broadcast_rows: int = 50_000_000,
+    plan: str | None = None,
 ):
     """docs -> (doc_id, clean_text, n_removed_bytes, n_dup_windows) with every
-    non-first occurrence of a duplicated >=k-byte span removed."""
+    non-first occurrence of a duplicated >=k-byte span removed.
+
+    ``plan``: None = auto (broadcast while the winner table fits
+    ``max_broadcast_rows``, else the partitioned join plan), or force
+    "broadcast" / "join"."""
     import ray
 
-    dups = duplicate_window_table(docs_ds, num_partitions, k=k)
-    parts = [t for t in (ray.get(r) for r in dups.to_arrow_refs()) if t.num_rows]
-    dup_tbl = (
-        pa.concat_tables(parts)
-        if parts
-        else pa.table(
+    if plan not in (None, "broadcast", "join"):
+        raise ValueError(f"unknown plan {plan!r}")
+    both = _dup_and_losers(docs_ds, num_partitions, k=k).materialize()
+
+    def _only(kind: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("kind"), kind))
+
+        return f
+
+    winners_ds = both.map_batches(_only(0), batch_format="pyarrow", zero_copy_batch=True)
+    if plan is None:
+        plan = "broadcast" if winners_ds.count() <= max_broadcast_rows else "join"
+    if plan == "join":
+        losers_ds = both.map_batches(
+            _only(1), batch_format="pyarrow", zero_copy_batch=True
+        ).select_columns(["enc"])
+        return _span_dedup_join_plan(docs_ds, losers_ds, num_partitions, k=k)
+
+    from dynaalign_ray.joins import collect_arrow
+
+    dup_tbl = collect_arrow(winners_ds.select_columns(["win_hash", "enc"]))
+    if dup_tbl.num_rows == 0:
+        dup_tbl = pa.table(
             {
                 "win_hash": pa.array([], type=pa.int64()),
-                "winner_enc": pa.array([], type=pa.int64()),
+                "enc": pa.array([], type=pa.int64()),
             }
         )
-    )
-    if dup_tbl.num_rows > max_broadcast_rows:
-        raise NotImplementedError(
-            "duplicate-window table exceeds the broadcast gate; at this scale "
-            "route discovery through substring_edges (winnowing pairs) and run "
-            "the removal kernel on pair members only"
-        )
     hashes = np.asarray(dup_tbl.column("win_hash")).astype(np.int64)
-    winners = np.asarray(dup_tbl.column("winner_enc")).astype(np.int64)
+    winners = np.asarray(dup_tbl.column("enc")).astype(np.int64)
     order = np.argsort(hashes, kind="stable")
     dup_ref = ray.put((hashes[order], winners[order]))
     return docs_ds.map_batches(

@@ -261,8 +261,9 @@ def trailing_window_block(batch, *, window_us: int):
     stride = int(ts_off.max()) + int(window_us) + 2
     if (int(rank[-1]) + 1) * stride >= 1 << 62:
         raise NotImplementedError(
-            "composite window key would overflow int63; split the block "
-            "(smaller num_partitions per keyed repartition) or bucket time"
+            "composite window key would overflow int63; use a LARGER "
+            "num_partitions in the keyed repartition (smaller blocks -> fewer "
+            "users per block -> smaller rank*stride key) or bucket time"
         )
     key = rank * stride + ts_off
     start = np.searchsorted(key, key - int(window_us), side="left")
