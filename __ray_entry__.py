@@ -3,8 +3,10 @@
 ``entry()`` runs the flagship near-dup pipeline on sf0.001; ``queries()``
 exposes one callable per implemented operator/pipeline (SURVEY.md §2);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible query (same column names both sides).  Non-SQL-expressible
-entries (MinHash/SimHash/substring dedup, heuristic scoring) are present in
+SQL-expressible query (same column names both sides) — including the
+flagship ``doc_neardup_clusters`` (recursive-CTE connected components over
+the exact-Jaccard graph).  Non-SQL-expressible entries (SimHash/substring
+pair emission, re-split labels, heuristic scoring, ANN) are present in
 ``queries()`` only — the driver records rows-only checks; their semantic
 correctness is covered by the pytest oracle suite (tests/test_pipeline.py).
 
@@ -32,72 +34,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from dynaalign_ray.pipelines import relational as r
     from dynaalign_ray.pipelines import webpages as w
 
+    # ORDER MATTERS: the driver's per-round correctness harness runs this
+    # dict in order and stops at a cap (CORRECTNESS_r02 recorded exactly the
+    # first 50 entries).  Entries the driver has NEVER checked come first,
+    # then previously-hash-exact entries (regression signal), rows-only
+    # entries last (weakest signal — drop first under the cap).
     return {
-        # --- web-page / URL layer (input_hint page shape; derived view)
-        "pages_url_canonical": w.pages_url_canonical,
-        "pages_latest_snapshot": w.pages_latest_snapshot,
-        "pages_host_stats": w.pages_host_stats,
-        # --- dedup family (SURVEY.md §2.5 set-ops/dedup; engine additions)
-        "doc_exact_dedup": c.doc_exact_dedup,
-        "doc_norm_dedup": c.doc_norm_dedup,
-        "doc_chunk_stats": c.doc_chunk_stats,
-        "doc_chunk_dedup": c.doc_chunk_dedup,
-        "doc_neardup_clusters": c.doc_neardup_clusters,  # rows-only
-        "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
-        "doc_neardup_incremental": c.doc_neardup_incremental,  # rows-only (index probe)
-        "doc_curation_funnel": c.doc_curation_funnel,  # rows-only (composed funnel)
-        "doc_tiered_funnel": c.doc_tiered_funnel,  # rows-only (doc->chunk->span->near tiers)
-        "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only
-        "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
-        "doc_substring_pairs": c.doc_substring_pairs,  # rows-only
-        "doc_substring_dedup": c.doc_substring_dedup,  # rows-only (span removal)
-        # --- text analysis
-        "doc_token_counts": c.doc_token_counts,
-        "doc_shingle_counts": c.doc_shingle_counts,
-        "doc_jaccard_pairs": c.doc_jaccard_pairs,
-        "doc_containment_pairs": c.doc_containment_pairs,
-        "doc_lang_stats": c.doc_lang_stats,
-        "doc_top_longest": c.doc_top_longest,
-        "doc_top_by_source": c.doc_top_by_source,
-        "doc_source_stats": c.doc_source_stats,
-        "doc_quality": c.doc_quality,  # rows-only (heuristic composite)
-        "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
-        "doc_fingerprints": c.doc_fingerprints,  # rows-only
-        "doc_char_classes": c.doc_char_classes,
-        "doc_bpe_tokens": c.doc_bpe_tokens,
-        "doc_pii": c.doc_pii,
-        "doc_pii_redacted": c.doc_pii_redacted,
-        "doc_repetition": c.doc_repetition,
-        "doc_decontam": c.doc_decontam,
-        "doc_decontam_ngram": c.doc_decontam_ngram,  # rows-only (n-gram scale path)
-        "doc_decontam_bloom": c.doc_decontam_bloom,  # rows-only (Bloom cheap-filter stage)
-        "doc_sample": c.doc_sample,
-        "doc_stratified_sample": c.doc_stratified_sample,
-        "doc_weighted_sample": c.doc_weighted_sample,
-        "doc_vocab": c.doc_vocab,
-        "doc_shingle_except": c.doc_shingle_except,
-        "doc_shingle_intersect": c.doc_shingle_intersect,
-        "doc_top_terms": c.doc_top_terms,
-        "doc_heavy_tokens": c.doc_heavy_tokens,
-        "doc_length_quantiles": c.doc_length_quantiles,
-        "doc_length_quantiles_cont": c.doc_length_quantiles_cont,
-        "doc_source_quantiles": c.doc_source_quantiles,
-        "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
-        "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
-        "media_audio_neardup": c.media_audio_neardup,  # rows-only (spectral hash)
-        "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
-        "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
-        # --- similarity search
-        "embedding_topk": c.embedding_topk,
-        "embedding_cosine_pairs": c.embedding_cosine_pairs,
-        "embedding_cosine_pairs_lsh": c.embedding_cosine_pairs_lsh,  # rows-only (ANN scale path)
-        "embedding_label_norms": c.embedding_label_norms,
-        # --- streaming-shaped (session windows)
-        "events_user_sessions": c.events_user_sessions,
-        "events_sliding_counts": c.events_sliding_counts,
-        "embedding_topk_lsh": c.embedding_topk_lsh,  # rows-only (ANN)
-        "embedding_topk_ivf": c.embedding_topk_ivf,  # rows-only (ANN, IVF index)
-        # --- relational operator surface
+        # --- never driver-checked before round 3: relational surface
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
         "revenue_by_region": r.revenue_by_region,
@@ -119,8 +62,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": r.customer_order_counts,
         "events_value_stats": r.events_value_stats,
         "events_trailing_hour": r.events_trailing_hour,
-        "events_type_users_approx": r.events_type_users_approx,  # rows-only (grouped HLL)
         "q3_shipping_priority": r.q3_shipping_priority,
+        "lineitem_price_quantiles": r.lineitem_price_quantiles,
+        # --- never driver-checked before round 3: similarity / windows
+        "embedding_topk": c.embedding_topk,
+        "embedding_cosine_pairs": c.embedding_cosine_pairs,
+        "embedding_label_norms": c.embedding_label_norms,
+        "events_user_sessions": c.events_user_sessions,
+        "events_sliding_counts": c.events_sliding_counts,
+        "events_type_users_approx": r.events_type_users_approx,  # rows-only (grouped HLL)
+        "embedding_cosine_pairs_lsh": c.embedding_cosine_pairs_lsh,  # rows-only (ANN scale path)
+        "embedding_topk_lsh": c.embedding_topk_lsh,  # rows-only (ANN)
+        "embedding_topk_ivf": c.embedding_topk_ivf,  # rows-only (ANN, IVF index)
+        "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
+        # --- flagship (oracle-checked since round 3: recursive-CTE CC)
+        "doc_neardup_clusters": c.doc_neardup_clusters,
+        # --- web-page / URL layer (input_hint page shape; derived view)
+        "pages_url_canonical": w.pages_url_canonical,
+        "pages_latest_snapshot": w.pages_latest_snapshot,
+        "pages_host_stats": w.pages_host_stats,
+        # --- dedup family (SURVEY.md §2.5 set-ops/dedup; engine additions)
+        "doc_exact_dedup": c.doc_exact_dedup,
+        "doc_norm_dedup": c.doc_norm_dedup,
+        "doc_chunk_stats": c.doc_chunk_stats,
+        "doc_chunk_dedup": c.doc_chunk_dedup,
+        # --- text analysis (hash-exact in r02)
+        "doc_token_counts": c.doc_token_counts,
+        "doc_shingle_counts": c.doc_shingle_counts,
+        "doc_jaccard_pairs": c.doc_jaccard_pairs,
+        "doc_containment_pairs": c.doc_containment_pairs,
+        "doc_lang_stats": c.doc_lang_stats,
+        "doc_top_longest": c.doc_top_longest,
+        "doc_top_by_source": c.doc_top_by_source,
+        "doc_source_stats": c.doc_source_stats,
+        "doc_char_classes": c.doc_char_classes,
+        "doc_bpe_tokens": c.doc_bpe_tokens,
+        "doc_pii": c.doc_pii,
+        "doc_pii_redacted": c.doc_pii_redacted,
+        "doc_repetition": c.doc_repetition,
+        "doc_decontam": c.doc_decontam,
+        "doc_sample": c.doc_sample,
+        "doc_stratified_sample": c.doc_stratified_sample,
+        "doc_weighted_sample": c.doc_weighted_sample,
+        "doc_vocab": c.doc_vocab,
+        "doc_shingle_except": c.doc_shingle_except,
+        "doc_shingle_intersect": c.doc_shingle_intersect,
+        "doc_top_terms": c.doc_top_terms,
+        "doc_heavy_tokens": c.doc_heavy_tokens,
+        "doc_length_quantiles": c.doc_length_quantiles,
+        "doc_length_quantiles_cont": c.doc_length_quantiles_cont,
+        "doc_source_quantiles": c.doc_source_quantiles,
+        # --- rows-only entries (pytest-oracle-covered; weakest driver signal)
+        "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
+        "doc_neardup_incremental": c.doc_neardup_incremental,  # rows-only (index probe)
+        "doc_curation_funnel": c.doc_curation_funnel,  # rows-only (composed funnel)
+        "doc_tiered_funnel": c.doc_tiered_funnel,  # rows-only (doc->chunk->span->near tiers)
+        "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only
+        "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
+        "doc_substring_pairs": c.doc_substring_pairs,  # rows-only
+        "doc_substring_dedup": c.doc_substring_dedup,  # rows-only (span removal)
+        "doc_quality": c.doc_quality,  # rows-only (heuristic composite)
+        "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
+        "doc_fingerprints": c.doc_fingerprints,  # rows-only
+        "doc_decontam_ngram": c.doc_decontam_ngram,  # rows-only (n-gram scale path)
+        "doc_decontam_bloom": c.doc_decontam_bloom,  # rows-only (Bloom cheap-filter stage)
+        "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
+        "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
+        "media_audio_neardup": c.media_audio_neardup,  # rows-only (spectral hash)
+        "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
     }
 
 
@@ -236,6 +245,49 @@ def oracle_sql() -> dict[str, str]:
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                    ))) AS BIGINT) AS n_shingles
             FROM t WHERE len(toks) >= 3
+        """,
+        # Flagship MinHash-LSH near-dup clusters, oracle-checked: truth is
+        # connected components over the EXACT word-3-shingle Jaccard >= 0.7
+        # graph (recursive min-label CTE; cluster_id = component-min doc_id,
+        # keep = representative).  Matching it end-to-end certifies BOTH
+        # recall 1.0 (no missed J>=tau pair anywhere in the LSH bands) and
+        # zero false merges (verify drops every candidate below tau).  The
+        # engine's bottom-512 sketch equals the full shingle set at this
+        # document size (max 97 distinct shingles), so sketch Jaccard IS set
+        # Jaccard.  doc_neardup_sized stays rows-only: its re-split labels
+        # depend on per-component quantile re-thresholding, which SQL can't
+        # express.
+        "doc_neardup_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
+            FROM reach GROUP BY node
         """,
         "doc_jaccard_pairs": """
             WITH t AS (
@@ -479,6 +531,12 @@ def oracle_sql() -> dict[str, str]:
                    unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS q,
                    unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9])) AS n_chars
             FROM documents GROUP BY source
+        """,
+        "lineitem_price_quantiles": """
+            SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,
+                   unnest(quantile_disc(l_extendedprice,
+                                        [0.25, 0.5, 0.75, 0.9, 0.99])) AS price
+            FROM lineitem
         """,
         "events_trailing_hour": """
             SELECT event_id, user_id,

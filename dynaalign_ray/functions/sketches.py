@@ -202,6 +202,157 @@ def _int_value_histogram(values_ds, col: str, num_partitions: int):
     return vals[order], counts[order]
 
 
+class KLL:
+    """Mergeable KLL quantile sketch (public algorithm: Karnin, Lang &
+    Liberty 2016) for UNBOUNDED float columns — the general-purpose
+    counterpart of :func:`exact_int_quantiles`, whose value-histogram plan
+    needs bounded distinct cardinality.  Rank error is ~O(1/k) of n (the
+    pytest gate asserts <= 2/k empirically); state is O(k log(n/k)) floats
+    regardless of n, so one sketch per block shuffles as a few KiB of
+    bytes and merges associatively on the driver — the same partial+merge
+    skeleton as the HLL above.
+
+    Compaction keeps every other element of a sorted level (weight
+    doubles); the survivor parity alternates via a deterministic toggle, so
+    a fixed execution plan reproduces bit-identical sketches (no RNG).
+    """
+
+    __slots__ = ("k", "levels", "_toggle")
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._toggle = 0
+
+    # --- capacity rule: level h (0 = raw) holds k * (2/3)^(depth-1-h),
+    # floored at 8 — higher (coarser, heavier-weighted) levels get more room
+    def _cap(self, h: int) -> int:
+        depth = len(self.levels)
+        c = self.k * (2.0 / 3.0) ** (depth - 1 - h)
+        return max(8, int(c))
+
+    def add(self, values: np.ndarray) -> "KLL":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self.levels[0] = np.concatenate([self.levels[0], v])
+            self._compress()
+        return self
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) <= self._cap(h):
+                h += 1
+                continue
+            buf = np.sort(self.levels[h])
+            # compact an EVEN count; an odd leftover stays at this level so
+            # total weight n is preserved exactly (sum over levels of
+            # len * 2^h never changes)
+            if len(buf) % 2:
+                leftover, buf = buf[-1:], buf[:-1]
+            else:
+                leftover = np.empty(0, dtype=np.float64)
+            self._toggle ^= 1
+            promoted = buf[self._toggle :: 2]
+            self.levels[h] = leftover
+            if h + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+            h += 1
+
+    def merge(self, other: "KLL") -> "KLL":
+        for h, arr in enumerate(other.levels):
+            while h >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[h] = np.concatenate([self.levels[h], arr])
+        self._compress()
+        return self
+
+    def n(self) -> int:
+        return int(sum(len(a) << h for h, a in enumerate(self.levels)))
+
+    def quantiles(self, qs: list[float]) -> np.ndarray:
+        """Estimated quantile values at ranks ceil(q*n) of the weighted
+        sample (the quantile_disc convention)."""
+        vals = np.concatenate(self.levels) if self.levels else np.empty(0)
+        if not len(vals):
+            return np.full(len(qs), np.nan)
+        w = np.concatenate(
+            [np.full(len(a), 1 << h, dtype=np.int64) for h, a in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        cum = np.cumsum(w)
+        n = cum[-1]
+        out = np.empty(len(qs), dtype=np.float64)
+        for i, q in enumerate(qs):
+            target = max(1, int(np.ceil(q * n)))
+            out[i] = vals[int(np.searchsorted(cum, target, side="left"))]
+        return out
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        parts = [struct.pack("<iii", self.k, self._toggle, len(self.levels))]
+        for a in self.levels:
+            parts.append(struct.pack("<i", len(a)))
+            parts.append(a.astype("<f8").tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KLL":
+        import struct
+
+        k, toggle, nlev = struct.unpack_from("<iii", blob, 0)
+        off = 12
+        sk = cls(k)
+        sk._toggle = toggle
+        sk.levels = []
+        for _ in range(nlev):
+            (ln,) = struct.unpack_from("<i", blob, off)
+            off += 4
+            sk.levels.append(
+                np.frombuffer(blob, dtype="<f8", count=ln, offset=off).copy()
+            )
+            off += 8 * ln
+        return sk
+
+
+def approx_float_quantiles(
+    values_ds, col: str, qs: list[float], *, k: int = 256
+) -> pa.Table:
+    """Distributed approximate quantiles of an UNBOUNDED float column: one
+    KLL partial per block (a few KiB of bytes each — never the column),
+    merged associatively on the driver.  Returns (q, value) like
+    :func:`exact_int_quantiles`; rank error ~2/k of n (pytest-gated)."""
+    import ray
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        sk = KLL(k).add(np.asarray(batch.column(col), dtype=np.float64))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], type=pa.binary())})
+
+    parts = values_ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    merged: KLL | None = None
+    for ref in parts:
+        for blob in ray.get(ref).column("sketch").to_pylist():
+            sk = KLL.from_bytes(blob)
+            merged = sk if merged is None else merged.merge(sk)
+    if merged is None or merged.n() == 0:
+        return pa.table(
+            {"q": pa.array([], type=pa.float64()), "value": pa.array([], type=pa.float64())}
+        )
+    vals = merged.quantiles(qs)
+    return pa.table(
+        {
+            "q": pa.array([float(q) for q in qs], type=pa.float64()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+
+
 def grouped_approx_distinct(
     ds, key: str, value: str, num_partitions: int, p: int = 12
 ) -> "object":

@@ -223,6 +223,26 @@ def _shingle_sets_block(batch: pa.Table, *, k: int) -> pa.Table:
     )
 
 
+# the exact all-pairs oracles below broadcast the whole corpus's shingle CSR
+# by design (they ARE the small-corpus ground-truth plan); this gate keeps
+# that boundary explicit instead of letting the ray.put grow silently with
+# the corpus (round-3 item #4)
+_ALLPAIRS_CSR_BYTE_LIMIT = 4 << 30  # 4 GiB of sketch CSR (~1M docs at cap 512)
+
+
+def _gate_allpairs_csr(csr):
+    nbytes = sum(int(np.asarray(a).nbytes) for a in csr)
+    if nbytes > _ALLPAIRS_CSR_BYTE_LIMIT:
+        raise NotImplementedError(
+            f"all-pairs shingle CSR is {nbytes >> 20} MiB, past the "
+            f"{_ALLPAIRS_CSR_BYTE_LIMIT >> 30} GiB broadcast gate; this query "
+            "is the exact small-corpus oracle — at corpus scale run the "
+            "banded LSH pipeline (pipelines.neardup.near_dedup), whose "
+            "verified edges are the sparse form of this output"
+        )
+    return csr
+
+
 def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     """EXACT all-pairs word-k-shingle Jaccard above ``threshold`` — the
     near-dup family's ground truth as an oracle-checkable query (the LSH
@@ -263,7 +283,7 @@ def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
                 }
             )
         )
-    csr_ref = ray.put(build_sketch_csr(parts))
+    csr_ref = ray.put(_gate_allpairs_csr(build_sketch_csr(parts)))
 
     def pairs_block(batch: pa.Table) -> pa.Table:
         from dynaalign_ray import ckernels
@@ -338,7 +358,7 @@ def doc_containment_pairs(sf_dir: str, k: int = 3, threshold: float = 0.8):
         import ray.data as rd
 
         return rd.from_arrow(empty)
-    csr_ref = ray.put(build_sketch_csr(parts))
+    csr_ref = ray.put(_gate_allpairs_csr(build_sketch_csr(parts)))
 
     def pairs_block(batch: pa.Table) -> pa.Table:
         from dynaalign_ray import ckernels

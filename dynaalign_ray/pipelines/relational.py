@@ -858,3 +858,32 @@ def revenue_by_region(sf_dir: str, num_partitions: int = 8):
         Count(alias_name="n_orders"),
     )
     return _round_cols(agg, ["revenue"])
+
+
+def lineitem_price_quantiles(sf_dir: str, num_partitions: int = 8):
+    """EXACT quantiles over a float money column (l_extendedprice): prices
+    map losslessly to integer cents (2-decimal doubles roundtrip exactly
+    through rint(x*100)/100 — verified on the testdata), so the distributed
+    value-histogram plan of ``exact_int_quantiles`` applies and the result
+    is hash-exact against DuckDB quantile_disc.  The distinct-cents
+    cardinality stays bounded (~1e7) even at 10^12 rows, so this IS the
+    scale plan for money columns; truly unbounded float columns go through
+    the mergeable KLL sketch (``functions.sketches.approx_float_quantiles``,
+    equivalence-gated against this query in pytest)."""
+    from dynaalign_ray.functions.sketches import exact_int_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
+        cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table({"cents": pa.array(cents, type=pa.int64())})
+
+    cents_ds = li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = exact_int_quantiles(
+        cents_ds, "cents", [0.25, 0.5, 0.75, 0.9, 0.99], num_partitions
+    )
+    v = np.asarray(out.column("value")).astype(np.int64)
+    return pa.table(
+        {"q": out.column("q"), "price": pa.array(v / 100.0, type=pa.float64())}
+    )

@@ -157,3 +157,21 @@ class TestPackedListPayload:
         got2 = [unpack_int64_blob(packed2[i].as_py()).tolist() for i in range(len(sl))]
         assert got2 == [[], [7]]
         assert unpack_int64_blob(None).tolist() == []
+
+
+class TestAllPairsCsrGate:
+    def test_gate_raises_with_lsh_pointer(self, ray_session, monkeypatch):
+        import dynaalign_ray.pipelines.curation as cur
+
+        monkeypatch.setattr(cur, "_ALLPAIRS_CSR_BYTE_LIMIT", 0)
+        with pytest.raises(NotImplementedError, match="banded LSH"):
+            cur.doc_jaccard_pairs("/root/testdata/sf0.001")
+        with pytest.raises(NotImplementedError, match="banded LSH"):
+            cur.doc_containment_pairs("/root/testdata/sf0.001")
+
+    def test_below_gate_unchanged(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_jaccard_pairs
+
+        out = doc_jaccard_pairs("/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0  # oracle hash-equality is the driver's job
+        assert (out["jaccard"] >= 0.5).all()
