@@ -338,7 +338,7 @@ def run_plans() -> dict:
     finally:
         V._SEMI_JOIN_LIMIT, V._BROADCAST_SKETCH_BYTES = old_semi, old_bc
 
-    # distributed CC (label propagation + pointer jumping)
+    # distributed CC (contraction rounds: keyed shuffle + local union-find stars)
     t0 = time.time()
     resd = near_dedup(
         pages_ds=rd.read_parquet(pages_dir),
@@ -346,9 +346,30 @@ def run_plans() -> dict:
         num_partitions=P, approx_rows=n_pages,
     )
     nd = resd.clusters.count()
-    out["labelprop_cc_sec"] = round(time.time() - t0, 3)
-    out["cc_labelprop"] = resd.stats["cc"]
-    out["labelprop_clusters_match"] = bool(nd == base_clusters)
+    out["distributed_cc_sec"] = round(time.time() - t0, 3)
+    out["cc_distributed"] = resd.stats["cc"]
+    out["distributed_cc_clusters_match"] = bool(nd == base_clusters)
+
+    # distributed CC, multi-block forced: tiny edges_per_block so the edge
+    # set spans many contraction blocks and never fits a single block or
+    # the driver finish in round 1 — times the true many-node shape
+    import dynaalign_ray.stages.cluster as CC
+
+    old_epb, old_dfl = CC._EDGES_PER_BLOCK, CC._DRIVER_FINISH_EDGES
+    CC._EDGES_PER_BLOCK, CC._DRIVER_FINISH_EDGES = 50_000, 0
+    try:
+        t0 = time.time()
+        resm = near_dedup(
+            pages_ds=rd.read_parquet(pages_dir),
+            cfg=DedupConfig(small_cc_limit=0),
+            num_partitions=P, approx_rows=n_pages,
+        )
+        nm = resm.clusters.count()
+        out["distributed_cc_multiblock_sec"] = round(time.time() - t0, 3)
+        out["cc_distributed_multiblock"] = resm.stats["cc"]
+        out["distributed_cc_multiblock_clusters_match"] = bool(nm == base_clusters)
+    finally:
+        CC._EDGES_PER_BLOCK, CC._DRIVER_FINISH_EDGES = old_epb, old_dfl
     ray.shutdown()
     return out
 

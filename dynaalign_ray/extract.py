@@ -62,6 +62,16 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     after extraction, so downstream blocks stay narrow (SURVEY.md §7 hard
     part 4).  Per-row regex work is the unit of vectorization for opaque
     blobs; the regex engine runs in C.
+
+    An Arrow-RE2 column-kernel form of this pipeline
+    (pc.replace_substring_regex passes for script/style/comments/tags +
+    pc.extract_regex for <main>, byte-identity preserved via sentinel-
+    marked <p> boundaries) was built and measured in round 3: 4-16x SLOWER
+    than this per-row form on the fixture corpus (31.4 s vs 1.1 s at 20k
+    pages single-threaded) — RE2 with `(?is)` non-greedy patterns plus one
+    full-string rewrite per pass loses badly to Python's `re` scanning
+    each page once per pattern.  Kept per-row by measurement, not by
+    default.
     """
     from dynaalign_ray.hashing import doc_id_from_urls
 

@@ -305,15 +305,20 @@ def write_run_report(res: NearDupResult, path: str) -> dict:
 
     from ray.data.aggregate import Count
 
-    sizes = (
+    # two-level aggregate: cluster -> size, then size -> count, so the
+    # driver receives only the (size, count) histogram rows — #distinct
+    # sizes is O(log max_cluster) in practice, never O(#clusters)
+    # (VERDICT r2 #9: at 10^12 docs the per-cluster rows are themselves
+    # a huge table; the histogram is not)
+    hist_rows = (
         res.clusters.groupby("cluster_id", num_partitions=8)
         .aggregate(Count(alias_name="n"))
         .select_columns(["n"])
+        .groupby("n", num_partitions=8)
+        .aggregate(Count(alias_name="n_clusters"))
         .take_all()
     )
-    hist: dict[int, int] = {}
-    for r in sizes:
-        hist[r["n"]] = hist.get(r["n"], 0) + 1
+    hist: dict[int, int] = {int(r["n"]): int(r["n_clusters"]) for r in hist_rows}
     report = {
         "n_docs": int(sum(k * v for k, v in hist.items())),
         "n_clusters": int(sum(hist.values())),

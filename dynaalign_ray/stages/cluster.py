@@ -2,180 +2,234 @@
 
 Replaces the reference's in-memory igraph + Louvain
 (/root/reference/R/clusterbreak.R:112-136, 37-67) with connected components
-expressed as iterative groupby-min label propagation: ``cluster_id = min
-doc_id in component`` — permutation-invariant, so results are independent of
-partitioning/ordering (SURVEY.md §4 determinism row).  The driver holds only
-scalars (round counter, convergence flag — the analog of the reference's
-``state$itr`` / ``state$convergence`` closure env, R/clusterbreak.R:197-215).
+whose contract is ``cluster_id = min doc_id in component`` —
+permutation-invariant, so results are independent of partitioning/ordering
+(SURVEY.md §4 determinism row).  The driver holds only scalars (round
+counter, convergence flag — the analog of the reference's ``state$itr`` /
+``state$convergence`` closure env, R/clusterbreak.R:197-215).
 
 Two paths:
 - ``connected_components_small``: driver-side union-find when the verified
   edge set is provably small (dup edges only, not the corpus) — sanctioned
   fast path.
-- ``connected_components_distributed``: label propagation with joins +
-  groupby-min per round, O(component diameter) rounds; candidate graphs from
-  LSH buckets are near-cliques/stars, so this converges in a few rounds.
+- ``connected_components_distributed``: CONTRACTION rounds.  Each round
+  hash-partitions the edge set by one endpoint, runs an exact local
+  union-find inside every block, and re-emits each block's components as
+  star edges ``(node -> local min)``.  Connectivity is preserved exactly
+  (a spanning star replaces the block's edges; nodes split across blocks
+  keep one star edge per block, which later rounds merge), while the edge
+  count collapses from O(E) to at most O(V_block) per block — for the
+  near-clique graphs LSH dedup produces, one round shrinks a c-clique's
+  C(c,2) edges to c-1.  The block count adapts to the shrinking edge set,
+  so a single-block terminal round (global union-find inside one worker)
+  is guaranteed once edges fit a block; before that, a driver finish takes
+  over as soon as the contracted set is provably small.  This replaces the
+  round-2 label-propagation form (2 hash joins + groupby-min + 3
+  materialize barriers per round, measured 178.6 s vs 0.2 s driver
+  union-find on the 600k-page bench) with 1 keyed shuffle + 1 map per
+  round over a geometrically shrinking edge set.
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
+# Target edges per contraction block: bounds the local union-find's numpy
+# working set (~16 B/edge + ~16 B/node => ~128 MiB at 4M) well under a
+# worker heap, and sets the single-block terminal threshold.
+_EDGES_PER_BLOCK = 4_000_000
 
-def _to_bidirectional(edges_ds):
-    def fwd(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch.column("a"), "dst": batch.column("b")})
+# Contracted edge sets at or under this stream to the driver union-find
+# (same transfer shape as connected_components_small: ids only, never
+# payloads).  Distinct from DedupConfig.small_cc_limit so a forced
+# small_cc_limit=0 still exercises the distributed contraction rounds.
+_DRIVER_FINISH_EDGES = 5_000_000
 
-    def rev(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch.column("b"), "dst": batch.column("a")})
 
-    f = edges_ds.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True)
-    r = edges_ds.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-    return f.union(r)
+def _local_star(batch: pa.Table) -> pa.Table:
+    """Exact union-find over one block's edges -> star edges (a=node,
+    b=local component min), INCLUDING the root self-loop (root -> root) so
+    every node stays visible as a star child (labels can then be read
+    straight off the edge set at a fixed point).  Emits exactly V rows for
+    V local nodes, regardless of how many edges came in; np.unique gives a
+    deterministic, deduplicated output independent of row order."""
+    a = np.asarray(batch.column("a")).astype(np.int64)
+    b = np.asarray(batch.column("b")).astype(np.int64)
+    if len(a) == 0:
+        empty = pa.array([], type=pa.int64())
+        return pa.table({"a": empty, "b": empty})
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src = inv[: len(a)]
+    dst = inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        np.minimum.at(label, dst, label[src])
+        np.minimum.at(label, src, label[dst])
+        label = label[label]  # pointer jumping
+        if np.array_equal(label, before):
+            break
+    root = nodes[label]
+    return pa.table(
+        {
+            "a": pa.array(nodes, type=pa.int64()),
+            "b": pa.array(root, type=pa.int64()),
+        }
+    )
+
+
+def _route_both(batch: pa.Table) -> pa.Table:
+    """Duplicate each edge under both endpoint routing keys.  After the
+    keyed repartition, block h(v) holds EVERY edge incident to node v, so
+    the local union-find merges v's whole 1-hop star neighborhood — the
+    pointer-doubling step that flattens depth-d star chains in O(log d)
+    rounds (single-endpoint routing stalls on spanning-tree residue: a
+    tree keeps V-1 edges forever and never reaches the one-block
+    terminal)."""
+    a = batch.column("a").combine_chunks()
+    b = batch.column("b").combine_chunks()
+    return pa.table(
+        {
+            "key": pa.chunked_array([a, b]),
+            "a": pa.chunked_array([a, a]),
+            "b": pa.chunked_array([b, b]),
+        }
+    )
+
+
+# 40-bit mixing masks for the fixed-point checksum: per-block partial sums
+# stay far under int64 even at millions of blocks, and two independent
+# mixes + the row count make a false fixed-point detection ~2^-80.
+_CKSUM_MASK = (1 << 40) - 1
+_MIX1 = 0x9E3779B97F4A7C15
+_MIX2 = 0xC2B2AE3D27D4EB4F
+
+
+def _checksum_batch(batch: pa.Table) -> pa.Table:
+    a = np.asarray(batch.column("a")).astype(np.uint64)
+    b = np.asarray(batch.column("b")).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = a * np.uint64(_MIX1) ^ b * np.uint64(_MIX2)
+        h2 = a * np.uint64(_MIX2) ^ b * np.uint64(_MIX1)
+    s1 = int(int(np.bitwise_and(h1, np.uint64(_CKSUM_MASK)).sum()) & ((1 << 62) - 1))
+    s2 = int(int(np.bitwise_and(h2, np.uint64(_CKSUM_MASK)).sum()) & ((1 << 62) - 1))
+    return pa.table(
+        {
+            "c1": pa.array([s1], type=pa.int64()),
+            "c2": pa.array([s2], type=pa.int64()),
+            "n": pa.array([len(a)], type=pa.int64()),
+        }
+    )
 
 
 def connected_components_distributed(
-    edges_ds, num_partitions: int, max_rounds: int = 50
+    edges_ds,
+    num_partitions: int,
+    max_rounds: int = 50,
+    driver_finish_limit: int | None = None,
+    edges_per_block: int | None = None,
 ) -> tuple["object", int, bool]:
     """edges(a, b) -> (labels Dataset(node, label), rounds, converged).
 
-    Per round: neighbor-min via join+groupby-min, merged into own label;
-    convergence when no label decreased (tracked with an exact counter, not
-    a lossy checksum).
+    Invariants per round (proof sketch in the module docstring):
+    - connectivity of the edge multiset is preserved exactly (a block's
+      spanning star replaces its edges);
+    - every node survives (self-loops keep roots visible as children);
+    - per-block edge count collapses to V_block rows regardless of input
+      size, and chain depth halves (dual routing = pointer doubling).
 
-    Groupby-min here has ~one distinct key per NODE, where Ray's aggregate
-    pays per-key state; hash-repartition + one local Arrow group_by per
-    whole block (each key wholly local) is ~7x faster at 10^6 keys.
+    Terminals (all return exact labels, converged=True):
+    - the contracted set fits ``driver_finish_limit`` -> driver union-find;
+    - the adaptive block count reaches 1 -> that block's union-find was
+      already global;
+    - a FIXED POINT (count + two independent 40-bit mix checksums stable
+      across consecutive rounds) -> every component is a flat min-rooted
+      star, so labels are read straight off the edge set with a keyed
+      groupby-min (dedupes the 2 routed copies) — the scale terminal for
+      residues too large for any single block or the driver.
+    If ``max_rounds`` rounds never reach a terminal, the current (possibly
+    not fully merged) star mapping is returned with converged=False — same
+    honesty contract as the reference's ``max_itr`` bailout
+    (R/clusterbreak.R:211-215).
     """
+    import ray.data as rd
 
-    def _gb_min(ds, key: str, val: str):
-        def gb(b: pa.Table) -> pa.Table:
-            g = b.group_by(key).aggregate([(val, "min")])
-            return pa.table(
-                {key: g.column(key), "nbr_min": g.column(f"{val}_min")}
-            )
+    from ray.data.context import ShuffleStrategy
 
-        return ds.repartition(num_blocks=num_partitions, keys=[key]).map_batches(
-            gb, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    from dynaalign_ray.exec import configure_context
+
+    # None -> module knobs, read at call time so benches/tests can force
+    # the multi-block path (bench.py --plans) without threading params
+    if driver_finish_limit is None:
+        driver_finish_limit = _DRIVER_FINISH_EDGES
+    if edges_per_block is None:
+        edges_per_block = _EDGES_PER_BLOCK
+
+    configure_context()  # keyed repartition requires the hash-shuffle strategy
+    # a Dataset snapshots its DataContext at creation: patch the incoming
+    # plan's copy too, so direct callers that built edges_ds before
+    # configure_context() still get hash partitioning
+    edges_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def stars_to_labels(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("a").aggregate([("b", "min")])
+        return pa.table({"node": g.column("a"), "label": g.column("b_min")})
+
+    def labels_from_stars(stars_ds):
+        return stars_ds.repartition(
+            num_blocks=num_partitions, keys=["a"]
+        ).map_batches(
+            stars_to_labels,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
-    bidir = _to_bidirectional(edges_ds).materialize()
-
-    # round 0: label(n) = min(n, min neighbors)
-    first = _gb_min(bidir, "src", "dst")
-
-    def init_label(batch: pa.Table) -> pa.Table:
-        node = np.asarray(batch.column("src")).astype(np.int64)
-        nbr = np.asarray(batch.column("nbr_min")).astype(np.int64)
-        return pa.table(
-            {
-                "node": pa.array(node, type=pa.int64()),
-                "label": pa.array(np.minimum(node, nbr), type=pa.int64()),
-            }
-        )
-
-    labels = first.map_batches(
-        init_label, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    from dynaalign_ray.joins import hash_join
-
-    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
-    nbr_schema = pa.schema([("dst", pa.int64()), ("nbr_min", pa.int64())])
-
-    converged = False
+    cur = edges_ds
     rounds = 0
-    for _ in range(max_rounds):
+    prev_sig = None
+    while rounds < max_rounds:
+        n = cur.count()
+        # each edge is routed twice, so size blocks to 2n routed rows
+        n_blocks = min(
+            num_partitions, max(1, math.ceil(2 * n / edges_per_block))
+        )
         rounds += 1
-        msgs = hash_join(
-            bidir,
-            labels,
-            left_on="src",
-            right_on="node",
-            left_schema=edge_schema,
-            right_schema=label_schema,
-            num_partitions=num_partitions,
-        ).select_columns(["dst", "label"])
-        nbr_min = _gb_min(msgs, "dst", "label")
-        joined = hash_join(
-            labels,
-            nbr_min,
-            left_on="node",
-            right_on="dst",
-            left_schema=label_schema,
-            right_schema=nbr_schema,
-            num_partitions=num_partitions,
-            how="left outer",
-        )
-
-        def update(batch: pa.Table) -> pa.Table:
-            node = np.asarray(batch.column("node")).astype(np.int64)
-            label = np.asarray(batch.column("label")).astype(np.int64)
-            nbr = batch.column("nbr_min").combine_chunks()
-            nbr_np = np.asarray(nbr.fill_null(np.iinfo(np.int64).max)).astype(np.int64)
-            new = np.minimum(label, nbr_np)
-            return pa.table(
-                {
-                    "node": pa.array(node, type=pa.int64()),
-                    "label": pa.array(new, type=pa.int64()),
-                    "changed": pa.array((new < label).astype(np.int64)),
-                }
+        cur = (
+            cur.map_batches(
+                _route_both, batch_format="pyarrow", zero_copy_batch=True
             )
-
-        updated = joined.map_batches(
-            update, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
-        prop_changed = updated.sum("changed")
-        labels = updated.select_columns(["node", "label"])
-
-        # pointer jumping: label <- label[label], collapsing chains
-        # exponentially so rounds stay O(log diameter) (SURVEY.md §7 hard
-        # part 1) — without it a path graph needs O(diameter) rounds and
-        # the driver-side plan chain grows unboundedly
-        def ref_rename(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {"jnode": batch.column("node"), "jlabel": batch.column("label")}
+            .repartition(num_blocks=n_blocks, keys=["key"])
+            .select_columns(["a", "b"])
+            .map_batches(
+                _local_star,
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
-
-        labels_ref = labels.map_batches(
-            ref_rename, batch_format="pyarrow", zero_copy_batch=True
+            .materialize()
         )
-        jumped = hash_join(
-            labels,
-            labels_ref,
-            left_on="label",
-            right_on="jnode",
-            left_schema=pa.schema([("label", pa.int64()), ("node", pa.int64())]),
-            right_schema=pa.schema([("jnode", pa.int64()), ("jlabel", pa.int64())]),
-            num_partitions=num_partitions,
-            how="left outer",
-        )
+        if n_blocks == 1:
+            # the single block saw the whole graph: its stars are global
+            return labels_from_stars(cur), rounds, True
+        sums = cur.map_batches(
+            _checksum_batch, batch_format="pyarrow", zero_copy_batch=True
+        ).sum(["c1", "c2", "n"])
+        sig = (sums["sum(c1)"], sums["sum(c2)"], sums["sum(n)"])
+        if sig == prev_sig:
+            # fixed point: every block re-emitted its input, which (with
+            # dual routing) is only possible when every component is one
+            # flat star — labels are exact without any driver collect
+            return labels_from_stars(cur), rounds, True
+        prev_sig = sig
+        if sums["sum(n)"] <= driver_finish_limit:
+            table = connected_components_small(cur)
+            return rd.from_arrow(table), rounds, True
 
-        def jump(batch: pa.Table) -> pa.Table:
-            node = np.asarray(batch.column("node")).astype(np.int64)
-            label = np.asarray(batch.column("label")).astype(np.int64)
-            jl = batch.column("jlabel").combine_chunks()
-            jl_np = np.asarray(jl.fill_null(np.iinfo(np.int64).max)).astype(np.int64)
-            new = np.minimum(label, jl_np)
-            return pa.table(
-                {
-                    "node": pa.array(node, type=pa.int64()),
-                    "label": pa.array(new, type=pa.int64()),
-                    "changed": pa.array((new < label).astype(np.int64)),
-                }
-            )
-
-        jumped_m = jumped.map_batches(
-            jump, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
-        jump_changed = jumped_m.sum("changed")
-        labels = jumped_m.select_columns(["node", "label"]).materialize()
-        if not prop_changed and not jump_changed:
-            converged = True
-            break
-    return labels, rounds, converged
+    return labels_from_stars(cur), rounds, False
 
 
 def connected_components_small(edges_ds) -> pa.Table:
@@ -232,7 +286,7 @@ def connected_components(edges_ds, num_partitions: int, max_rounds: int, small_l
     labels, rounds, converged = connected_components_distributed(
         edges_ds, num_partitions, max_rounds
     )
-    return labels, {"n_edges": n_edges, "mode": "labelprop", "rounds": rounds,
+    return labels, {"n_edges": n_edges, "mode": "contraction", "rounds": rounds,
                     "converged": converged}
 
 

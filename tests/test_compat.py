@@ -91,9 +91,12 @@ class TestCompatMinhash:
 
 
 class TestDistributedCCRounds:
-    def test_long_chain_converges(self, ray_session):
-        # a path graph needs multiple label-propagation rounds — exercises
-        # the driver loop, round counters and the convergence flag
+    def test_long_chain_converges_multiround(self, ray_session):
+        # a path graph split across blocks needs multiple contraction
+        # rounds — exercises the driver loop, round counters and the
+        # convergence flag.  driver_finish_limit=0 forbids the driver
+        # finish, so termination must come from the adaptive single-block
+        # terminal (global union-find inside one worker).
         import ray.data as rd
 
         from dynaalign_ray.stages.cluster import connected_components_distributed
@@ -106,16 +109,49 @@ class TestDistributedCCRounds:
             }
         )
         labels, rounds, converged = connected_components_distributed(
-            rd.from_arrow(edges), num_partitions=4, max_rounds=50
+            rd.from_arrow(edges),
+            num_partitions=4,
+            max_rounds=50,
+            driver_finish_limit=0,
+            edges_per_block=8,
         )
         got = {r["node"]: r["label"] for r in labels.take_all()}
-        assert converged and rounds > 2
+        assert converged and rounds >= 2
         assert set(got.values()) == {100}
         assert len(got) == n
 
+    def test_driver_finish_terminal(self, ray_session):
+        # once contraction shrinks the edge set under driver_finish_limit,
+        # the driver union-find finishes; labels stay exact
+        import ray.data as rd
+
+        from dynaalign_ray.stages.cluster import connected_components_distributed
+
+        # two cliques (dense -> one round collapses each to a star)
+        rows_a, rows_b = [], []
+        for base in (300, 400):
+            for i in range(8):
+                for j in range(i + 1, 8):
+                    rows_a.append(base + i)
+                    rows_b.append(base + j)
+        edges = pa.table(
+            {"a": pa.array(rows_a, pa.int64()), "b": pa.array(rows_b, pa.int64())}
+        )
+        labels, rounds, converged = connected_components_distributed(
+            rd.from_arrow(edges),
+            num_partitions=4,
+            max_rounds=50,
+            driver_finish_limit=30,
+            edges_per_block=8,
+        )
+        got = {r["node"]: r["label"] for r in labels.take_all()}
+        assert converged
+        assert {got[300 + i] for i in range(8)} == {300}
+        assert {got[400 + i] for i in range(8)} == {400}
+
     def test_max_rounds_guard(self, ray_session):
         # max_itr analog (R/clusterbreak.R:211-215): bounded rounds ->
-        # convergence flag off
+        # convergence flag off; bailout labels keep one row per node
         import ray.data as rd
 
         from dynaalign_ray.stages.cluster import connected_components_distributed
@@ -127,10 +163,46 @@ class TestDistributedCCRounds:
                 "b": pa.array(list(range(201, 200 + n)), pa.int64()),
             }
         )
-        _, rounds, converged = connected_components_distributed(
-            rd.from_arrow(edges), num_partitions=2, max_rounds=2
+        labels, rounds, converged = connected_components_distributed(
+            rd.from_arrow(edges),
+            num_partitions=2,
+            max_rounds=1,
+            driver_finish_limit=0,
+            edges_per_block=4,
         )
-        assert rounds == 2 and not converged
+        assert rounds == 1 and not converged
+        nodes = [r["node"] for r in labels.take_all()]
+        assert len(nodes) == len(set(nodes))
+
+    def test_matches_driver_union_find_random_graph(self, ray_session):
+        # plan agreement: contraction labels == driver union-find labels on
+        # a seeded random graph with cliques, chains and singleton joins
+        import ray.data as rd
+
+        from dynaalign_ray.stages.cluster import (
+            connected_components_distributed,
+            connected_components_small,
+        )
+
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 500, size=2000).astype(np.int64)
+        b = rng.integers(0, 500, size=2000).astype(np.int64)
+        keep = a != b
+        edges = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        want = {
+            r["node"]: r["label"]
+            for r in connected_components_small(rd.from_arrow(edges)).to_pylist()
+        }
+        labels, _, converged = connected_components_distributed(
+            rd.from_arrow(edges),
+            num_partitions=4,
+            max_rounds=50,
+            driver_finish_limit=0,
+            edges_per_block=64,
+        )
+        got = {r["node"]: r["label"] for r in labels.take_all()}
+        assert converged
+        assert got == want
 
 
 @pytest.mark.slow

@@ -139,3 +139,80 @@ class TestAudioNearDup:
         missed = planted - got
         assert not missed, f"missed planted audio near-dups: {sorted(missed)[:5]}"
         assert all(r["hamming"] <= 3 for r in rows)
+
+
+class TestDecoderRegistry:
+    """Optional codec hook (VERDICT r2 #10): a registered decoder lights up
+    strict decode for a compressed type; unchanged raise when absent."""
+
+    def test_strict_raises_without_decoder(self):
+        from dynaalign_ray.functions.multimodal import MediaFeatureActor
+
+        actor = MediaFeatureActor(decode="strict")
+        with pytest.raises(NotImplementedError, match="register_decoder"):
+            actor._decode_payload(b"\xff\xd8jpegbytes", "image/jpeg")
+
+    def test_registered_image_decoder_activates_strict_path(self):
+        from dynaalign_ray.functions.multimodal import (
+            MediaFeatureActor,
+            encode_ppm,
+            register_decoder,
+            registered_decoders,
+            unregister_decoder,
+        )
+
+        img = synth_image(7)
+
+        def fake_jpeg_decoder(payload: bytes):
+            # stands in for a real codec: ignores the payload bytes and
+            # returns a known RGB array
+            return ("image", img)
+
+        register_decoder("image/jpeg", fake_jpeg_decoder)
+        try:
+            assert "image/jpeg" in registered_decoders()
+            actor = MediaFeatureActor(decode="strict")
+            via_registry = actor._decode_payload(b"\xff\xd8fake", "image/jpeg")
+            native = actor._decode_payload(encode_ppm(img), "image/x-portable-pixmap")
+            assert np.allclose(via_registry, native)
+        finally:
+            unregister_decoder("image/jpeg")
+        with pytest.raises(NotImplementedError):
+            MediaFeatureActor(decode="strict")._decode_payload(b"x", "image/jpeg")
+
+    def test_registered_audio_decoder(self):
+        from dynaalign_ray.functions.multimodal import (
+            MediaFeatureActor,
+            encode_wav,
+            register_decoder,
+            unregister_decoder,
+        )
+
+        t = np.arange(2048) / 8000.0
+        samples = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+
+        def fake_mp3_decoder(payload: bytes):
+            return ("audio", (samples, 8000))
+
+        register_decoder("audio/mpeg", fake_mp3_decoder)
+        try:
+            actor = MediaFeatureActor(decode="strict")
+            via_registry = actor._decode_payload(b"ID3fake", "audio/mpeg")
+            native = actor._decode_payload(encode_wav(samples, 8000), "audio/wav")
+            assert np.allclose(via_registry, native)
+        finally:
+            unregister_decoder("audio/mpeg")
+
+    def test_bad_decoder_kind_rejected(self):
+        from dynaalign_ray.functions.multimodal import (
+            MediaFeatureActor,
+            register_decoder,
+            unregister_decoder,
+        )
+
+        register_decoder("video/mp4", lambda p: ("frames", None))
+        try:
+            with pytest.raises(ValueError, match="expected 'image' or 'audio'"):
+                MediaFeatureActor(decode="strict")._decode_payload(b"x", "video/mp4")
+        finally:
+            unregister_decoder("video/mp4")

@@ -44,7 +44,7 @@ class TestFlagshipCorrectness:
         pages, _, ids, tp, oracle = corpus_and_oracle
         cfg = DedupConfig(small_cc_limit=0)
         clusters, res = _run(pages, cfg, num_partitions=4)
-        assert res.stats["cc"]["mode"] == "labelprop"
+        assert res.stats["cc"]["mode"] == "contraction"
         assert res.stats["cc"]["converged"]
         assert all(clusters[d] == oracle[d] for d in ids)
 
