@@ -42,6 +42,36 @@ class TestConsensus:
         assert row["representative_doc"] == 2
         assert row["n_members"] == 3
 
+    def test_longest_fast_plan_agrees_with_pandas_plan(self, rd):
+        # the default reduce runs as a vectorized keyed-block kernel; a
+        # lambda wrapper of the same function forces the generic
+        # map_groups plan — outputs must be identical (plan agreement)
+        import numpy as np
+
+        from dynaalign_ray.stages.consensus import (
+            cluster_consensus,
+            representative_longest,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 300
+        doc_id = np.arange(n, dtype=np.int64)
+        cluster = rng.integers(0, 60, n).astype(np.int64)
+        texts = ["x" * int(rng.integers(1, 40)) + f"#{i}" for i in range(n)]
+        clusters = pa.table({"doc_id": doc_id, "cluster_id": cluster})
+        docs = pa.table({"doc_id": doc_id, "text": pa.array(texts)})
+
+        fast = cluster_consensus(
+            rd.from_arrow(clusters), rd.from_arrow(docs), 4,
+            consensus_fn=representative_longest,
+        ).take_all()
+        slow = cluster_consensus(
+            rd.from_arrow(clusters), rd.from_arrow(docs), 4,
+            consensus_fn=lambda g: representative_longest(g),
+        ).take_all()
+        key = lambda r: r["cluster_id"]
+        assert sorted(fast, key=key) == sorted(slow, key=key)
+
     def test_majority_vote(self):
         from dynaalign_ray.stages.consensus import consensus_majority_vote
 
