@@ -121,8 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
         "doc_substring_pairs": c.doc_substring_pairs,  # rows-only
         "doc_substring_dedup": c.doc_substring_dedup,  # rows-only (span removal)
-        "doc_quality": c.doc_quality,  # rows-only (heuristic composite)
-        "doc_langid_counts": c.doc_langid_counts,  # rows-only (heuristic)
+        "doc_quality": c.doc_quality,  # oracle since r3 (RE2-count parity)
+        "doc_langid_counts": c.doc_langid_counts,  # oracle since r3
         "doc_fingerprints": c.doc_fingerprints,  # rows-only
         "doc_decontam_ngram": c.doc_decontam_ngram,  # rows-only (n-gram scale path)
         "doc_decontam_bloom": c.doc_decontam_bloom,  # rows-only (Bloom cheap-filter stage)
@@ -153,8 +153,82 @@ _PAGES_CTE = """
 """
 
 
+def _textstats_oracles() -> dict[str, str]:
+    """DuckDB oracles for the heuristic text scorers.  Both Arrow
+    (pc.count_substring_regex) and DuckDB (regexp_extract_all) compile
+    through RE2, so match counts agree exactly; the regex strings are
+    generated HERE from the same constants the engine kernels use
+    (dynaalign_ray/functions/textstats.py) so they cannot drift.  The
+    float arithmetic mirrors the numpy expression tree op-for-op
+    (left-assoc sums, clip = LEAST(GREATEST(..)), clamped denominators),
+    so per-row doubles are bit-exact — no rounding needed."""
+    from dynaalign_ray.functions.textstats import _LANG_MARKERS, _STOPWORDS_EN
+
+    stop_pat = r"(?i)\b(" + "|".join(sorted(_STOPWORDS_EN)) + r")\b"
+    quality = f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS DOUBLE) AS n_punct_f,
+                       CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit_f,
+                       CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper_f,
+                       CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE) AS n_stop_f
+                FROM documents
+            ), r AS (
+                SELECT *,
+                       GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS chars,
+                       GREATEST(CAST(n_tokens AS DOUBLE), 1.0) AS toks
+                FROM raw
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   (chars - (toks - 1.0)) / toks AS mean_token_len,
+                   n_punct_f / chars AS punct_ratio,
+                   n_digit_f / chars AS digit_ratio,
+                   n_upper_f / chars AS upper_ratio,
+                   n_stop_f / toks AS stopword_ratio,
+                   0.4 * LEAST(GREATEST(CAST(n_tokens AS DOUBLE) / 50.0, 0.0), 1.0)
+                   + 0.4 * LEAST(GREATEST(1.0 - 2.0 * (n_punct_f / chars + n_digit_f / chars), 0.0), 1.0)
+                   + 0.2 * LEAST(GREATEST(n_stop_f / toks * 4.0, 0.0), 1.0) AS quality_score
+            FROM r
+        """
+    langs = list(_LANG_MARKERS)  # insertion order == np.argmax tie order
+    score_cols = ",\n                       ".join(
+        f"CAST(len(regexp_extract_all(text, '(?i)\\b({'|'.join(ws)})\\b')) AS DOUBLE)"
+        f" / GREATEST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS s_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    # argmax-first-wins tie break: lang i wins iff >= every later lang
+    argmax_arms = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{later}" for later in langs[i + 1 :])
+        argmax_arms.append(f"WHEN {conds} THEN '{lang}'")
+    argmax_case = "\n                            ".join(argmax_arms)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    langid = f"""
+            WITH s AS (
+                SELECT doc_id,
+                       {score_cols},
+                       CAST(len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS DOUBLE)
+                       / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS cjk_ratio
+                FROM documents
+            ), pred AS (
+                SELECT doc_id,
+                       CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+                            WHEN {best} < 0.01 THEN 'unknown'
+                            {argmax_case}
+                            ELSE '{langs[-1]}' END AS pred_lang
+                FROM s
+            )
+            SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY pred_lang
+        """
+    return {"doc_quality": quality, "doc_langid_counts": langid}
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_textstats_oracles(),
         "pages_url_canonical": _PAGES_CTE
         + """
             SELECT doc_id, url, canon_url, host FROM canon
