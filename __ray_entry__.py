@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs_lsh": c.embedding_cosine_pairs_lsh,  # rows-only (ANN scale path)
         "embedding_topk_lsh": c.embedding_topk_lsh,  # rows-only (ANN)
         "embedding_topk_ivf": c.embedding_topk_ivf,  # rows-only (ANN, IVF index)
-        "doc_similarity_stats": c.doc_similarity_stats,  # rows-only
+        "doc_similarity_stats": c.doc_similarity_stats,  # oracle since r3
         # --- flagship (oracle-checked since round 3: recursive-CTE CC)
         "doc_neardup_clusters": c.doc_neardup_clusters,
         # --- web-page / URL layer (input_hint page shape; derived view)
@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": c.doc_quality,  # oracle since r3 (RE2-count parity)
         "doc_langid_counts": c.doc_langid_counts,  # oracle since r3
         "doc_fingerprints": c.doc_fingerprints,  # rows-only
-        "doc_decontam_ngram": c.doc_decontam_ngram,  # rows-only (n-gram scale path)
+        "doc_decontam_ngram": c.doc_decontam_ngram,  # oracle since r3 (string==hash equality)
         "doc_decontam_bloom": c.doc_decontam_bloom,  # rows-only (Bloom cheap-filter stage)
         "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
         "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
@@ -226,9 +226,93 @@ def _textstats_oracles() -> dict[str, str]:
     return {"doc_quality": quality, "doc_langid_counts": langid}
 
 
+# Exact-Jaccard pair CTE (word 3-shingles) shared by the similarity-stats
+# oracle; mirrors the doc_jaccard_pairs oracle but parameterized on tau and
+# leaving jaccard unrounded for the aggregate.
+_JACCARD_EDGES_CTE = """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT a, b, i * 1.0 / (ca.n + cb.n - i) AS j
+                FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_textstats_oracles(),
+        # N-gram decontam: the engine compares u64 hashes of 8-token windows
+        # (multiset on the doc side, distinct on the benchmark side); tokens
+        # are \S+ runs, so the space-joined window string is injective and
+        # string-equality SQL reproduces hash-equality exactly.
+        "doc_decontam_ngram": """
+            WITH bt AS (
+                SELECT regexp_extract_all(substring(text, 1, 120), '\\S+') AS toks
+                FROM documents WHERE doc_id < 20
+            ), bg AS (
+                SELECT DISTINCT unnest(list_transform(
+                    generate_series(1, len(toks) - 7),
+                    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '
+                         ||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]
+                )) AS g
+                FROM bt WHERE len(toks) >= 8
+            ), dt AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ), dg AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks) - 7),
+                    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '
+                         ||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]
+                )) AS g
+                FROM dt WHERE len(toks) >= 8
+            ), ov AS (
+                SELECT doc_id, count(*) AS n_over FROM dg JOIN bg USING (g)
+                GROUP BY doc_id
+            ), base AS (
+                SELECT d.doc_id,
+                       GREATEST(len(regexp_extract_all(d.text, '\\S+')) - 7, 0) AS n_ngrams,
+                       coalesce(ov.n_over, 0) AS n_overlap
+                FROM documents d LEFT JOIN ov USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(n_ngrams AS BIGINT) AS n_ngrams,
+                   CAST(n_overlap AS BIGINT) AS n_overlap,
+                   CAST(n_overlap AS DOUBLE)
+                   / GREATEST(CAST(n_ngrams AS DOUBLE), 1.0) AS overlap_frac
+            FROM base
+        """,
+        # Verified near-dup edge-set stats: with recall 1.0 and exact verify
+        # (flagship oracle's argument — the bottom-512 sketch equals the full
+        # shingle set at this doc size), the engine's edge table IS the exact
+        # J>=tau pair set, so SQL can aggregate it directly.
+        "doc_similarity_stats": _JACCARD_EDGES_CTE
+        + """
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   round(avg(j) * 10000) / 10000 AS mean_jaccard,
+                   round(min(j) * 10000) / 10000 AS min_jaccard,
+                   round(max(j) * 10000) / 10000 AS max_jaccard
+            FROM edges
+        """,
         "pages_url_canonical": _PAGES_CTE
         + """
             SELECT doc_id, url, canon_url, host FROM canon
