@@ -11,6 +11,34 @@ small for 100 TB).
 from __future__ import annotations
 
 import math
+import os
+from collections import deque
+
+# Deferred-release parking lot for broadcast ObjectRefs (see broadcast_put).
+_BROADCAST_KEEPALIVE: deque = deque(maxlen=int(os.environ.get("DYNA_BROADCAST_KEEPALIVE", "64")))
+
+
+def broadcast_put(obj):
+    """``ray.put`` with deferred release — the broadcast pattern for small
+    lookup sides (query matrices, winner tables, keep-sets).
+
+    Instead of letting the ref die with the enclosing query function's
+    scope, park it in a bounded FIFO so the object-store entry is released
+    ~maxlen broadcasts later, long after the query's execution (and any
+    schema-probe limit-plan task cancellation) has quiesced.  This works
+    around a rare Ray-core refcount race observed in long many-query
+    sessions (reference_count.cc:581 ``Check failed:
+    submitted_task_ref_count > 0`` — fatal to the driver process) where a
+    driver-owned ref is GC'd while cancelled in-flight tasks that captured
+    it are still being cleaned up.  Cost: up to maxlen broadcast objects
+    stay pinned in the object store; set DYNA_BROADCAST_KEEPALIVE=0 to
+    disable (refs then release eagerly, as plain ray.put)."""
+    import ray
+
+    ref = ray.put(obj)
+    if _BROADCAST_KEEPALIVE.maxlen:
+        _BROADCAST_KEEPALIVE.append(ref)
+    return ref
 
 
 def configure_context() -> None:

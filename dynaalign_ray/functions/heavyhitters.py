@@ -26,6 +26,8 @@ step reports how many candidates the bounds admitted.
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -112,7 +114,7 @@ def top_tokens(docs_ds, k: int = 10, w: int = 2000, num_partitions: int = 8):
         if lo + (eps_total - presence_eps[tok]) >= kth_lower
     )
     cand_arr = pa.array(candidates, type=pa.string())
-    cand_ref = ray.put(cand_arr)
+    cand_ref = broadcast_put(cand_arr)
 
     def exact_candidate_counts(batch: pa.Table) -> pa.Table:
         cands = ray.get(cand_ref)

@@ -11,6 +11,8 @@ reduce, no all-to-all shuffle.
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import functools
 
 import numpy as np
@@ -78,7 +80,7 @@ def brute_force_topk(
     import ray
 
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    ref = ray.put(qm)
+    ref = broadcast_put(qm)
     fetch = k + (1 if exclude_ids is not None else 0)
     candidates = embeddings_ds.map_batches(
         functools.partial(_local_topk, query_ref=ref, k=fetch, id_col=id_col, col=col),
@@ -148,7 +150,7 @@ def cosine_neardup_pairs(
     full = pa.concat_tables(parts).combine_chunks()
     all_ids = np.asarray(full.column("vec_id")).astype(np.int64)
     all_vecs = _normalize(_embedding_matrix(full, "embedding"))
-    mat_ref = ray.put((all_ids, all_vecs))
+    mat_ref = broadcast_put((all_ids, all_vecs))
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         ids_all, vecs_all = ray.get(mat_ref)  # zero-copy plasma read
@@ -478,7 +480,7 @@ def ivf_assign(
     so a query touching ``nprobe`` lists reads only those partitions."""
     import ray
 
-    ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+    ref = broadcast_put(_normalize(np.asarray(centroids, dtype=np.float64)))
 
     def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(ref)
@@ -521,7 +523,7 @@ def ivf_topk(
     cent = _normalize(np.asarray(centroids, dtype=np.float64))
     np_probe = min(nprobe, cent.shape[0])
     qprobes = np.argsort(-(qm @ cent.T), axis=1)[:, :np_probe]  # (q, nprobe)
-    ref = ray.put((qm, cent, qprobes))
+    ref = broadcast_put((qm, cent, qprobes))
 
     def local(batch: pa.Table) -> pa.Table:
         queries, cc, probes = ray.get(ref)
@@ -596,7 +598,7 @@ def lsh_bucket_topk(
             nxt -= ps
             ps |= nxt
             frontier = nxt
-    ref = ray.put((qm, planes, [np.array(sorted(p), dtype=np.uint64) for p in probes]))
+    ref = broadcast_put((qm, planes, [np.array(sorted(p), dtype=np.uint64) for p in probes]))
 
     def local(batch: pa.Table) -> pa.Table:
         queries, pl, probe_sets = ray.get(ref)

@@ -33,6 +33,8 @@ plans are pin-able via ``plan=`` for the plan-agreement tests.
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -113,7 +115,7 @@ def _scored_tf_broadcast(tf, df_ds, n: float):
     df_tbl = df_tbl.take(order)
     terms_sorted = np.asarray(df_tbl.column("term").to_pylist(), dtype=object)
     df_sorted = np.asarray(df_tbl.column("df")).astype(np.int64)
-    ref = ray.put((terms_sorted, df_sorted))
+    ref = broadcast_put((terms_sorted, df_sorted))
 
     def score_block(batch: pa.Table) -> pa.Table:
         import pandas as pd

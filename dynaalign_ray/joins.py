@@ -17,6 +17,8 @@ its own:
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import functools
 
 import numpy as np
@@ -138,7 +140,7 @@ def broadcast_join(
     (the broadcast-lookup pattern for dimension tables / label maps)."""
     import ray
 
-    ref = ray.put(right_table)
+    ref = broadcast_put(right_table)
 
     def _join(batch: pa.Table) -> pa.Table:
         right = ray.get(ref)
@@ -241,7 +243,7 @@ def broadcast_semi_join(left_ds, keys: "pa.Table | list[int]", *, left_on: str, 
         arr = np.asarray(keys.column(0)).astype(np.int64)
     else:
         arr = np.asarray(keys, dtype=np.int64)
-    key_ref = ray.put(np.unique(arr))
+    key_ref = broadcast_put(np.unique(arr))
 
     def filt(batch: pa.Table) -> pa.Table:
         wanted = ray.get(key_ref)

@@ -7,6 +7,8 @@ driver can compare (column names match the oracle SQL in __ray_entry__)."""
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -283,7 +285,7 @@ def doc_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
                 }
             )
         )
-    csr_ref = ray.put(_gate_allpairs_csr(build_sketch_csr(parts)))
+    csr_ref = broadcast_put(_gate_allpairs_csr(build_sketch_csr(parts)))
 
     def pairs_block(batch: pa.Table) -> pa.Table:
         from dynaalign_ray import ckernels
@@ -358,7 +360,7 @@ def doc_containment_pairs(sf_dir: str, k: int = 3, threshold: float = 0.8):
         import ray.data as rd
 
         return rd.from_arrow(empty)
-    csr_ref = ray.put(_gate_allpairs_csr(build_sketch_csr(parts)))
+    csr_ref = broadcast_put(_gate_allpairs_csr(build_sketch_csr(parts)))
 
     def pairs_block(batch: pa.Table) -> pa.Table:
         from dynaalign_ray import ckernels
@@ -1202,7 +1204,7 @@ def doc_decontam(sf_dir: str):
     from dynaalign_ray.functions.decontam import SnippetDecontamActor
 
     ds = _docs(sf_dir, ["doc_id", "text"])  # configures context first
-    snippets_ref = ray.put(_bench_snippets(sf_dir))
+    snippets_ref = broadcast_put(_bench_snippets(sf_dir))
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     return ds.map_batches(
         SnippetDecontamActor,
@@ -1222,7 +1224,7 @@ def doc_decontam_ngram(sf_dir: str, n: int = 8):
     from dynaalign_ray.functions.decontam import NgramDecontamActor, build_ngram_set
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    ngrams_ref = ray.put(build_ngram_set(_bench_snippets(sf_dir), n=n))
+    ngrams_ref = broadcast_put(build_ngram_set(_bench_snippets(sf_dir), n=n))
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     return ds.map_batches(
         NgramDecontamActor,
@@ -1249,7 +1251,7 @@ def doc_decontam_bloom(sf_dir: str, n: int = 8):
     )
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    bloom_ref = ray.put(build_bloom(build_ngram_set(_bench_snippets(sf_dir), n=n)))
+    bloom_ref = broadcast_put(build_bloom(build_ngram_set(_bench_snippets(sf_dir), n=n)))
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     return ds.map_batches(
         BloomDecontamActor,

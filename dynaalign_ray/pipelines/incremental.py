@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 
 from dynaalign_ray.config import DedupConfig
-from dynaalign_ray.exec import configure_context, pick_num_partitions
+from dynaalign_ray.exec import broadcast_put, configure_context, pick_num_partitions
 
 
 @dataclass
@@ -202,7 +202,7 @@ def _endpoint_label_map(edges_ds, clusters_ds) -> tuple[np.ndarray, np.ndarray]:
             "limit; partition the probe batch, or swap this stage for two "
             "joins.hash_join calls on (a) and (b)"
         )
-    nodes_ref = ray.put(nodes)
+    nodes_ref = broadcast_put(nodes)
 
     def probe(batch: pa.Table) -> pa.Table:
         wanted = ray.get(nodes_ref)
@@ -242,7 +242,7 @@ def _collapse_endpoints(edges_ds, id_map: tuple[np.ndarray, np.ndarray]):
     keep their id); one broadcast lookup per block, both columns at once."""
     import ray
 
-    map_ref = ray.put(id_map)
+    map_ref = broadcast_put(id_map)
 
     def collapse(batch: pa.Table) -> pa.Table:
         ids, lbl = ray.get(map_ref)
@@ -491,7 +491,7 @@ def incremental_dedup(
     # returning only the hits.
     import ray
 
-    moved_ref = ray.put(np.unique(node_arr))
+    moved_ref = broadcast_put(np.unique(node_arr))
 
     def member_partial(batch: pa.Table) -> pa.Table:
         wanted = ray.get(moved_ref)
@@ -566,7 +566,7 @@ def update_index(
         os.path.join(out_dir, "signatures")
     )
 
-    merge_ref = ray.put(result.merges)
+    merge_ref = broadcast_put(result.merges)
 
     def remap(batch: pa.Table) -> pa.Table:
         m = ray.get(merge_ref)

@@ -32,6 +32,8 @@ the north star's web-page input shape, built on the same keyed-repartition
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -333,7 +335,7 @@ def latest_snapshot_pages(
     ids = np.asarray(wt.column("url_id")).astype(np.int64)
     us = np.asarray(wt.column("us")).astype(np.int64)
     order = np.argsort(ids)
-    winner_ref = ray.put((ids[order], us[order]))
+    winner_ref = broadcast_put((ids[order], us[order]))
 
     def keep_latest(batch: pa.Table) -> pa.Table:
         wids, wus = ray.get(winner_ref)

@@ -48,6 +48,8 @@ Physical plans (size-gated, both exact):
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import functools
 
 import numpy as np
@@ -467,7 +469,7 @@ def chunk_dedup(
     winners = np.asarray(dup_tbl.column("enc")).astype(np.int64)
     chunks_rep = np.asarray(dup_tbl.column("chunk").to_pylist(), dtype=object)
     order = np.argsort(hashes, kind="stable")
-    dup_ref = ray.put((hashes[order], winners[order], chunks_rep[order]))
+    dup_ref = broadcast_put((hashes[order], winners[order], chunks_rep[order]))
     return docs_ds.map_batches(
         _ApplyChunkDedup,
         fn_constructor_kwargs={

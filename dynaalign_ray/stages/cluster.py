@@ -32,6 +32,8 @@ Two paths:
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import math
 
 import numpy as np
@@ -319,7 +321,7 @@ def assign_clusters(docs_ds, labels_ds, num_partitions: int, labels_table=None):
     if labels_table is not None:
         import ray
 
-        ref = ray.put(labels_table)
+        ref = broadcast_put(labels_table)
 
         def decide_broadcast(batch: pa.Table) -> pa.Table:
             labels = ray.get(ref)

@@ -42,6 +42,8 @@ Physical plans (size-gated, identical output):
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import functools
 
 import numpy as np
@@ -326,7 +328,7 @@ def span_dedup(
     hashes = np.asarray(dup_tbl.column("win_hash")).astype(np.int64)
     winners = np.asarray(dup_tbl.column("enc")).astype(np.int64)
     order = np.argsort(hashes, kind="stable")
-    dup_ref = ray.put((hashes[order], winners[order]))
+    dup_ref = broadcast_put((hashes[order], winners[order]))
     return docs_ds.map_batches(
         _ApplySpanDedup,
         fn_constructor_kwargs={"dup_ref": dup_ref, "k": k},

@@ -10,6 +10,8 @@ two hash joins on doc_id (no all-pairs materialization anywhere).
 
 from __future__ import annotations
 
+from dynaalign_ray.exec import broadcast_put
+
 import numpy as np
 import pyarrow as pa
 
@@ -199,7 +201,7 @@ def verified_edges(
         pair_docs = (
             np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
         )
-        pair_doc_ref = ray.put(pair_docs)
+        pair_doc_ref = broadcast_put(pair_docs)
 
     broadcast_doc_limit = _BROADCAST_SKETCH_BYTES // (cfg.sketch_cap * 8 + 24)
     if (
@@ -285,7 +287,7 @@ def _broadcast_verify(pairs_ds, sigs_ds, cfg: DedupConfig, pair_doc_ref, pair_do
         project_filtered, batch_format="pyarrow", zero_copy_batch=True
     ).to_arrow_refs()
     parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
-    sk_ref = ray.put(build_sketch_csr(parts))
+    sk_ref = broadcast_put(build_sketch_csr(parts))
 
     def verify_block(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
         if batch.num_rows == 0:
