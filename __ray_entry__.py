@@ -114,8 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_quantiles": c.doc_source_quantiles,
         # --- rows-only entries (pytest-oracle-covered; weakest driver signal)
         "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
-        "doc_neardup_incremental": c.doc_neardup_incremental,  # rows-only (index probe)
-        "doc_curation_funnel": c.doc_curation_funnel,  # rows-only (composed funnel)
+        "doc_neardup_incremental": c.doc_neardup_incremental,  # oracle since r3 (full-run CC restricted)
+        "doc_curation_funnel": c.doc_curation_funnel,  # oracle since r3 (tier-composed SQL)
         "doc_tiered_funnel": c.doc_tiered_funnel,  # rows-only (doc->chunk->span->near tiers)
         "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only
         "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
@@ -192,6 +192,63 @@ def _textstats_oracles() -> dict[str, str]:
                    + 0.2 * LEAST(GREATEST(n_stop_f / toks * 4.0, 0.0), 1.0) AS quality_score
             FROM r
         """
+    # Composed funnel: filter (quality >= 0.2 AND n_tokens >= 5; no lang
+    # gate in the query's config) -> exact dedup (group by raw text, keep
+    # min id) -> near dedup (k=5-shingle exact-Jaccard >= 0.7 CC over the
+    # survivors; count = number of components).  Every tier reuses an
+    # already-proven oracle form, composed over the SAME survivor sets the
+    # engine pipes between tiers.
+    funnel = f"""
+            WITH RECURSIVE raw AS (
+                SELECT doc_id, text,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                       GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS chars,
+                       GREATEST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS toks,
+                       CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS DOUBLE) AS n_punct_f,
+                       CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit_f,
+                       CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE) AS n_stop_f
+                FROM documents
+            ), filt AS (
+                SELECT doc_id, text FROM raw
+                WHERE n_tokens >= 5
+                  AND 0.4 * LEAST(GREATEST(CAST(n_tokens AS DOUBLE) / 50.0, 0.0), 1.0)
+                      + 0.4 * LEAST(GREATEST(1.0 - 2.0 * (n_punct_f / chars + n_digit_f / chars), 0.0), 1.0)
+                      + 0.2 * LEAST(GREATEST(n_stop_f / toks * 4.0, 0.0), 1.0) >= 0.2
+            ), ex AS (
+                SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+                FROM filt GROUP BY text
+            ), t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM ex
+            ), s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 4),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 5
+            ), c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ), e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ), sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM ex
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            ), cc AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+            SELECT 'after_quality_lang' AS stage,
+                   CAST(count(*) AS BIGINT) AS n_docs FROM filt
+            UNION ALL
+            SELECT 'after_exact_dedup', CAST(count(*) AS BIGINT) FROM ex
+            UNION ALL
+            SELECT 'after_near_dedup', CAST(count(*) AS BIGINT)
+            FROM cc WHERE node = lbl
+        """
     langs = list(_LANG_MARKERS)  # insertion order == np.argmax tie order
     score_cols = ",\n                       ".join(
         f"CAST(len(regexp_extract_all(text, '(?i)\\b({'|'.join(ws)})\\b')) AS DOUBLE)"
@@ -223,7 +280,11 @@ def _textstats_oracles() -> dict[str, str]:
             SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM pred GROUP BY pred_lang
         """
-    return {"doc_quality": quality, "doc_langid_counts": langid}
+    return {
+        "doc_quality": quality,
+        "doc_langid_counts": langid,
+        "doc_curation_funnel": funnel,
+    }
 
 
 # Exact-Jaccard pair CTE (word 3-shingles) shared by the similarity-stats
@@ -300,6 +361,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_overlap AS DOUBLE)
                    / GREATEST(CAST(n_ngrams AS DOUBLE), 1.0) AS overlap_frac
             FROM base
+        """,
+        # Incremental probe: pytest proves doc-for-doc equality with the
+        # full-batch run (base labels are component-min ids; merge labels
+        # take min), so the oracle is the full-graph CC (k=5 word shingles,
+        # the DedupConfig default the incremental query uses) restricted to
+        # the new-side docs (doc_id % 10 == 9).  duplicate_of == cluster_id
+        # by the engine's _decide contract.
+        "doc_neardup_incremental": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 4),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 5
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_id,
+                   (node = min(lbl)) AS keep, min(lbl) AS duplicate_of
+            FROM reach WHERE node % 10 = 9 GROUP BY node
         """,
         # Verified near-dup edge-set stats: with recall 1.0 and exact verify
         # (flagship oracle's argument — the bottom-512 sketch equals the full
