@@ -119,8 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tiered_funnel": c.doc_tiered_funnel,  # rows-only (doc->chunk->span->near tiers)
         "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only
         "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
-        "doc_substring_pairs": c.doc_substring_pairs,  # rows-only
-        "doc_substring_dedup": c.doc_substring_dedup,  # rows-only (span removal)
+        "doc_substring_pairs": c.doc_substring_pairs,  # oracle since r3 (LCS islands SQL)
+        "doc_substring_dedup": c.doc_substring_dedup,  # oracle since r3 (loser-window islands SQL)
         "doc_quality": c.doc_quality,  # oracle since r3 (RE2-count parity)
         "doc_langid_counts": c.doc_langid_counts,  # oracle since r3
         "doc_fingerprints": c.doc_fingerprints,  # rows-only
@@ -597,6 +597,114 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.doc_id = a
             JOIN c cb ON cb.doc_id = b
             WHERE i * 1.0 / least(ca.n, cb.n) >= 0.8
+        """,
+        # Exact long-match pair detection (stages/substring.py): the engine's
+        # winnowing guarantee (any shared run >= min_len shares an anchor)
+        # plus the exact diagonal-run verify mean its output IS the set of
+        # pairs whose longest common substring is >= 120 chars, with
+        # match_len = that LCS length.  The SQL reproduces it from first
+        # principles: kgram=60 window equality -> per-(pair, diagonal)
+        # consecutive-run islands -> best run + kgram - 1.  Text is
+        # all-ASCII in the synthetic tables, so char positions == the
+        # engine's byte positions.  Validated hash-exact at sf0.001 + sf0.01.
+        "doc_substring_pairs": """
+            WITH pos AS (
+                SELECT doc_id, unnest(range(1, length(text) - 58)) AS i, text
+                FROM documents WHERE length(text) >= 60
+            ),
+            g AS (SELECT doc_id, i, substr(text, i, 60) AS gram FROM pos),
+            m AS (
+                SELECT ga.doc_id AS a, gb.doc_id AS b, ga.i AS ia,
+                       gb.i - ga.i AS diag
+                FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+            ),
+            runs AS (
+                SELECT a, b, diag, ia,
+                       ia - row_number() OVER (
+                           PARTITION BY a, b, diag ORDER BY ia) AS grp
+                FROM m
+            ),
+            rl AS (SELECT a, b, count(*) AS runlen FROM runs GROUP BY a, b, diag, grp),
+            best AS (SELECT a, b, max(runlen) AS best FROM rl GROUP BY a, b)
+            SELECT a, b, CAST(best + 59 AS BIGINT) AS match_len
+            FROM best WHERE best >= 61
+        """,
+        # ExactSubstr span removal (stages/span_dedup.py, k=100): a stride-1
+        # 100-char window is a "loser" iff its gram occurs >= 2 times
+        # globally and its (doc_id, pos) is not the minimum occurrence
+        # (engine enc = doc_id * 2^26 + pos); every byte covered by a loser
+        # window is cut.  SQL mirrors this by string equality (the engine's
+        # 63-bit rolling hash is collision-free at this scale), merges loser
+        # windows into covered islands per doc (fixed window length => gap
+        # iff i2 - i1 > k), and re-emits the uncovered segments in order.
+        "doc_substring_dedup": """
+            WITH pos AS (
+                SELECT doc_id, unnest(range(0, length(text) - 99)) AS i, text
+                FROM documents WHERE length(text) >= 100
+            ),
+            w AS (SELECT doc_id, i, substr(text, i + 1, 100) AS gram FROM pos),
+            wg AS (
+                SELECT gram, min(doc_id * 67108864 + i) AS winner, count(*) AS c
+                FROM w GROUP BY gram
+            ),
+            losers AS (
+                SELECT w.doc_id, w.i
+                FROM w JOIN wg USING (gram)
+                WHERE wg.c >= 2 AND w.doc_id * 67108864 + w.i <> wg.winner
+            ),
+            isl0 AS (
+                SELECT doc_id, i,
+                       CASE WHEN i - lag(i) OVER (
+                                PARTITION BY doc_id ORDER BY i) <= 100
+                            THEN 0 ELSE 1 END AS brk
+                FROM losers
+            ),
+            isl1 AS (
+                SELECT doc_id, i,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+                FROM isl0
+            ),
+            islands AS (
+                SELECT l.doc_id, min(i) AS s,
+                       LEAST(max(i) + 100, length(d.text)) AS e
+                FROM isl1 l JOIN documents d ON d.doc_id = l.doc_id
+                GROUP BY l.doc_id, gid, length(d.text)
+            ),
+            segs AS (
+                SELECT doc_id,
+                       coalesce(lag(e) OVER (
+                           PARTITION BY doc_id ORDER BY s), 0) AS seg_start,
+                       s AS seg_end
+                FROM islands
+                UNION ALL
+                SELECT i.doc_id, max(e), length(d.text)
+                FROM islands i JOIN documents d USING (doc_id)
+                GROUP BY i.doc_id, length(d.text)
+            ),
+            cleaned AS (
+                SELECT s.doc_id,
+                       coalesce(string_agg(
+                           substr(d.text, seg_start + 1, seg_end - seg_start),
+                           '' ORDER BY seg_start), '') AS clean_text
+                FROM segs s JOIN documents d USING (doc_id)
+                GROUP BY s.doc_id
+            ),
+            stats AS (
+                SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed_bytes
+                FROM islands GROUP BY doc_id
+            ),
+            nw AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+                FROM losers GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.clean_text, d.text) AS clean_text,
+                   coalesce(st.n_removed_bytes, 0) AS n_removed_bytes,
+                   coalesce(nw.n_dup_windows, 0) AS n_dup_windows
+            FROM documents d
+            LEFT JOIN cleaned c USING (doc_id)
+            LEFT JOIN stats st USING (doc_id)
+            LEFT JOIN nw USING (doc_id)
         """,
         "doc_char_classes": """
             SELECT doc_id,

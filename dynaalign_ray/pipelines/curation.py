@@ -1391,8 +1391,9 @@ def doc_chunk_dedup(sf_dir: str, num_partitions: int = 8, chunk_words: int = 10)
 def doc_substring_dedup(sf_dir: str, num_partitions: int = 8, k: int = 100):
     """Exact long-match span removal (Lee et al. 2022 ExactSubstr form):
     non-first occurrences of duplicated >=k-byte spans are cut out and the
-    surviving text re-emitted.  Rows-only (not SQL-expressible); semantic
-    correctness is pytest-checked against a string-keyed pure-Python oracle."""
+    surviving text re-emitted.  DuckDB oracle since r3 (loser-window islands
+    SQL in __ray_entry__.oracle_sql); also pytest-checked against a
+    string-keyed pure-Python oracle."""
     from dynaalign_ray.stages.span_dedup import span_dedup
 
     return span_dedup(_docs(sf_dir, ["doc_id", "text"]), num_partitions, k=k)
