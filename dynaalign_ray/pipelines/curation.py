@@ -431,8 +431,9 @@ def doc_tiered_funnel(sf_dir: str, num_partitions: int = 8):
     doc-level exact dedup -> chunk-level exact dedup (CCNet form) ->
     byte-span removal (ExactSubstr form) -> MinHash-LSH near dedup; each
     tier rewrites text before the next sees it.  Returns (stage, n) rows
-    incl. chunks_removed / span_bytes_removed.  Rows-only driver check
-    (tiers are individually DuckDB-/oracle-gated)."""
+    incl. chunks_removed / span_bytes_removed.  DuckDB oracle since r3:
+    the full five-tier chain composed in one SQL statement
+    (__ray_entry__._textstats_oracles)."""
     from dynaalign_ray.pipelines.curate import curate_corpus
 
     res = curate_corpus(
@@ -443,7 +444,8 @@ def doc_tiered_funnel(sf_dir: str, num_partitions: int = 8):
         min_tokens=5,
         chunk_unit="words",
         chunk_words=10,
-        span_k=60,
+        span_k=50,  # 50 (not 60): nonzero span_bytes_removed on the synthetic
+        # corpus, so the driver's oracle check exercises the span tier for real
         num_partitions=num_partitions,
     )
     stages = list(res.funnel)
