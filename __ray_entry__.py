@@ -123,7 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_dedup": c.doc_substring_dedup,  # oracle since r3 (loser-window islands SQL)
         "doc_quality": c.doc_quality,  # oracle since r3 (RE2-count parity)
         "doc_langid_counts": c.doc_langid_counts,  # oracle since r3
-        "doc_fingerprints": c.doc_fingerprints,  # rows-only
+        "doc_fingerprints": c.doc_fingerprints,  # oracle since r3 (u64 modular SQL, bit-exact)
         "doc_decontam_ngram": c.doc_decontam_ngram,  # oracle since r3 (string==hash equality)
         "doc_decontam_bloom": c.doc_decontam_bloom,  # rows-only (Bloom cheap-filter stage)
         "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
@@ -451,9 +451,56 @@ _JACCARD_EDGES_CTE = """
 """
 
 
+def _fingerprint_oracle() -> str:
+    """SQL that reproduces the engine's rolling-hash document fingerprint
+    (functions/textstats.fingerprint_batch) bit-exactly: per doc, the
+    16-char-window polynomial hash g_i = sum_j byte_{i+j} * P^j mod 2^64
+    (P = FNV prime, powers precomputed mod 2^64), splitmix64-finalized
+    (hashing.mix64), then to_id63(min) = min >> 1.  All u64 arithmetic runs
+    in HUGEINT with explicit mod-2^64 reduction; the two 64x64-bit
+    multiplies are split at 32 bits so intermediates fit signed 128-bit.
+    Valid because every synthetic doc is ASCII (byte == codepoint) and
+    >= 16 chars (the content-hash fallback branch never fires)."""
+    m64 = 1 << 64
+    pows = [pow(0x100000001B3, j, m64) for j in range(16)]  # hashing._P
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB  # hashing._SPLITMIX_C{1,2}
+    poly = " + ".join(
+        f"CAST(ascii(substr(text, i + {j + 1}, 1)) AS HUGEINT) * {pows[j]}::HUGEINT"
+        for j in range(16)
+    )
+
+    def mulmod(c: int) -> str:
+        return (
+            f"((x % 4294967296) * {c}::HUGEINT"
+            f" + (((x // 4294967296) * {c}::HUGEINT) % 4294967296) * 4294967296)"
+            f" % {m64}::HUGEINT"
+        )
+
+    return f"""
+            WITH g0 AS (
+                SELECT doc_id,
+                       list_transform(range(0, length(text) - 15),
+                           i -> ({poly}) % {m64}::HUGEINT) AS h
+                FROM documents
+            ), g1 AS (
+                SELECT doc_id, list_transform(h, x -> xor(x, x // 1073741824)) AS h FROM g0
+            ), g2 AS (
+                SELECT doc_id, list_transform(h, x -> {mulmod(c1)}) AS h FROM g1
+            ), g3 AS (
+                SELECT doc_id, list_transform(h, x -> xor(x, x // 134217728)) AS h FROM g2
+            ), g4 AS (
+                SELECT doc_id, list_transform(h, x -> {mulmod(c2)}) AS h FROM g3
+            ), g5 AS (
+                SELECT doc_id, list_transform(h, x -> xor(x, x // 2147483648)) AS h FROM g4
+            )
+            SELECT doc_id, CAST(list_min(h) // 2 AS BIGINT) AS fingerprint FROM g5
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_textstats_oracles(),
+        "doc_fingerprints": _fingerprint_oracle(),
         # N-gram decontam: the engine compares u64 hashes of 8-token windows
         # (multiset on the doc side, distinct on the benchmark side); tokens
         # are \S+ runs, so the space-joined window string is injective and
