@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": c.doc_length_quantiles,
         "doc_length_quantiles_cont": c.doc_length_quantiles_cont,
         "doc_source_quantiles": c.doc_source_quantiles,
+        "doc_novelty": c.doc_novelty,  # per-doc unique-shingle fraction (df==1)
+        "doc_source_mix": c.doc_source_mix,  # token-budget data mixing per source
         # --- rows-only entries (pytest-oracle-covered; weakest driver signal)
         "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
         "doc_neardup_incremental": c.doc_neardup_incremental,  # oracle since r3 (full-run CC restricted)
@@ -501,6 +503,49 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_textstats_oracles(),
         "doc_fingerprints": _fingerprint_oracle(),
+        # Novelty: distinct word-3-shingles per doc, document frequency via
+        # the global distinct-shingle table, novelty = hapax fraction.  The
+        # engine compares 63-bit shingle hashes; the SQL compares strings —
+        # identical absent collisions (repo-wide documented bound).
+        "doc_novelty": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ), df AS (SELECT sh, count(*) AS df FROM s GROUP BY sh)
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_novel,
+                   CAST(count(*) FILTER (WHERE df.df = 1) AS DOUBLE) / count(*)
+                       AS novelty
+            FROM s JOIN df USING (sh)
+            GROUP BY s.doc_id
+        """,
+        # Token-budget source mixing: mix_key is the engine's multiplicative
+        # u64 hash (doc_id * 2^64-golden-ratio constant, wraparound, >> 1)
+        # reproduced in HUGEINT modular arithmetic; the admission rule is the
+        # same inclusive windowed cumsum <= budget.
+        "doc_source_mix": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                       CAST(((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                             % 18446744073709551616::HUGEINT) // 2 AS BIGINT) AS mix_key
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY mix_key, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d
+            )
+            SELECT doc_id, source, n_tokens FROM cum WHERE cum <= 700
+        """,
         # N-gram decontam: the engine compares u64 hashes of 8-token windows
         # (multiset on the doc side, distinct on the benchmark side); tokens
         # are \S+ runs, so the space-joined window string is injective and

@@ -738,6 +738,178 @@ def doc_vocab(sf_dir: str, k: int = 3, num_partitions: int = 8):
     )
 
 
+def doc_novelty(sf_dir: str, k: int = 3, num_partitions: int = 8):
+    """Per-doc novelty score: the fraction of a doc's DISTINCT word-k-shingles
+    that appear in no other document (shingle document frequency == 1) — the
+    boilerplate/novelty signal of a web-scale curation pass (low novelty =
+    template-heavy page; the complement of the containment/near-dup family).
+
+    100 TB plan — no broadcast, one linear pipeline, both wide steps ship
+    (int63, int63) rows only:
+
+    1. one map_batches pass: vectorized shingle hashes
+       (shingles.batch_shingle_hashes — the same kernel the MinHash stage
+       uses, so hash identity matches the rest of the engine), per-doc
+       DISTINCT via one lexsort + adjacent-dup drop;
+    2. repartition by shingle hash; per-block Arrow group_by gives each
+       shingle's document frequency (rows for a hash are co-located), and
+       every row re-emits (doc_id, is_novel = df == 1) — the shingle never
+       travels as a string;
+    3. repartition by doc_id; per-block group_by: n_shingles = row count
+       (rows are per-doc distinct), n_novel = sum(is_novel), novelty =
+       one float64 division.
+
+    Shingle equality is 63-bit hash identity (repo-wide documented collision
+    bound); the DuckDB oracle compares shingle strings — equal in expectation
+    and verified exact on the driver tables."""
+    from dynaalign_ray.hashing import to_id63
+    from dynaalign_ray.shingles import batch_shingle_hashes
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_shingles", pa.int64()),
+            ("n_novel", pa.int64()),
+            ("novelty", pa.float64()),
+        ]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id")).astype(np.int64)
+        hashes, counts = batch_shingle_hashes(batch.column("text"), k)
+        h63 = to_id63(hashes)
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        order = np.lexsort((h63, doc_of))
+        hs, ds = h63[order], doc_of[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        return pa.table(
+            {
+                "sh": pa.array(hs[keep], type=pa.int64()),
+                "doc_id": pa.array(ids[ds[keep]], type=pa.int64()),
+            }
+        )
+
+    def df_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "is_novel": pa.array([], pa.int64()),
+                }
+            )
+        g = b.group_by("sh").aggregate([("doc_id", "count")])
+        j = b.join(g, keys=["sh"])
+        return pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "is_novel": pc.cast(
+                    pc.equal(j.column("doc_id_count"), 1), pa.int64()
+                ),
+            }
+        )
+
+    def nov_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        g = b.group_by("doc_id").aggregate(
+            [("is_novel", "sum"), ("is_novel", "count")]
+        )
+        n_novel = np.asarray(g.column("is_novel_sum")).astype(np.int64)
+        n_sh = np.asarray(g.column("is_novel_count")).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_shingles": pa.array(n_sh, type=pa.int64()),
+                "n_novel": pa.array(n_novel, type=pa.int64()),
+                "novelty": pa.array(
+                    n_novel.astype(np.float64) / n_sh, type=pa.float64()
+                ),
+            }
+        )
+
+    ex = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df = ex.repartition(num_blocks=num_partitions, keys=["sh"]).map_batches(
+        df_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return df.repartition(num_blocks=num_partitions, keys=["doc_id"]).map_batches(
+        nov_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_MIX_KNUTH = np.uint64(0x9E3779B97F4A7C15)  # odd => bijective mod 2^64
+
+
+def doc_source_mix(sf_dir: str, token_budget: int = 700, num_partitions: int = 8):
+    """Deterministic token-budget corpus mixing — the LLM 'data mixture'
+    operator: cap every source's contribution at ``token_budget`` tokens so
+    no domain dominates the training mix.  Docs within a source are admitted
+    in mix-key order (a pure multiplicative u64 hash of doc_id: reshard- and
+    resume-stable, no RNG state, same discipline as doc_sample) while the
+    source's INCLUSIVE cumulative token count stays <= budget.
+
+    Plan: one narrow map (doc_id, source, n_tokens, mix_key — text never
+    leaves the read stage), ONE keyed repartition by source, per-block
+    Arrow sort + vectorized segment cumsum (the doc_source_quantiles block
+    pattern).  Shuffle volume is 4 small columns per doc regardless of doc
+    size."""
+    from dynaalign_ray.functions.textstats import token_count_batch
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("n_tokens", pa.int64())]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id")).astype(np.int64)
+        toks = token_count_batch(batch)
+        key = ((ids.astype(np.uint64) * _MIX_KNUTH) >> np.uint64(1)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": toks.column("n_tokens"),
+                "mix_key": pa.array(key, type=pa.int64()),
+            }
+        )
+
+    def mix_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("source", "ascending"),
+                ("mix_key", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        s = b.take(idx)
+        src = s.column("source").combine_chunks()
+        if isinstance(src, pa.ChunkedArray):
+            src = src.chunk(0)
+        codes = np.asarray(src.dictionary_encode().indices, dtype=np.int64)
+        toks = np.asarray(s.column("n_tokens")).astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]])
+        )
+        seg_lens = np.diff(np.append(starts, len(codes)))
+        cs = np.cumsum(toks)
+        seg_base = np.repeat(cs[starts] - toks[starts], seg_lens)
+        keep = (cs - seg_base) <= token_budget  # inclusive group cumsum
+        return s.select(["doc_id", "source", "n_tokens"]).filter(pa.array(keep))
+
+    d = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return d.repartition(num_blocks=num_partitions, keys=["source"]).map_batches(
+        mix_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def doc_length_quantiles(sf_dir: str, num_partitions: int = 8):
     """Exact token-count quantiles over the corpus (p25/p50/p75/p90/p99) —
     the distributed-exact-quantile operator (value histogram, DuckDB
