@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked before round 3: similarity / windows
         "embedding_topk": c.embedding_topk,
         "embedding_cosine_pairs": c.embedding_cosine_pairs,
+        "embedding_semdedup": c.embedding_semdedup,
+        "embedding_semdedup_kmeans": c.embedding_semdedup_kmeans,  # rows-only (SemDeDup scale path; recall pytest-gated)
         "embedding_label_norms": c.embedding_label_norms,
         "events_user_sessions": c.events_user_sessions,
         "events_sliding_counts": c.events_sliding_counts,
@@ -1323,6 +1325,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
             FROM ranked WHERE rank <= 5
+        """,
+        "embedding_semdedup": """
+            WITH RECURSIVE n AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings
+            ),
+            e AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM n x JOIN n y ON x.vec_id < y.vec_id
+                WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.35
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            )
+            SELECT node AS vec_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
+            FROM reach GROUP BY node
         """,
         "embedding_cosine_pairs": """
             WITH n AS (

@@ -251,116 +251,309 @@ def cosine_neardup_lsh(
         key = np.concatenate(keys).astype(np.int64)
         rep_ids = np.tile(ids, n_bands)
         rep_idx = np.tile(np.arange(n), n_bands)
-        # vectors as fixed-width binary blobs built straight from the numpy
-        # buffer (no per-row Python): row i of the output = vecs[rep_idx[i]]
-        flat = np.ascontiguousarray(vecs[rep_idx]).astype("<f8").tobytes()
-        row_bytes = dim * 8
-        offsets = np.arange(len(rep_ids) + 1, dtype=np.int32) * row_bytes
-        vec_arr = pa.Array.from_buffers(
-            pa.binary(),
-            len(rep_ids),
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat)],
-        )
         return pa.table(
             {
                 "band_key": pa.array(key, type=pa.int64()),
                 "vec_id": pa.array(rep_ids, type=pa.int64()),
-                "vec": vec_arr,
+                "vec": _pack_vec_blobs(vecs[rep_idx]),
             }
         )
-
-    def bucket_pairs(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch.column("band_key")).astype(np.int64)
-        ids = np.asarray(batch.column("vec_id")).astype(np.int64)
-        if len(keys) == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
-            )
-        from dynaalign_ray.shingles import varlen_offsets
-
-        vec_col = batch.column("vec").combine_chunks()
-        offs = varlen_offsets(vec_col)  # int32/int64 per the Arrow type
-        data = np.frombuffer(vec_col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
-        row_bytes = int(offs[1] - offs[0])  # fixed width by construction
-        vecs = np.frombuffer(data.tobytes(), dtype="<f8").reshape(
-            len(ids), row_bytes // 8
-        )
-        order = np.lexsort((ids, keys))
-        keys, ids, vecs = keys[order], ids[order], vecs[order]
-        boundary = np.ones(len(keys), dtype=bool)
-        boundary[1:] = keys[1:] != keys[:-1]
-        starts = np.flatnonzero(boundary)
-        ends = np.append(starts[1:], len(keys))
-        out_a, out_b, out_c = [], [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            bid = ids[s:e]
-            bv = vecs[s:e]
-            if m > pair_cap:
-                # star fallback (same shape as bands.emit_pairs_block): a
-                # bucket of >pair_cap mutually-similar vectors collides in
-                # EVERY band, so skipping it would silently lose the
-                # densest duplicate groups entirely.  Score one hub vs all
-                # (m-1 exact cosines, m-1 edges) — connectivity-preserving
-                # under the downstream union-find, never quadratic.
-                hub = int(np.argmin(mix64(bid.astype(np.uint64) ^ np.uint64(keys[s] & 3))))
-                sims_h = bv @ bv[hub]
-                mask = (sims_h >= threshold) & (np.arange(m) != hub)
-                ha = np.minimum(bid[mask], bid[hub])
-                hb = np.maximum(bid[mask], bid[hub])
-                out_a.append(ha)
-                out_b.append(hb)
-                out_c.append(sims_h[mask])
-                continue
-            sims = bv @ bv.T
-            ai, bi = np.triu_indices(m, k=1)
-            hit = sims[ai, bi] >= threshold
-            out_a.append(bid[ai[hit]])
-            out_b.append(bid[bi[hit]])
-            out_c.append(sims[ai[hit], bi[hit]])
-        if not out_a:
-            return pa.table(
-                {
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
-            }
-        )
-
-    def dedup_block(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("a")).astype(np.int64)
-        if len(a) == 0:
-            return batch
-        b = np.asarray(batch.column("b")).astype(np.int64)
-        order = np.lexsort((b, a))
-        first = np.ones(len(a), dtype=bool)
-        first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
-        return batch.take(pa.array(order[first]))
 
     return (
         embeddings_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(num_blocks=num_partitions, keys=["band_key"])
         .map_batches(
-            bucket_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+            lambda b: _bucket_pairs_block(b, threshold, pair_cap),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         .repartition(num_blocks=num_partitions, keys=["a", "b"])
         .map_batches(
-            dedup_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+            _dedup_pairs_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     )
+
+
+def _pack_vec_blobs(vecs: np.ndarray) -> pa.Array:
+    """Fixed-width binary column from a (n, dim) float matrix — built
+    straight from the numpy buffer (no per-row Python); row i of the output
+    is vecs[i] as little-endian float64 bytes.  Lets vector payloads ride a
+    hash-shuffle as plain binary cells."""
+    n, dim = vecs.shape
+    flat = np.ascontiguousarray(vecs).astype("<f8").tobytes()
+    offsets = np.arange(n + 1, dtype=np.int32) * (dim * 8)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat)]
+    )
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "cosine": pa.array([], type=pa.float64()),
+    }
+)
+
+
+def _bucket_pairs_block(
+    batch: pa.Table, threshold: float, pair_cap: int, oversize: str = "star"
+) -> pa.Table:
+    """One keyed block of (band_key, vec_id, vec blob) -> exact in-bucket
+    cosine pairs >= threshold (a < b).  Shared by the sign-LSH and the
+    k-means (SemDeDup) bucketers — both route disjoint-or-banded buckets to
+    this same vectorized kernel.
+
+    ``oversize`` picks the > pair_cap bucket strategy:
+
+    - "star" (LSH): score one hub vs all — connectivity-preserving under
+      the downstream union-find and never quadratic.  Sound for LSH because
+      a bucket that big collides in EVERY band (mutually similar), so
+      banding gives each missed pair many more chances.
+    - "stripe" (k-means): EXACT pairs in pair_cap-row stripes — a k-means
+      bucket is merely "near this centroid", not mutually similar, so a
+      star would silently drop real pairs with no second chance.  Memory is
+      bounded at pair_cap x m per stripe; compute stays O(m^2), which the
+      caller controls via n_centroids (bucket size ~ n / n_centroids)."""
+    keys = np.asarray(batch.column("band_key")).astype(np.int64)
+    ids = np.asarray(batch.column("vec_id")).astype(np.int64)
+    if len(keys) == 0:
+        return _EMPTY_PAIRS
+    from dynaalign_ray.shingles import varlen_offsets
+
+    vec_col = batch.column("vec").combine_chunks()
+    offs = varlen_offsets(vec_col)  # int32/int64 per the Arrow type
+    data = np.frombuffer(vec_col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    row_bytes = int(offs[1] - offs[0])  # fixed width by construction
+    vecs = np.frombuffer(data.tobytes(), dtype="<f8").reshape(len(ids), row_bytes // 8)
+    order = np.lexsort((ids, keys))
+    keys, ids, vecs = keys[order], ids[order], vecs[order]
+    boundary = np.ones(len(keys), dtype=bool)
+    boundary[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(boundary)
+    ends = np.append(starts[1:], len(keys))
+    out_a, out_b, out_c = [], [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        bid = ids[s:e]
+        bv = vecs[s:e]
+        if m > pair_cap:
+            if oversize == "stripe":
+                # exact pairs, memory-bounded: pair_cap-row stripes vs the
+                # whole bucket; keep strict upper triangle (row < col in
+                # the lexsorted order, so bid[row] <= bid[col] and
+                # same-vector duplicates resolve by index order)
+                for s0 in range(0, m, pair_cap):
+                    s1 = min(s0 + pair_cap, m)
+                    sims = bv[s0:s1] @ bv.T  # (stripe, m)
+                    ri, ci = np.nonzero(sims >= threshold)
+                    gi = ri + s0
+                    sel = gi < ci
+                    out_a.append(bid[gi[sel]])
+                    out_b.append(bid[ci[sel]])
+                    out_c.append(sims[ri[sel], ci[sel]])
+                continue
+            # star fallback (same shape as bands.emit_pairs_block): a
+            # bucket of >pair_cap mutually-similar vectors collides in
+            # EVERY band, so skipping it would silently lose the
+            # densest duplicate groups entirely.  Score one hub vs all
+            # (m-1 exact cosines, m-1 edges) — connectivity-preserving
+            # under the downstream union-find, never quadratic.
+            hub = int(np.argmin(mix64(bid.astype(np.uint64) ^ np.uint64(keys[s] & 3))))
+            sims_h = bv @ bv[hub]
+            mask = (sims_h >= threshold) & (np.arange(m) != hub)
+            ha = np.minimum(bid[mask], bid[hub])
+            hb = np.maximum(bid[mask], bid[hub])
+            out_a.append(ha)
+            out_b.append(hb)
+            out_c.append(sims_h[mask])
+            continue
+        sims = bv @ bv.T
+        ai, bi = np.triu_indices(m, k=1)
+        hit = sims[ai, bi] >= threshold
+        out_a.append(bid[ai[hit]])
+        out_b.append(bid[bi[hit]])
+        out_c.append(sims[ai[hit], bi[hit]])
+    if not out_a:
+        return _EMPTY_PAIRS
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
+        }
+    )
+
+
+def _dedup_pairs_block(batch: pa.Table) -> pa.Table:
+    """Drop duplicate (a, b) rows inside one keyed block (the cross-band /
+    cross-assignment pair dedup)."""
+    a = np.asarray(batch.column("a")).astype(np.int64)
+    if len(a) == 0:
+        return batch
+    b = np.asarray(batch.column("b")).astype(np.int64)
+    order = np.lexsort((b, a))
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+    return batch.take(pa.array(order[first]))
+
+
+def cosine_neardup_kmeans(
+    embeddings_ds,
+    threshold: float = 0.35,
+    *,
+    n_centroids: int = 64,
+    n_assign: int = 1,
+    num_partitions: int = 8,
+    pair_cap: int = 4096,
+    seed: int = 42,
+    sample_cap: int = 200_000,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    centroids: np.ndarray | None = None,
+):
+    """Embedding-cosine near-dup pairs, k-means-bucketed (SemDeDup-style
+    scale path, published method: cluster the embedding space with spherical
+    k-means, then search for near-duplicates only WITHIN each cluster).
+
+    Physical plan: centroids trained on a bounded deterministic sample
+    (:func:`train_centroids`), broadcast once; each batch assigns every
+    vector to its ``n_assign`` nearest centroids (one matmul + argpartition),
+    emits (centroid bucket, vec_id, vec blob); ONE keyed repartition on the
+    bucket; the shared in-bucket exact-cosine kernel scores pairs — oversized
+    buckets are scored EXACTLY in ``pair_cap``-row stripes (memory-bounded;
+    see :func:`_bucket_pairs_block` for why a star fallback would be unsound
+    here).  With ``n_assign=1``
+    buckets are disjoint so pairs need no dedup shuffle; ``n_assign>=2``
+    adds the (a, b) dedup pass and recovers most centroid-boundary pairs.
+
+    PARTITIONING ASSUMPTION (documented recall bound): a pair whose two
+    vectors share none of their ``n_assign`` nearest centroids is missed —
+    precision stays 1.0 (pairs are scored exactly), only recall is
+    approximate.  Recall vs the exact plan is pytest-gated
+    (tests/test_round3.py)."""
+    if centroids is None:
+        centroids = train_centroids(
+            embeddings_ds,
+            n_centroids,
+            sample_cap=sample_cap,
+            seed=seed,
+            id_col=id_col,
+            col=col,
+        )
+    import ray
+
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    cent_ref = broadcast_put(cent)
+    p = max(1, min(int(n_assign), cent.shape[0]))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        vecs = _normalize(_embedding_matrix(batch, col))
+        sims = vecs @ c.T
+        if p == 1:
+            key = np.argmax(sims, axis=1).astype(np.int64)
+            rep_ids, rep_vecs = ids, vecs
+        else:
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            key = top.reshape(-1).astype(np.int64)
+            rep_ids = np.repeat(ids, p)
+            rep_vecs = np.repeat(vecs, p, axis=0)
+        return pa.table(
+            {
+                "band_key": pa.array(key, type=pa.int64()),
+                "vec_id": pa.array(rep_ids, type=pa.int64()),
+                "vec": _pack_vec_blobs(rep_vecs),
+            }
+        )
+
+    out = (
+        embeddings_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["band_key"])
+        .map_batches(
+            lambda b: _bucket_pairs_block(b, threshold, pair_cap, oversize="stripe"),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    if p > 1:
+        out = out.repartition(num_blocks=num_partitions, keys=["a", "b"]).map_batches(
+            _dedup_pairs_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return out
+
+
+def semantic_dedup(
+    embeddings_ds,
+    threshold: float = 0.35,
+    *,
+    plan: str = "exact",
+    num_partitions: int = 8,
+    small_cc_limit: int = 50_000_000,
+    max_rounds: int = 8,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    **plan_kwargs,
+):
+    """Semantic (embedding-space) dedup: (vec_id, cluster_id, keep) where
+    cluster_id is the min vec_id of the vector's connected component in the
+    cosine >= threshold graph and keep marks the component representative —
+    the embedding analog of the flagship near-dup cluster assignment.
+
+    plan="exact": :func:`cosine_neardup_pairs` edge set (broadcast-stripe
+    matmul — the small-corpus / verification plan; DuckDB-oracle-checked via
+    the ``embedding_semdedup`` query).  plan="kmeans": the SemDeDup bucketed
+    scale path (:func:`cosine_neardup_kmeans`; recall < 1 across centroid
+    boundaries unless n_assign >= 2 — plan-agreement + recall pytests).
+    Components reuse the size-gated driver-union-find <-> distributed
+    contraction dispatch from the flagship (stages/cluster.py)."""
+    from dynaalign_ray.stages.cluster import assign_clusters, connected_components
+
+    if plan == "exact":
+        pairs = cosine_neardup_pairs(embeddings_ds, threshold, id_col=id_col, col=col)
+    elif plan == "kmeans":
+        pairs = cosine_neardup_kmeans(
+            embeddings_ds,
+            threshold,
+            num_partitions=num_partitions,
+            id_col=id_col,
+            col=col,
+            **plan_kwargs,
+        )
+    else:
+        raise ValueError(f"unknown semantic_dedup plan {plan!r}")
+    edges = pairs.select_columns(["a", "b"]).materialize()
+    labels, info = connected_components(edges, num_partitions, max_rounds, small_cc_limit)
+    ids = embeddings_ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column(id_col).cast(pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    clusters = assign_clusters(
+        ids, labels, num_partitions, labels_table=info.get("labels_table")
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": b.column("doc_id"),
+                "cluster_id": b.column("cluster_id"),
+                "keep": b.column("keep"),
+            }
+        )
+
+    return clusters.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _topk_reduce(candidates_ds, k: int) -> pa.Table:

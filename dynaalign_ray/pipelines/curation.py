@@ -678,6 +678,44 @@ def embedding_cosine_pairs_lsh(sf_dir: str, threshold: float = 0.35, num_partiti
     return pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def embedding_semdedup(sf_dir: str, threshold: float = 0.35):
+    """Semantic dedup, EXACT plan: (vec_id, cluster_id, keep) — connected
+    components of the exact cosine >= threshold graph, cluster_id = component
+    min vec_id, keep = representative.  DuckDB-oracle-checked (recursive-CTE
+    reachability over the exact pair set, same shape as the flagship
+    doc_neardup_clusters oracle)."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.similarity_search import semantic_dedup
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, threshold, plan="exact", num_partitions=4)
+
+
+def embedding_semdedup_kmeans(sf_dir: str, threshold: float = 0.35):
+    """Semantic dedup, SemDeDup k-means-bucketed scale plan (n_assign=2 to
+    recover centroid-boundary pairs).  Rows-only for the driver; recall and
+    plan agreement vs the exact plan are pytest-gated
+    (tests/test_round3.py)."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.similarity_search import semantic_dedup
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semantic_dedup(
+        emb,
+        threshold,
+        plan="kmeans",
+        num_partitions=4,
+        n_centroids=16,
+        n_assign=2,
+    )
+
+
 def embedding_label_norms(sf_dir: str, num_partitions: int = 8):
     """Per-label mean L2 norm of embeddings (list-column numeric kernel)."""
     import ray.data as rd

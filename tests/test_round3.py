@@ -107,3 +107,146 @@ class TestSourceMix:
             cum = ordered.n_tokens.cumsum()
             expect = set(ordered.doc_id[cum <= budget])
             assert expect == (kept_ids & set(grp.doc_id)), src
+
+
+# ------------------------------------------- semantic dedup (SemDeDup)
+
+
+@pytest.fixture
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+class TestSemanticDedup:
+    def _emb(self, rd, n=200, dim=16, seed=7, planted=12):
+        import pyarrow as pa
+
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vecs = rng.standard_normal((n, dim))
+        # plant near-dup copies: vec[i+n] ~ vec[i]; some chain via i+2n
+        extra = vecs[:planted] + 0.04 * rng.standard_normal((planted, dim))
+        extra2 = extra[: planted // 2] + 0.04 * rng.standard_normal(
+            (planted // 2, dim)
+        )
+        allv = np.vstack([vecs, extra, extra2])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(allv)), pa.int64()),
+                "embedding": pa.array(list(allv), pa.list_(pa.float64())),
+            }
+        )
+        return rd.from_arrow(tbl), allv
+
+    @staticmethod
+    def _brute_components(allv, thr):
+        m = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+        sims = m @ m.T
+        n = len(m)
+        label = np.arange(n)
+        ai, bi = np.nonzero(np.triu(sims >= thr, k=1))
+        for _ in range(n):
+            before = label.copy()
+            np.minimum.at(label, bi, label[ai])
+            np.minimum.at(label, ai, label[bi])
+            label = label[label]
+            if np.array_equal(label, before):
+                break
+        return label
+
+    def test_exact_plan_matches_bruteforce_union_find(self, rd, ray_session):
+        from dynaalign_ray.functions.similarity_search import semantic_dedup
+
+        ds, allv = self._emb(rd)
+        thr = 0.9
+        want = self._brute_components(allv, thr)
+        rows = semantic_dedup(ds, thr, plan="exact", num_partitions=4).take_all()
+        assert len(rows) == len(allv)
+        got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in rows}
+        n_multi = 0
+        for vid, lbl in enumerate(want):
+            assert got[vid][0] == lbl, vid
+            assert got[vid][1] == (vid == lbl)
+            n_multi += int(vid != lbl)
+        assert n_multi >= 12  # the planted dups actually merged
+
+    def test_kmeans_plan_agreement_and_recall(self, rd, ray_session):
+        """With n_assign=2 on this fixture the bucketed SemDeDup plan finds
+        enough boundary pairs that components agree with the exact plan;
+        pair recall is additionally gated directly."""
+        from dynaalign_ray.functions.similarity_search import (
+            cosine_neardup_kmeans,
+            cosine_neardup_pairs,
+            semantic_dedup,
+        )
+
+        ds, allv = self._emb(rd)
+        thr = 0.9
+        exact_pairs = {
+            (r["a"], r["b"]) for r in cosine_neardup_pairs(ds, thr).take_all()
+        }
+        got_pairs_rows = cosine_neardup_kmeans(
+            ds, thr, n_centroids=8, n_assign=2, num_partitions=4
+        ).take_all()
+        got_pairs = {(r["a"], r["b"]) for r in got_pairs_rows}
+        assert len(got_pairs) == len(got_pairs_rows)  # cross-assignment dedup held
+        assert got_pairs <= exact_pairs  # precision 1.0 (scored exactly)
+        recall = len(got_pairs & exact_pairs) / max(len(exact_pairs), 1)
+        assert recall >= 0.9, (recall, len(exact_pairs))
+
+        exact_cc = {
+            r["vec_id"]: r["cluster_id"]
+            for r in semantic_dedup(ds, thr, plan="exact", num_partitions=4).take_all()
+        }
+        km_cc = {
+            r["vec_id"]: r["cluster_id"]
+            for r in semantic_dedup(
+                ds, thr, plan="kmeans", num_partitions=4, n_centroids=8, n_assign=2
+            ).take_all()
+        }
+        agree = sum(1 for k in exact_cc if exact_cc[k] == km_cc[k])
+        assert agree / len(exact_cc) >= 0.97, agree
+
+    def test_pair_cap_star_fallback_preserves_components(self, rd, ray_session):
+        """Forcing pair_cap far below the densest bucket must not change the
+        connected components (star edges keep connectivity)."""
+        from dynaalign_ray.functions.similarity_search import semantic_dedup
+
+        ds, allv = self._emb(rd)
+        thr = 0.9
+        base = {
+            r["vec_id"]: r["cluster_id"]
+            for r in semantic_dedup(
+                ds, thr, plan="kmeans", num_partitions=4, n_centroids=4, n_assign=2
+            ).take_all()
+        }
+        capped = {
+            r["vec_id"]: r["cluster_id"]
+            for r in semantic_dedup(
+                ds,
+                thr,
+                plan="kmeans",
+                num_partitions=4,
+                n_centroids=4,
+                n_assign=2,
+                pair_cap=3,
+            ).take_all()
+        }
+        assert base == capped
+
+    def test_duckdb_parity_sf0001(self, ray_session):
+        entry = _entry()
+        got = _canon(
+            entry.queries()["embedding_semdedup"]("/root/testdata/sf0.001").to_pandas()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        want = _canon(con.sql(entry.oracle_sql()["embedding_semdedup"]).df())
+        assert len(got) == len(want) > 0
+        assert list(got.columns) == list(want.columns)
+        for c in got.columns:
+            assert got[c].tolist() == want[c].tolist(), c
