@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_quantiles": c.doc_source_quantiles,
         "doc_novelty": c.doc_novelty,  # per-doc unique-shingle fraction (df==1)
         "doc_source_mix": c.doc_source_mix,  # token-budget data mixing per source
+        "doc_pack_sequences": c.doc_pack_sequences,  # greedy sequence packing per source
         # --- rows-only entries (pytest-oracle-covered; weakest driver signal)
         "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
         "doc_neardup_incremental": c.doc_neardup_incremental,  # oracle since r3 (full-run CC restricted)
@@ -547,6 +548,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             )
             SELECT doc_id, source, n_tokens FROM cum WHERE cum <= 700
+        """,
+        # Greedy sequence packing: per source in doc_id order, a doc joins
+        # the open pack while the pack's token sum stays <= budget, else it
+        # starts a new pack (oversized docs pack alone).  The linear
+        # recursion mirrors the engine's per-source boundary walk exactly;
+        # pack_id = first member's doc_id in both.
+        "doc_pack_sequences": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            p(source, rn, doc_id, n_tokens, acc, pack_id) AS (
+                SELECT source, rn, doc_id, n_tokens, n_tokens, doc_id
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+                       CASE WHEN p.acc + d.n_tokens <= 160
+                            THEN p.acc + d.n_tokens ELSE d.n_tokens END,
+                       CASE WHEN p.acc + d.n_tokens <= 160
+                            THEN p.pack_id ELSE d.doc_id END
+                FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, source, n_tokens, pack_id FROM p
         """,
         # N-gram decontam: the engine compares u64 hashes of 8-token windows
         # (multiset on the doc side, distinct on the benchmark side); tokens

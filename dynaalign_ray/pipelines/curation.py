@@ -948,6 +948,87 @@ def doc_source_mix(sf_dir: str, token_budget: int = 700, num_partitions: int = 8
     )
 
 
+def doc_pack_sequences(sf_dir: str, pack_budget: int = 160, num_partitions: int = 8):
+    """Greedy sequence packing — the LLM training-batch assembly operator:
+    within each source, docs in doc_id order are packed into consecutive
+    bins of at most ``pack_budget`` whitespace tokens; a doc that does not
+    fit the open bin starts a new one (a doc larger than the whole budget
+    packs alone).  pack_id = doc_id of the pack's first member, so labels
+    are pure functions of the data — reshard- and resume-stable, no
+    sequential counter to coordinate across partitions.
+
+    Plan: narrow derive (doc_id, source, n_tokens — text never leaves the
+    read stage), ONE keyed repartition by source, per-block Arrow sort +
+    an O(#packs log n) searchsorted boundary walk over the per-source token
+    cumsum (greedy bin boundaries are inherently sequential; the walk is
+    per PACK, never per doc).  Shuffle volume is 3 small columns per doc
+    regardless of document size."""
+    from dynaalign_ray.functions.textstats import token_count_batch
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("pack_id", pa.int64()),
+        ]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        toks = token_count_batch(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": toks.column("n_tokens"),
+            }
+        )
+
+    def pack_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            b, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+        )
+        s = b.take(idx)
+        src = s.column("source").combine_chunks()
+        if isinstance(src, pa.ChunkedArray):
+            src = src.chunk(0)
+        codes = np.asarray(src.dictionary_encode().indices, dtype=np.int64)
+        ids = np.asarray(s.column("doc_id")).astype(np.int64)
+        toks = np.asarray(s.column("n_tokens")).astype(np.int64)
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]])
+        )
+        seg_ends = np.append(seg_starts[1:], len(codes))
+        cs = np.cumsum(toks)
+        pack = np.empty(len(ids), dtype=np.int64)
+        for st, en in zip(seg_starts, seg_ends):
+            base = cs[st] - toks[st]
+            pos = st
+            while pos < en:
+                target = (cs[pos - 1] if pos > st else base) + pack_budget
+                end = int(np.searchsorted(cs[st:en], target, side="right")) + st
+                end = max(end, pos + 1)  # oversized doc packs alone
+                pack[pos:end] = ids[pos]
+                pos = end
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "source": s.column("source"),
+                "n_tokens": pa.array(toks, type=pa.int64()),
+                "pack_id": pa.array(pack, type=pa.int64()),
+            }
+        )
+
+    d = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return d.repartition(num_blocks=num_partitions, keys=["source"]).map_batches(
+        pack_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def doc_length_quantiles(sf_dir: str, num_partitions: int = 8):
     """Exact token-count quantiles over the corpus (p25/p50/p75/p90/p99) —
     the distributed-exact-quantile operator (value histogram, DuckDB

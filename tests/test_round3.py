@@ -250,3 +250,104 @@ class TestSemanticDedup:
         assert list(got.columns) == list(want.columns)
         for c in got.columns:
             assert got[c].tolist() == want[c].tolist(), c
+
+
+# ------------------------------------------- greedy sequence packing
+
+
+class TestPackSequences:
+    def test_duckdb_parity_sf0001(self, ray_session):
+        entry = _entry()
+        got = _canon(
+            entry.queries()["doc_pack_sequences"]("/root/testdata/sf0.001").to_pandas()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = _canon(con.sql(entry.oracle_sql()["doc_pack_sequences"]).df())
+        assert len(got) == len(want) > 0
+        assert list(got.columns) == list(want.columns)
+        for c in got.columns:
+            assert got[c].tolist() == want[c].tolist(), c
+
+    def test_packing_laws(self, ray_session):
+        """Greedy invariants on real data: packs respect the budget unless
+        singleton-oversized; pack members are contiguous in doc_id order;
+        pack_id is the first member; greedy maximality (the doc after a
+        pack's last member would not have fit)."""
+        from dynaalign_ray.pipelines.curation import doc_pack_sequences
+
+        budget = 160
+        df = (
+            doc_pack_sequences("/root/testdata/sf0.001", pack_budget=budget)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert len(df) == 500
+        n_multi = 0
+        for (_, pid), grp in df.groupby(["source", "pack_id"]):
+            total = grp.n_tokens.sum()
+            assert pid == grp.doc_id.min()
+            if len(grp) > 1:
+                assert total <= budget
+                n_multi += 1
+        assert n_multi > 0  # the budget actually packs multiple docs
+        for src, grp in df.groupby("source"):
+            grp = grp.sort_values("doc_id").reset_index(drop=True)
+            # contiguity: pack changes are the only boundaries
+            changes = (grp.pack_id != grp.pack_id.shift()).cumsum()
+            assert grp.groupby(changes).pack_id.nunique().eq(1).all()
+            assert grp.pack_id.nunique() == len(set(changes))
+            # greedy maximality: first doc of each new pack would overflow
+            # the previous pack
+            cum = 0
+            prev_pack = None
+            for _, row in grp.iterrows():
+                if row.pack_id != prev_pack:
+                    if prev_pack is not None:
+                        assert cum + row.n_tokens > budget
+                    cum = row.n_tokens
+                    prev_pack = row.pack_id
+                else:
+                    cum += row.n_tokens
+
+    def test_oversized_doc_packs_alone_and_reshard_stable(self, ray_session):
+        """A doc bigger than the whole budget gets its own pack, and the
+        assignment is identical across partition counts."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dynaalign_ray.pipelines.curation import doc_pack_sequences
+        import dynaalign_ray.pipelines.curation as cur
+
+        texts = ["w " * 50, "w " * 200, "w " * 30, "w " * 30, "w " * 90]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "source": pa.array(["s"] * 5),
+                "text": pa.array([t.strip() for t in texts]),
+            }
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            import pyarrow.parquet as pq
+
+            pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+            out1 = (
+                doc_pack_sequences(d, pack_budget=100, num_partitions=1)
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            out2 = (
+                doc_pack_sequences(d, pack_budget=100, num_partitions=7)
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+        assert out1.pack_id.tolist() == out2.pack_id.tolist()
+        # doc0 (50) opens pack 0; doc1 (200) oversized -> alone; doc2+doc3
+        # (30+30) share; doc4 (90) fits too (30+30+90=150>100 -> no); check:
+        assert out1.pack_id.tolist() == [0, 1, 2, 2, 4]
