@@ -154,6 +154,12 @@ def run_bench() -> dict:
     timed("events_trailing_hour", lambda: r.events_trailing_hour(SF_DIR, P).count())
     timed("doc_source_quantiles", lambda: c.doc_source_quantiles(SF_DIR, P).count())
     timed("media_image_neardup", lambda: c.media_image_neardup(SF_DIR, P).count())
+    timed("embedding_semdedup", lambda: c.embedding_semdedup(SF_DIR).count())
+    timed(
+        "embedding_semdedup_kmeans",
+        lambda: c.embedding_semdedup_kmeans(SF_DIR).count(),
+    )
+    timed("doc_pack_sequences", lambda: c.doc_pack_sequences(SF_DIR, 160, P).count())
 
     result = {
         "metric": "neardup_pages_e2e",

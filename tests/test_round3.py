@@ -251,6 +251,25 @@ class TestSemanticDedup:
         for c in got.columns:
             assert got[c].tolist() == want[c].tolist(), c
 
+    def test_exact_plan_distributed_cc_agreement(self, rd, ray_session):
+        """Forcing the contraction-CC path (small_cc_limit=0) must produce
+        the identical semantic-dedup assignment as the driver union-find."""
+        from dynaalign_ray.functions.similarity_search import semantic_dedup
+
+        ds, _ = self._emb(rd)
+        thr = 0.9
+        drv = {
+            r["vec_id"]: (r["cluster_id"], r["keep"])
+            for r in semantic_dedup(ds, thr, plan="exact", num_partitions=4).take_all()
+        }
+        dist = {
+            r["vec_id"]: (r["cluster_id"], r["keep"])
+            for r in semantic_dedup(
+                ds, thr, plan="exact", num_partitions=4, small_cc_limit=0
+            ).take_all()
+        }
+        assert drv == dist
+
 
 # ------------------------------------------- greedy sequence packing
 
