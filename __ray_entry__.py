@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk_price": r.lineitem_topk_price,
         "orders_customer_hashjoin": r.orders_customer_hashjoin,
         "events_order_asof": r.events_order_asof,
+        "supplier_ship_window_counts": r.supplier_ship_window_counts,  # range join (new r3)
         "events_type_users": r.events_type_users,
         "customers_no_big_orders": r.customers_no_big_orders,
         "events_user_deltas": r.events_user_deltas,
@@ -1278,6 +1279,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(o.o_orderdate) AS BIGINT) AS last_order_us
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "supplier_ship_window_counts": """
+            WITH d AS (
+                SELECT l_suppkey, l_shipdate, count(*) AS n
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT d.l_suppkey AS l_suppkey,
+                   CAST(epoch_us(d.l_shipdate) AS BIGINT) AS ship_us,
+                   CAST(d.n AS BIGINT) AS n_rows,
+                   CAST(count(b.l_suppkey) AS BIGINT) AS n_shipments_30d
+            FROM d LEFT JOIN lineitem b
+              ON b.l_suppkey = d.l_suppkey
+             AND b.l_shipdate >= d.l_shipdate
+             AND b.l_shipdate < d.l_shipdate + INTERVAL 30 DAY
+            GROUP BY 1, 2, 3
         """,
         "doc_top_terms": """
             WITH tok AS (
