@@ -40,6 +40,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then previously-hash-exact entries (regression signal), rows-only
     # entries last (weakest signal — drop first under the cap).
     return {
+        # --- new in round 3 (never driver-checked)
+        "doc_model_scores": c.doc_model_scores,  # batched linear-model inference (actor pool)
+        "doc_split_assign": c.doc_split_assign,  # deterministic train/val/test split
+        "doc_paragraph_neardup": c.doc_paragraph_neardup,  # fuzzy paragraph dedup + reassembly
         # --- never driver-checked before round 3: relational surface
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -504,9 +508,75 @@ def _fingerprint_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dynaalign_ray.functions.modelscore import model_score_sql
+
     return {
         **_textstats_oracles(),
         "doc_fingerprints": _fingerprint_oracle(),
+        # Linear-model inference: regexes + weights generated from the SAME
+        # constants the engine actor uses (functions/modelscore.py); class
+        # scores are fixed left-assoc double sums, bit-exact per row.
+        "doc_model_scores": model_score_sql("documents"),
+        # Deterministic split assignment: same int64 arithmetic hash.
+        "doc_split_assign": """
+            SELECT doc_id, source,
+                   CASE WHEN ((doc_id % 1000003) * 53 + 13) % 100 < 90 THEN 'train'
+                        WHEN ((doc_id % 1000003) * 53 + 13) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        # Paragraph-granular fuzzy dedup: 16-word paragraph explode (enc =
+        # doc_id*2^20+para_no — the engine's chunk key layout), exact
+        # word-3-shingle Jaccard >= 0.7 edges over paragraphs (valid as the
+        # engine oracle for the same reason as doc_neardup_clusters: LSH
+        # recall 1.0 + exact-Jaccard verify), recursive-CTE connected
+        # components, keep = component-min enc, reassemble kept paragraphs
+        # per doc in para_no order joined by ' '.
+        "doc_paragraph_neardup": """
+            WITH RECURSIVE t0 AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ), ch AS (
+                SELECT doc_id,
+                       s // 16 AS para_no,
+                       doc_id * 1048576 + s // 16 AS enc,
+                       list_slice(toks, s + 1, LEAST(s + 16, len(toks))) AS ctoks
+                FROM (
+                    SELECT doc_id, toks,
+                           unnest(generate_series(0, len(toks) - 1, 16)) AS s
+                    FROM t0 WHERE len(toks) >= 1
+                ) z
+            ), s3 AS (
+                SELECT enc, unnest(list_distinct(list_transform(
+                    generate_series(1, len(ctoks) - 2),
+                    i -> ctoks[i] || ' ' || ctoks[i+1] || ' ' || ctoks[i+2]
+                ))) AS sh
+                FROM ch WHERE len(ctoks) >= 3
+            ), c3 AS (SELECT enc, count(*) AS n FROM s3 GROUP BY enc),
+            inter AS (
+                SELECT x.enc AS a, y.enc AS b, count(*) AS i
+                FROM s3 x JOIN s3 y ON x.sh = y.sh AND x.enc < y.enc
+                GROUP BY 1, 2
+            ), e AS (
+                SELECT a, b FROM inter
+                JOIN c3 ca ON ca.enc = a JOIN c3 cb ON cb.enc = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ), sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT enc, enc FROM ch
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            ), cc AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+            SELECT ch.doc_id,
+                   coalesce(string_agg(array_to_string(ctoks, ' '), ' '
+                                       ORDER BY para_no)
+                            FILTER (WHERE cc.node = cc.lbl), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(count(*) FILTER (WHERE cc.node <> cc.lbl) AS BIGINT)
+                       AS n_removed
+            FROM ch JOIN cc ON cc.node = ch.enc
+            GROUP BY ch.doc_id
+        """,
         # Novelty: distinct word-3-shingles per doc, document frequency via
         # the global distinct-shingle table, novelty = hapax fraction.  The
         # engine compares 63-bit shingle hashes; the SQL compares strings —

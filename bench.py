@@ -160,6 +160,11 @@ def run_bench() -> dict:
         lambda: c.embedding_semdedup_kmeans(SF_DIR).count(),
     )
     timed("doc_pack_sequences", lambda: c.doc_pack_sequences(SF_DIR, 160, P).count())
+    timed("doc_model_scores", lambda: c.doc_model_scores(SF_DIR).count())
+    timed(
+        "doc_paragraph_neardup",
+        lambda: c.doc_paragraph_neardup(SF_DIR, num_partitions=P).count(),
+    )
 
     result = {
         "metric": "neardup_pages_e2e",

@@ -1785,3 +1785,209 @@ def doc_weighted_sample(sf_dir: str, scale: int = 50):
     return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
         filt, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def doc_split_assign(sf_dir: str, train_pct: int = 90, val_pct: int = 5):
+    """Deterministic leak-free train/val/test split assignment: split is a
+    pure arithmetic-hash function of doc_id (same discipline as doc_sample
+    — reshard- and resume-stable, no RNG state; near-dup CLUSTERS should be
+    split by their cluster_id the same way so no near-pair straddles the
+    boundary).  All int64 arithmetic; the oracle CASE expression is
+    identical."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id")).astype(np.int64)
+        h = ((d % 1000003) * 53 + 13) % 100
+        split = np.where(
+            h < train_pct, "train", np.where(h < train_pct + val_pct, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_model_scores(sf_dir: str):
+    """Batched model inference over every document: a linear quality/tier
+    classifier applied by a stateful actor pool — weights broadcast ONCE via
+    ray.put, fetched per actor in __init__, vectorized RE2-count features +
+    fixed-order float accumulation per batch (functions/modelscore.py).
+    Bit-exact DuckDB oracle generated from the same weight constants."""
+    import ray
+
+    from dynaalign_ray.functions.modelscore import QUALITY_MODEL, LinearModelScorer
+
+    model_ref = broadcast_put(QUALITY_MODEL)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LinearModelScorer,
+        fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=(2, max(2, ncpu // 2)),
+    )
+
+
+# paragraph enc key layout shared with stages/chunk_dedup (doc_id*2^20+no)
+_PARA_CAP = 1 << 20
+
+
+def doc_paragraph_neardup(
+    sf_dir: str,
+    chunk_words: int = 16,
+    tau: float = 0.7,
+    num_partitions: int = 8,
+):
+    """Driver query wrapper over :func:`paragraph_neardup` (documents
+    table)."""
+    return paragraph_neardup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        chunk_words=chunk_words,
+        tau=tau,
+        num_partitions=num_partitions,
+    )
+
+
+def paragraph_neardup(
+    docs_ds,
+    chunk_words: int = 16,
+    tau: float = 0.7,
+    num_partitions: int = 8,
+):
+    """Paragraph-granular FUZZY dedup (the RefinedWeb-style tier between
+    exact chunk dedup and document near-dup): split every document into
+    ``chunk_words``-word paragraphs, run the flagship MinHash-LSH near-dup
+    over the *paragraphs*, keep one representative per near-dup paragraph
+    cluster (min encoded id — the earliest occurrence in the corpus), and
+    reassemble the surviving paragraphs per document in original order.
+
+    Plan (all stages streaming, same scale story as the flagship):
+      1. explode docs -> (enc = doc_id*2^20 + para_no, para text) — reuses
+         chunk_dedup's vectorized word splitter;
+      2. near_dedup(paras) — LSH banding + exact-Jaccard verify + CC; the
+         paragraph id plays doc_id, so salting/pair caps/size gates all
+         apply unchanged.  Paragraphs with < shingle_k words produce zero
+         shingles and are automatic singletons (kept) — mirrored by the
+         oracle's ``len(toks) >= 3`` guard;
+      3. hash_join keep-flags back onto the paragraph text (no broadcast:
+         keep-set is corpus-sized), ONE keyed repartition by parent doc,
+         per-block sort + Arrow ListArray segment join.
+    The paragraph table is deliberately NOT materialized: it re-executes
+    from the column-pruned parquet read for step 3 rather than pinning
+    corpus text in the object store.
+    """
+    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.pipelines.neardup import near_dedup
+    from dynaalign_ray.stages.chunk_dedup import _enc_keys, _split_chunks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        chunks, parent, chunk_no = _split_chunks(
+            batch.column("text"), unit="words", chunk_words=chunk_words
+        )
+        enc = _enc_keys(batch, parent, chunk_no)
+        return pa.table(
+            {
+                "doc_id": pa.array(enc, type=pa.int64()),
+                "text": chunks,
+            }
+        )
+
+    paras = docs_ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cfg = DedupConfig(shingle_k=3, tau=tau)
+    res = near_dedup(docs_ds=paras, cfg=cfg, num_partitions=num_partitions)
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "enc": batch.column("doc_id").cast(pa.int64()),
+                "keep": batch.column("keep"),
+            }
+        )
+
+    keeps = res.clusters.map_batches(
+        keep_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def para_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"enc": batch.column("doc_id"), "para": batch.column("text")}
+        )
+
+    joined = hash_join(
+        paras.map_batches(para_side, batch_format="pyarrow", zero_copy_batch=True),
+        keeps,
+        left_on="enc",
+        right_on="enc",
+        left_schema=pa.schema([("enc", pa.int64()), ("para", pa.string())]),
+        right_schema=pa.schema([("enc", pa.int64()), ("keep", pa.bool_())]),
+        num_partitions=num_partitions,
+        how="inner",
+    )
+
+    def derive_doc(batch: pa.Table) -> pa.Table:
+        enc = np.asarray(batch.column("enc")).astype(np.int64)
+        return batch.append_column(
+            "parent", pa.array(enc // _PARA_CAP, type=pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("clean_text", pa.string()),
+            ("n_paras", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def reassemble_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(b, sort_keys=[("enc", "ascending")])
+        s = b.take(idx)  # enc order == (parent, para_no) order by key layout
+        parent = np.asarray(s.column("parent")).astype(np.int64)
+        keep = np.asarray(s.column("keep"))
+        paras_arr = s.column("para").combine_chunks()
+        if isinstance(paras_arr, pa.ChunkedArray):
+            paras_arr = paras_arr.chunk(0)
+        # doc segment boundaries over the sorted block
+        starts = np.flatnonzero(np.concatenate([[True], parent[1:] != parent[:-1]]))
+        doc_ids = parent[starts]
+        n_docs = len(starts)
+        seg_of = np.cumsum(np.concatenate([[False], parent[1:] != parent[:-1]]))
+        kept_counts = np.bincount(seg_of[keep], minlength=n_docs)
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+        kept = paras_arr.take(pa.array(np.flatnonzero(keep)))
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept)
+        clean = pc.binary_join(lists, " ")
+        n_paras = np.bincount(seg_of, minlength=n_docs)
+        n_removed = np.bincount(seg_of[~keep], minlength=n_docs)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "clean_text": clean,
+                "n_paras": pa.array(n_paras, type=pa.int64()),
+                "n_removed": pa.array(n_removed, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        joined.map_batches(derive_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["parent"])
+        .map_batches(
+            reassemble_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

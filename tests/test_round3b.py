@@ -1,0 +1,199 @@
+"""Round-3 additions, batch 2: batched linear-model inference
+(functions/modelscore.py), deterministic split assignment, and
+paragraph-granular fuzzy dedup (pipelines/curation.py) — DuckDB parity plus
+semantic property tests independent of the oracle SQL."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    return entry
+
+
+def _duck_parity(qname: str):
+    entry = _entry()
+    got = _canon(entry.queries()[qname]("/root/testdata/sf0.001").to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = _canon(con.sql(entry.oracle_sql()[qname]).df())
+    assert len(got) == len(want) > 0
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+class TestModelScore:
+    def test_duckdb_parity_sf0001(self, ray_session):
+        _duck_parity("doc_model_scores")
+
+    def test_argmax_first_max_tie_rule(self):
+        # all-zero weights + equal biases: every class ties -> first wins
+        from dynaalign_ray.functions.modelscore import LinearModelScorer
+
+        model = {
+            "classes": ["a", "b", "c"],
+            "bias": [1.0, 1.0, 1.0],
+            "weights": [[0.0] * 6, [0.0] * 6, [0.0] * 6],
+        }
+        batch = pa.table({"doc_id": [1, 2], "text": ["x", "the and of"]})
+        out = LinearModelScorer(model)(batch)
+        assert out.column("model_class").to_pylist() == ["a", "a"]
+        assert out.column("keep").to_pylist() == [True, True]
+
+    def test_keep_is_not_last_class(self):
+        from dynaalign_ray.functions.modelscore import (
+            QUALITY_MODEL,
+            LinearModelScorer,
+        )
+
+        batch = pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "1234 !!! 999 ### 111 $$$ 222",  # digit/punct heavy -> low
+                    "the quick brown fox and the lazy dog were in the yard "
+                    * 8,  # long clean stopwordy English -> hi tier
+                ],
+            }
+        )
+        out = LinearModelScorer(QUALITY_MODEL)(batch)
+        cls = out.column("model_class").to_pylist()
+        keep = out.column("keep").to_pylist()
+        assert [k == (c != "low") for c, k in zip(cls, keep)] == [True, True]
+        assert cls[0] == "low" and cls[1] != "low"
+
+    def test_broadcast_ref_equals_dict(self, ray_session):
+        import ray
+
+        from dynaalign_ray.functions.modelscore import (
+            QUALITY_MODEL,
+            LinearModelScorer,
+        )
+
+        batch = pa.table(
+            {"doc_id": [1, 2, 3], "text": ["a b c", "THE THE 99!", "words here"]}
+        )
+        via_dict = LinearModelScorer(QUALITY_MODEL)(batch)
+        via_ref = LinearModelScorer(ray.put(QUALITY_MODEL))(batch)
+        assert via_dict.equals(via_ref)
+
+    def test_fixed_order_matches_sql_assoc(self):
+        # score_fixed_order must equal the explicit left-assoc expression
+        from dynaalign_ray.functions.modelscore import score_fixed_order
+
+        feats = [np.array([3], dtype=np.int64) for _ in range(6)]
+        w = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6]
+        got = score_fixed_order(feats, -1.5, w)[0]
+        want = -1.5
+        for wi in w:
+            want = want + wi * 3.0
+        assert got == want
+
+
+class TestSplitAssign:
+    def test_duckdb_parity_sf0001(self, ray_session):
+        _duck_parity("doc_split_assign")
+
+    def test_partition_law(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_split_assign
+
+        t = doc_split_assign("/root/testdata/sf0.001").to_pandas()
+        assert set(t["split"]) == {"train", "val", "test"}
+        counts = t["split"].value_counts()
+        n = len(t)
+        # hash is near-uniform: train ~90%, val/test ~5% each
+        assert counts["train"] > 0.8 * n
+        assert counts["val"] + counts["test"] < 0.2 * n
+        # one row per doc — a split never duplicates or drops
+        assert t["doc_id"].is_unique and n == 500
+
+
+class TestParagraphNeardup:
+    def test_duckdb_parity_sf0001(self, ray_session):
+        _duck_parity("doc_paragraph_neardup")
+
+    def test_impossible_tau_reconstructs_corpus(self, ray_session):
+        # tau > 1 -> no paragraph can ever be removed; clean_text must be
+        # the whitespace-normalized original and n_removed all zero
+        import ray.data as rd
+
+        from dynaalign_ray.pipelines.curation import paragraph_neardup
+
+        texts = [
+            "alpha beta gamma delta " * 12,
+            "one two three",
+            "x",
+        ]
+        docs = pa.table({"doc_id": [1, 2, 3], "text": texts})
+        out = (
+            paragraph_neardup(rd.from_arrow(docs), tau=1.01, num_partitions=2)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_removed"].tolist() == [0, 0, 0]
+        assert out["clean_text"].tolist() == [" ".join(t.split()) for t in texts]
+
+    def test_shared_paragraph_removed_once(self, ray_session):
+        # two docs share an identical 16-word paragraph: the later doc's
+        # copy is removed (representative = min enc), private paragraphs
+        # survive on both sides
+        import ray.data as rd
+
+        from dynaalign_ray.pipelines.curation import paragraph_neardup
+
+        boiler = " ".join(f"w{i}" for i in range(16))
+        a_tail = " ".join(f"a{i}" for i in range(16))
+        b_tail = " ".join(f"b{i}" for i in range(16))
+        docs = pa.table(
+            {
+                "doc_id": [10, 20],
+                "text": [boiler + " " + a_tail, boiler + " " + b_tail],
+            }
+        )
+        out = (
+            paragraph_neardup(rd.from_arrow(docs), tau=0.7, num_partitions=2)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["clean_text"].tolist() == [boiler + " " + a_tail, b_tail]
+        assert out["n_removed"].tolist() == [0, 1]
+        assert out["n_paras"].tolist() == [2, 2]
+
+    def test_short_paragraphs_are_singletons(self, ray_session):
+        # identical tails SHORTER than shingle_k words produce no shingles
+        # -> automatic singletons, never deduped (engine & oracle agree)
+        import ray.data as rd
+
+        from dynaalign_ray.pipelines.curation import paragraph_neardup
+
+        pad_a = " ".join(f"a{i}" for i in range(16))
+        pad_b = " ".join(f"b{i}" for i in range(16))
+        docs = pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [pad_a + " zz yy", pad_b + " zz yy"],
+            }
+        )
+        out = (
+            paragraph_neardup(rd.from_arrow(docs), tau=0.7, num_partitions=2)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_removed"].tolist() == [0, 0]
+        assert out["clean_text"].tolist() == [pad_a + " zz yy", pad_b + " zz yy"]
