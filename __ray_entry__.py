@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
         "media_audio_neardup": c.media_audio_neardup,  # rows-only (spectral hash)
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
+        "doc_token_cms": c.doc_token_cms,  # rows-only (count-min sketch; pytest-gated bounds)
     }
 
 

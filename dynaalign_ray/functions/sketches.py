@@ -443,3 +443,99 @@ def grouped_approx_distinct(
             merge_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (public algorithm: Cormode & Muthukrishnan 2005) — the
+# mergeable FREQUENCY sketch completing the family (HLL = distinct, KLL =
+# quantiles, CMS = per-item counts).  d hash rows x w counters; estimate =
+# min over rows; always >= the true count, and <= true + eps*N with
+# probability 1-delta for w = ceil(e/eps), d = ceil(ln 1/delta).
+# Distributed shape: one (d*w) int64 partial per batch, elementwise-sum
+# merge on the driver — raw tokens never shuffle.
+
+_CMS_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def cms_from_hashes(
+    hashes: np.ndarray, d: int = 4, w: int = 8192
+) -> np.ndarray:
+    """uint64 item hashes -> (d, w) int64 counter matrix (one batch's
+    partial).  Row j uses an independent tabulation: mix64(h ^ seed_j) % w.
+    Fully vectorized (np.add.at per row)."""
+    from dynaalign_ray.hashing import mix64
+
+    sk = np.zeros((d, w), dtype=np.int64)
+    if len(hashes) == 0:
+        return sk
+    h = np.asarray(hashes, dtype=np.uint64)
+    for j in range(d):
+        idx = (mix64(h ^ np.uint64(_CMS_SEEDS[j])) % np.uint64(w)).astype(np.int64)
+        np.add.at(sk[j], idx, 1)
+    return sk
+
+
+def cms_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = sketches[0].copy()
+    for s in sketches[1:]:
+        out += s
+    return out
+
+
+def cms_query(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """(d, w) sketch + uint64 item hashes -> int64 estimates (min over
+    rows; never below the true count)."""
+    from dynaalign_ray.hashing import mix64
+
+    d, w = sk.shape
+    h = np.asarray(hashes, dtype=np.uint64)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(d):
+        idx = (mix64(h ^ np.uint64(_CMS_SEEDS[j])) % np.uint64(w)).astype(np.int64)
+        np.minimum(est, sk[j, idx], out=est)
+    return est
+
+
+def approx_token_counts(
+    ds, col: str, probe_tokens: list[str], d: int = 4, w: int = 8192
+):
+    """Approximate whitespace-token frequencies via a distributed count-min
+    sketch: per-batch (d, w) partials (d*w*8 bytes each — the ONLY bytes
+    that leave the workers), elementwise-sum merge on the driver, then one
+    vectorized probe of ``probe_tokens``.  Deterministic given the seeds.
+
+    Returns a pyarrow table (token, est_count) in probe order."""
+    import pyarrow.compute as pc
+
+    from dynaalign_ray.shingles import _hash_utf8_spans
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).combine_chunks()
+        arr = pc.list_flatten(pc.utf8_split_whitespace(arr))
+        arr = arr.filter(pc.greater(pc.binary_length(arr), 0))
+        h = _hash_utf8_spans(arr, seed=0xC0F3)
+        sk = cms_from_hashes(h, d=d, w=w)
+        return pa.table({"sketch": pa.array([sk.tobytes()], type=pa.binary())})
+
+    import ray
+
+    parts = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    sketches = []
+    for ref in parts:
+        tbl = ray.get(ref)
+        for b in tbl.column("sketch").to_pylist():
+            sketches.append(np.frombuffer(b, dtype=np.int64).reshape(d, w))
+    if not sketches:
+        est = np.zeros(len(probe_tokens), dtype=np.int64)
+    else:
+        merged = cms_merge(sketches)
+        ph = _hash_utf8_spans(pa.array(probe_tokens, type=pa.string()), seed=0xC0F3)
+        est = cms_query(merged, ph)
+    return pa.table(
+        {
+            "token": pa.array(probe_tokens, type=pa.string()),
+            "est_count": pa.array(est, type=pa.int64()),
+        }
+    )

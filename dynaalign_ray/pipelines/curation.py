@@ -1991,3 +1991,18 @@ def paragraph_neardup(
             zero_copy_batch=True,
         )
     )
+
+
+def doc_token_cms(sf_dir: str):
+    """Approximate token-frequency probes via a distributed count-min
+    sketch (functions/sketches.py): per-batch (d,w) partials, driver merge,
+    vectorized probe.  Deterministic given the seeds but not
+    SQL-reproducible (rows-only driver check); the >= exact / <= exact +
+    eps*N guarantees are pytest-gated (tests/test_round3b.py)."""
+    from dynaalign_ray.functions.sketches import approx_token_counts
+
+    probes = [
+        "the", "data", "merge", "join", "sort", "filter",
+        "key", "row", "batch", "table", "zzz_absent_token",
+    ]
+    return approx_token_counts(_docs(sf_dir, ["text"]), "text", probes)

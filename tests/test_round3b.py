@@ -197,3 +197,62 @@ class TestParagraphNeardup:
         )
         assert out["n_removed"].tolist() == [0, 0]
         assert out["clean_text"].tolist() == [pad_a + " zz yy", pad_b + " zz yy"]
+
+
+class TestCountMinSketch:
+    def test_bounds_vs_exact(self, ray_session):
+        import duckdb as dk
+
+        from dynaalign_ray.pipelines.curation import doc_token_cms
+
+        got = doc_token_cms("/root/testdata/sf0.001").to_pandas()
+        con = dk.connect()
+        exact = dict(
+            con.sql(
+                """
+            SELECT tok, count(*) FROM (
+                SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+                FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+            GROUP BY tok
+        """
+            ).fetchall()
+        )
+        n_total = sum(exact.values())
+        d, w = 4, 8192
+        eps = np.e / w
+        for _, row in got.iterrows():
+            true = exact.get(row["token"], 0)
+            assert row["est_count"] >= true, row["token"]
+            # eps*N bound holds per row with prob 1-e^-d; over 11 fixed
+            # probes with fixed seeds this is a deterministic regression
+            assert row["est_count"] <= true + 2 * eps * n_total, row["token"]
+        absent = got[got["token"] == "zzz_absent_token"]["est_count"].iloc[0]
+        assert absent <= 2 * eps * n_total
+
+    def test_merge_equals_single_pass(self):
+        from dynaalign_ray.functions.sketches import (
+            cms_from_hashes,
+            cms_merge,
+            cms_query,
+        )
+
+        rng = np.random.default_rng(7)
+        h = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+        whole = cms_from_hashes(h)
+        parts = cms_merge([cms_from_hashes(h[:1700]), cms_from_hashes(h[1700:4000]),
+                           cms_from_hashes(h[4000:])])
+        assert np.array_equal(whole, parts)
+        probe = h[:50]
+        assert np.array_equal(cms_query(whole, probe), cms_query(parts, probe))
+
+    def test_never_underestimates(self):
+        from dynaalign_ray.functions.sketches import cms_from_hashes, cms_query
+
+        # adversarially tiny width forces collisions; estimates must still
+        # upper-bound the true multiplicity of every item
+        rng = np.random.default_rng(11)
+        items = rng.integers(0, 50, size=2000).astype(np.uint64)
+        sk = cms_from_hashes(items, d=3, w=16)
+        uniq, counts = np.unique(items, return_counts=True)
+        est = cms_query(sk, uniq)
+        assert (est >= counts).all()
