@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_model_scores": c.doc_model_scores,  # batched linear-model inference (actor pool)
         "doc_split_assign": c.doc_split_assign,  # deterministic train/val/test split
         "doc_paragraph_neardup": c.doc_paragraph_neardup,  # fuzzy paragraph dedup + reassembly
+        "doc_neardup_histogram": c.doc_neardup_histogram,  # flagship cluster-size histogram
+        "customer_segment_fullouter": r.customer_segment_fullouter,  # FULL OUTER join
+        "pages_blocklist_filter": w.pages_blocklist_filter,  # broadcast host blocklist pre-tier
         # --- never driver-checked before round 3: relational surface
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -518,6 +521,59 @@ def oracle_sql() -> dict[str, str]:
         # constants the engine actor uses (functions/modelscore.py); class
         # scores are fixed left-assoc double sums, bit-exact per row.
         "doc_model_scores": model_score_sql("documents"),
+        # Flagship cluster-size histogram: the recursive-CTE CC (same form
+        # as doc_neardup_clusters) grouped twice.
+        "doc_neardup_histogram": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            ),
+            cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+            sizes AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM cc GROUP BY cluster_id
+            )
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY cluster_size
+        """,
+        # FULL OUTER join: segment membership marker vs order counts.
+        "customer_segment_fullouter": """
+            WITH seg AS (
+                SELECT c_custkey, TRUE AS in_segment FROM customer
+                WHERE c_mktsegment = 'AUTOMOBILE'
+            ), ord AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                   coalesce(in_segment, FALSE) AS in_segment,
+                   coalesce(n_orders, 0) AS n_orders
+            FROM seg FULL OUTER JOIN ord ON c_custkey = o_custkey
+        """,
         # Deterministic split assignment: same int64 arithmetic hash.
         "doc_split_assign": """
             SELECT doc_id, source,
@@ -742,6 +798,11 @@ def oracle_sql() -> dict[str, str]:
         "pages_url_canonical": _PAGES_CTE
         + """
             SELECT doc_id, url, canon_url, host FROM canon
+        """,
+        "pages_blocklist_filter": _PAGES_CTE
+        + """
+            SELECT doc_id, canon_url, host FROM canon
+            WHERE host NOT IN ('www.site3.example', 'www.site7.example', 'www.site13.example')
         """,
         "pages_latest_snapshot": _PAGES_CTE
         + """

@@ -2006,3 +2006,29 @@ def doc_token_cms(sf_dir: str):
         "key", "row", "batch", "table", "zzz_absent_token",
     ]
     return approx_token_counts(_docs(sf_dir, ["text"]), "text", probes)
+
+
+def doc_neardup_histogram(sf_dir: str, num_partitions: int = 8):
+    """Flagship dedup REPORT as an oracle-checked query: the cluster-size
+    histogram (cluster_size, n_clusters) of the near-dup clustering — two
+    small count aggregates over the cluster assignment (the run-report shape
+    from pipelines/neardup.write_run_report, whose driver only ever sees
+    histogram rows, never per-cluster rows)."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.pipelines.neardup import near_dedup
+
+    cfg = DedupConfig(shingle_k=3)
+    res = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=cfg,
+        num_partitions=num_partitions,
+    )
+    sizes = res.clusters.groupby("cluster_id", num_partitions=num_partitions).aggregate(
+        Count(alias_name="cluster_size")
+    )
+    return (
+        sizes.groupby("cluster_size", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_clusters"))
+        .select_columns(["cluster_size", "n_clusters"])
+    )

@@ -919,3 +919,62 @@ def lineitem_price_quantiles(sf_dir: str, num_partitions: int = 8):
     return pa.table(
         {"q": out.column("q"), "price": pa.array(v / 100.0, type=pa.float64())}
     )
+
+
+def customer_segment_fullouter(sf_dir: str, num_partitions: int = 8):
+    """FULL OUTER join surface: AUTOMOBILE-segment customers vs per-customer
+    order counts — keeps segment customers with zero orders (right nulls)
+    AND ordering customers outside the segment (left nulls), the rows both
+    one-sided joins drop.  Plan: pre-aggregate orders per custkey (the join
+    carries one row per ordering customer, never raw orders), then the
+    engine's partitioned hash_join with ``how="full outer"`` — correct per
+    partition because both sides hash-shuffle on the key.  A left-side
+    marker column (not key nullness) records membership, so coalesced keys
+    stay usable."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import hash_join
+
+    def seg(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("c_mktsegment"), "AUTOMOBILE")
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "in_segment": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        seg, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    j = hash_join(
+        customers,
+        per_cust,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("in_segment", pa.bool_())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())]),
+        num_partitions=num_partitions,
+        how="full outer",
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("c_custkey"),
+                "in_segment": pc.coalesce(
+                    batch.column("in_segment"), pa.scalar(False)
+                ),
+                "n_orders": pc.coalesce(
+                    batch.column("n_orders"), pa.scalar(0, type=pa.int64())
+                ),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)

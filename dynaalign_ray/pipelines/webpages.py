@@ -391,3 +391,51 @@ def _latest_snapshot_shuffle(pages_ds, num_partitions: int, canonicalize_urls: b
             keep_block_max, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+class _BlocklistFilter:
+    """Actor-pool stage holding the (potentially multi-million-entry) host
+    blocklist: ``ray.put`` once, fetched per actor in __init__ as an Arrow
+    value_set for the C++ ``is_in`` kernel — never re-shipped per batch."""
+
+    def __init__(self, blocked_ref):
+        import ray
+
+        blocked = (
+            ray.get(blocked_ref)
+            if isinstance(blocked_ref, ray.ObjectRef)
+            else blocked_ref
+        )
+        self.value_set = pa.array(sorted(blocked), type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pages = derive_pages(batch)
+        canon, host = canonicalize(pages.column("url"))
+        keep = pc.invert(pc.is_in(host, value_set=self.value_set))
+        return pa.table(
+            {
+                "doc_id": pages.column("doc_id"),
+                "canon_url": canon,
+                "host": host,
+            }
+        ).filter(keep)
+
+
+def pages_blocklist_filter(sf_dir: str, blocked: tuple = ("www.site3.example", "www.site7.example", "www.site13.example")):
+    """Domain-blocklist page filter — the URL-level pre-tier every crawl
+    pipeline runs before any payload work: drop every page whose canonical
+    host is on the blocklist.  The blocklist is a broadcast keyset (one
+    ray.put, per-actor fetch, vectorized Arrow is_in); pages never shuffle."""
+    import ray
+
+    from dynaalign_ray.exec import broadcast_put
+
+    blocked_ref = broadcast_put(list(blocked))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _BlocklistFilter,
+        fn_constructor_kwargs={"blocked_ref": blocked_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, max(2, ncpu // 2)),
+    )

@@ -23,14 +23,16 @@ def _entry():
     return entry
 
 
-def _duck_parity(qname: str):
+def _duck_parity(qname: str, tables: tuple = ("documents",)):
     entry = _entry()
-    got = _canon(entry.queries()[qname]("/root/testdata/sf0.001").to_pandas())
+    res = entry.queries()[qname]("/root/testdata/sf0.001")
+    got = _canon(res.to_pandas())
     con = duckdb.connect()
-    con.sql(
-        "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
-    )
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
     want = _canon(con.sql(entry.oracle_sql()[qname]).df())
     assert len(got) == len(want) > 0
     assert list(got.columns) == list(want.columns)
@@ -256,3 +258,64 @@ class TestCountMinSketch:
         uniq, counts = np.unique(items, return_counts=True)
         est = cms_query(sk, uniq)
         assert (est >= counts).all()
+
+
+class TestRound3Extras:
+    def test_histogram_parity_sf0001(self, ray_session):
+        _duck_parity("doc_neardup_histogram")
+
+    def test_fullouter_parity_sf0001(self, ray_session):
+        _duck_parity("customer_segment_fullouter", tables=("customer", "orders"))
+
+    def test_blocklist_parity_sf0001(self, ray_session):
+        _duck_parity("pages_blocklist_filter")
+
+    def test_fullouter_keeps_both_exclusive_sides(self, ray_session):
+        # synthetic keysets with BOTH exclusive sides (the driver data has
+        # no order-less customers, so the query can't exercise left-nulls)
+        import ray.data as rd
+
+        from dynaalign_ray.joins import hash_join
+
+        left = pa.table({"k": [1, 2, 3], "lv": [10, 20, 30]})
+        right = pa.table({"k2": [2, 3, 4], "rv": [200, 300, 400]})
+        j = hash_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            left_on="k",
+            right_on="k2",
+            left_schema=left.schema,
+            right_schema=pa.schema([("k2", pa.int64()), ("rv", pa.int64())]),
+            num_partitions=3,
+            how="full outer",
+        ).to_pandas()
+        assert len(j) == 4
+        got = {
+            (int(r["k"]), None if r.isna()["lv"] else int(r["lv"]),
+             None if r.isna()["rv"] else int(r["rv"]))
+            for _, r in j.iterrows()
+        }
+        assert got == {(1, 10, None), (2, 20, 200), (3, 30, 300), (4, None, 400)}
+
+    def test_fullouter_query_right_exclusive_rows(self, ray_session):
+        from dynaalign_ray.pipelines.relational import customer_segment_fullouter
+
+        t = customer_segment_fullouter("/root/testdata/sf0.001").to_pandas()
+        # ordering customers OUTSIDE the segment (inner join drops them)
+        assert ((~t["in_segment"]) & (t["n_orders"] > 0)).any()
+        assert t["custkey"].notna().all() and t["custkey"].is_unique
+
+    def test_blocklist_drops_only_blocked_hosts(self, ray_session):
+        from dynaalign_ray.pipelines.webpages import pages_blocklist_filter
+
+        t = pages_blocklist_filter("/root/testdata/sf0.001").to_pandas()
+        blocked = {"www.site3.example", "www.site7.example", "www.site13.example"}
+        assert set(t["host"]) & blocked == set()
+        # the other 17 synthetic hosts all survive
+        assert len(set(t["host"])) == 17
+
+    def test_histogram_mass_equals_corpus(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_neardup_histogram
+
+        t = doc_neardup_histogram("/root/testdata/sf0.001").to_pandas()
+        assert int((t["cluster_size"] * t["n_clusters"]).sum()) == 500
