@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": c.doc_split_assign,  # deterministic train/val/test split
         "doc_paragraph_neardup": c.doc_paragraph_neardup,  # fuzzy paragraph dedup + reassembly
         "doc_neardup_histogram": c.doc_neardup_histogram,  # flagship cluster-size histogram
+        "doc_global_rank": c.doc_global_rank,  # total order via histogram prefix (no global sort)
+        "doc_top_quartile": c.doc_top_quartile,  # percentile-gated filter (Q3 threshold)
         "customer_segment_fullouter": r.customer_segment_fullouter,  # FULL OUTER join
         "pages_blocklist_filter": w.pages_blocklist_filter,  # broadcast host blocklist pre-tier
         # --- never driver-checked before round 3: relational surface
@@ -573,6 +575,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(in_segment, FALSE) AS in_segment,
                    coalesce(n_orders, 0) AS n_orders
             FROM seg FULL OUTER JOIN ord ON c_custkey = o_custkey
+        """,
+        # Global rank: row_number over (n_chars DESC, doc_id) — the engine
+        # computes it from a value histogram + per-value block rank.
+        "doc_global_rank": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents
+        """,
+        # Percentile-gated filter: quantile_disc(0.75) threshold (the
+        # engine's exact_int_quantiles implements exactly this rule).
+        "doc_top_quartile": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE n_chars >= (
+                SELECT quantile_disc(n_chars, 0.75) FROM documents)
         """,
         # Deterministic split assignment: same int64 arithmetic hash.
         "doc_split_assign": """

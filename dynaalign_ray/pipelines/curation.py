@@ -2032,3 +2032,93 @@ def doc_neardup_histogram(sf_dir: str, num_partitions: int = 8):
         .aggregate(Count(alias_name="n_clusters"))
         .select_columns(["cluster_size", "n_clusters"])
     )
+
+
+def doc_global_rank(sf_dir: str, num_partitions: int = 8):
+    """Distributed GLOBAL RANK by (n_chars DESC, doc_id ASC) — the total-
+    order surface (row_number over the whole corpus) WITHOUT a global sort:
+
+      1. distributed (value, count) histogram of n_chars (the exact-quantile
+         helper; shuffle carries narrow partials only) -> per-value prefix
+         counts on the driver (bounded-cardinality assumption, same as the
+         quantile ops) -> broadcast;
+      2. ONE keyed repartition by n_chars; per block, equal values are
+         contiguous after an in-block sort, so rank = broadcast prefix +
+         within-value position — a vectorized segment arange.
+
+    No stage ever holds more than one block plus the tiny histogram."""
+    import functools
+
+    from dynaalign_ray.functions.sketches import _int_value_histogram
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    vals, counts = _int_value_histogram(docs, "n_chars", num_partitions)
+    if vals is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    # rows strictly GREATER than v (rank prefix under DESC order)
+    desc = vals[::-1]
+    gt_prefix = np.concatenate([[0], np.cumsum(counts[::-1])[:-1]])
+
+    def rank_block(b: pa.Table, *, desc, gt_prefix) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            b, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        s = b.take(idx)
+        v = np.asarray(s.column("n_chars")).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
+        seg_lens = np.diff(np.append(starts, len(v)))
+        within = np.arange(len(v), dtype=np.int64) - np.repeat(starts, seg_lens)
+        # desc is sorted descending: locate each value's global prefix
+        pos = len(desc) - 1 - np.searchsorted(desc[::-1], v, side="left")
+        rank = gt_prefix[pos] + within + 1
+        return pa.table(
+            {
+                "doc_id": s.column("doc_id"),
+                "n_chars": s.column("n_chars"),
+                "rank": pa.array(rank, type=pa.int64()),
+            }
+        )
+
+    return docs.repartition(num_blocks=num_partitions, keys=["n_chars"]).map_batches(
+        functools.partial(rank_block, desc=desc, gt_prefix=gt_prefix),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def doc_top_quartile(sf_dir: str, num_partitions: int = 8):
+    """Percentile-gated filtering — keep docs at or above the corpus's Q3
+    length: a tiny exact-quantile aggregate (value-histogram plan) sets the
+    global threshold, then a streaming filter applies it.  The two-phase
+    aggregate-then-filter shape every 'top X% by score' curation rule
+    uses."""
+    from dynaalign_ray.functions.sketches import exact_int_quantiles
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    q3 = int(
+        exact_int_quantiles(
+            docs.select_columns(["n_chars"]), "n_chars", [0.75], num_partitions
+        )
+        .column("value")[0]
+        .as_py()
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_chars"), q3))
+
+    return docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

@@ -319,3 +319,38 @@ class TestRound3Extras:
 
         t = doc_neardup_histogram("/root/testdata/sf0.001").to_pandas()
         assert int((t["cluster_size"] * t["n_clusters"]).sum()) == 500
+
+
+class TestRankAndQuartile:
+    def test_rank_parity_sf0001(self, ray_session):
+        _duck_parity("doc_global_rank")
+
+    def test_quartile_parity_sf0001(self, ray_session):
+        _duck_parity("doc_top_quartile")
+
+    def test_rank_is_a_permutation(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_global_rank
+
+        t = doc_global_rank("/root/testdata/sf0.001").to_pandas()
+        assert sorted(t["rank"]) == list(range(1, len(t) + 1))
+        s = t.sort_values("rank")
+        # rank order == (n_chars desc, doc_id asc) lexicographic order
+        keys = list(zip(-s["n_chars"], s["doc_id"]))
+        assert keys == sorted(keys)
+
+    def test_rank_reshard_stable(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_global_rank
+
+        a = (
+            doc_global_rank("/root/testdata/sf0.001", num_partitions=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            doc_global_rank("/root/testdata/sf0.001", num_partitions=13)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
