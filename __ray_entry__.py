@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_histogram": c.doc_neardup_histogram,  # flagship cluster-size histogram
         "doc_global_rank": c.doc_global_rank,  # total order via histogram prefix (no global sort)
         "doc_top_quartile": c.doc_top_quartile,  # percentile-gated filter (Q3 threshold)
+        "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # near-dup cross-corpus decontamination
         "customer_segment_fullouter": r.customer_segment_fullouter,  # FULL OUTER join
         "pages_blocklist_filter": w.pages_blocklist_filter,  # broadcast host blocklist pre-tier
         # --- never driver-checked before round 3: relational surface
@@ -575,6 +576,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(in_segment, FALSE) AS in_segment,
                    coalesce(n_orders, 0) AS n_orders
             FROM seg FULL OUTER JOIN ord ON c_custkey = o_custkey
+        """,
+        # Fuzzy decontamination: target docs (doc_id % 10 != 7) flagged iff
+        # they share an exact-Jaccard >= 0.7 edge with any benchmark doc
+        # (doc_id % 10 == 7); same recall-1.0 + exact-verify argument as
+        # the flagship CC oracle.  Deliberately NOT transitive.
+        "doc_decontam_fuzzy": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            hits AS (
+                SELECT DISTINCT CASE WHEN a % 10 = 7 THEN b ELSE a END AS doc_id
+                FROM e WHERE (a % 10 = 7) <> (b % 10 = 7)
+            )
+            SELECT d.doc_id,
+                   (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+            FROM documents d WHERE d.doc_id % 10 <> 7
         """,
         # Global rank: row_number over (n_chars DESC, doc_id) — the engine
         # computes it from a value histogram + per-value block rank.

@@ -2122,3 +2122,100 @@ def doc_top_quartile(sf_dir: str, num_partitions: int = 8):
         return batch.filter(pc.greater_equal(batch.column("n_chars"), q3))
 
     return docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_decontam_fuzzy(sf_dir: str, tau: float = 0.7, num_partitions: int = 8):
+    """FUZZY decontamination — the near-dup analog of doc_decontam: flag
+    every training doc that is NEAR-duplicate (exact Jaccard >= tau via the
+    flagship LSH + verify) to any held-out benchmark doc, catching the
+    paraphrased/partially-edited contamination exact n-gram matching misses.
+    The benchmark membership is a pure function of doc_id (doc_id % 10 == 7
+    plays the eval set), so the flag derivation is reshard-stable.
+
+    Plan: ONE flagship run over the union (benchmark docs are ordinary rows
+    — no second corpus pass), then the verified edge set is filtered to
+    CROSS-side edges only, distinct'd per keyed block, and left-joined back
+    onto the target docs.  Contamination is per-EDGE, deliberately not
+    transitive (a target near a target near a benchmark is clean) — the
+    standard decontamination rule."""
+    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.pipelines.neardup import near_dedup
+
+    cfg = DedupConfig(shingle_k=3, tau=tau)
+    res = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=cfg,
+        num_partitions=num_partitions,
+    )
+
+    flag_schema = pa.schema([("doc_id", pa.int64()), ("hit", pa.bool_())])
+
+    def cross_targets(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a")).astype(np.int64)
+        b = np.asarray(batch.column("b")).astype(np.int64)
+        ab = (a % 10) == 7
+        bb = (b % 10) == 7
+        t = np.where(ab & ~bb, b, np.where(bb & ~ab, a, -1))
+        t = t[t >= 0]
+        return pa.table(
+            {
+                "doc_id": pa.array(t, type=pa.int64()),
+                "hit": pa.array(np.ones(len(t), dtype=bool)),
+            },
+            schema=flag_schema,
+        )
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return flag_schema.empty_table()
+        ids = np.unique(np.asarray(b.column("doc_id")).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "hit": pa.array(np.ones(len(ids), dtype=bool)),
+            },
+            schema=flag_schema,
+        )
+
+    flagged = (
+        res.edges.map_batches(
+            cross_targets, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(
+            distinct_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def targets_only(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id")).astype(np.int64)
+        return pa.table({"tid": pa.array(d[(d % 10) != 7], type=pa.int64())})
+
+    targets = _docs(sf_dir, ["doc_id"]).map_batches(
+        targets_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = hash_join(
+        targets,
+        flagged,
+        left_on="tid",
+        right_on="doc_id",
+        left_schema=pa.schema([("tid", pa.int64())]),
+        right_schema=flag_schema,
+        num_partitions=num_partitions,
+        how="left outer",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("tid"),
+                "contaminated": pc.coalesce(
+                    batch.column("hit"), pa.scalar(False)
+                ),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -354,3 +354,18 @@ class TestRankAndQuartile:
             .reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestFuzzyDecontam:
+    def test_parity_sf0001(self, ray_session):
+        _duck_parity("doc_decontam_fuzzy")
+
+    def test_flags_both_ways_and_excludes_benchmark(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_decontam_fuzzy
+
+        t = doc_decontam_fuzzy("/root/testdata/sf0.001").to_pandas()
+        # benchmark docs never appear in the output
+        assert (t["doc_id"] % 10 != 7).all()
+        # the driver corpus plants near-dups across the % 10 boundary:
+        # both flag values must occur (4 contaminated at sf0.001)
+        assert t["contaminated"].any() and (~t["contaminated"]).any()
