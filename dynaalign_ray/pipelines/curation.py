@@ -1861,6 +1861,7 @@ def paragraph_neardup(
     chunk_words: int = 16,
     tau: float = 0.7,
     num_partitions: int = 8,
+    id_mode: str = "packed",
 ):
     """Paragraph-granular FUZZY dedup (the RefinedWeb-style tier between
     exact chunk dedup and document near-dup): split every document into
@@ -1870,33 +1871,61 @@ def paragraph_neardup(
     reassemble the surviving paragraphs per document in original order.
 
     Plan (all stages streaming, same scale story as the flagship):
-      1. explode docs -> (enc = doc_id*2^20 + para_no, para text) — reuses
+      1. explode docs -> (enc, para text, parent doc_id, para_no) — reuses
          chunk_dedup's vectorized word splitter;
       2. near_dedup(paras) — LSH banding + exact-Jaccard verify + CC; the
          paragraph id plays doc_id, so salting/pair caps/size gates all
          apply unchanged.  Paragraphs with < shingle_k words produce zero
          shingles and are automatic singletons (kept) — mirrored by the
          oracle's ``len(toks) >= 3`` guard;
-      3. hash_join keep-flags back onto the paragraph text (no broadcast:
+      3. hash_join keep-flags back onto the paragraph rows (no broadcast:
          keep-set is corpus-sized), ONE keyed repartition by parent doc,
          per-block sort + Arrow ListArray segment join.
     The paragraph table is deliberately NOT materialized: it re-executes
     from the column-pruned parquet read for step 3 rather than pinning
     corpus text in the object store.
+
+    ``id_mode`` picks the paragraph id:
+      - "packed" (default): enc = doc_id * 2^20 + para_no.  EXACT (no hash
+        anywhere), representative = earliest corpus occurrence, and the
+        layout the DuckDB oracle mirrors — requires doc_id < 2^43.
+      - "hashed": enc = 63-bit mix of (doc_id, para_no), for corpora whose
+        doc ids are themselves url hashes (the flagship input contract).
+        Same per-id collision bound as the flagship's url-hash doc ids
+        (documented there); representative = min hashed id —
+        arbitrary-but-deterministic instead of earliest-occurrence.
+        Reassembly never decodes enc (parent/para_no ride alongside), so
+        both modes share every stage after the explode.
     """
     from dynaalign_ray.joins import hash_join
     from dynaalign_ray.pipelines.neardup import near_dedup
     from dynaalign_ray.stages.chunk_dedup import _enc_keys, _split_chunks
 
+    if id_mode not in ("packed", "hashed"):
+        raise ValueError(f"unknown id_mode {id_mode!r}")
+
     def explode(batch: pa.Table) -> pa.Table:
         chunks, parent, chunk_no = _split_chunks(
             batch.column("text"), unit="words", chunk_words=chunk_words
         )
-        enc = _enc_keys(batch, parent, chunk_no)
+        if id_mode == "packed":
+            enc = _enc_keys(batch, parent, chunk_no)
+        else:
+            from dynaalign_ray.hashing import mix64
+
+            d = np.asarray(batch.column("doc_id")).astype(np.int64)[parent]
+            h = mix64(
+                mix64(d.astype(np.uint64) * _MIX_KNUTH)
+                ^ (chunk_no.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+            )
+            enc = (h >> np.uint64(1)).astype(np.int64)
+        doc_ids = np.asarray(batch.column("doc_id")).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(enc, type=pa.int64()),
                 "text": chunks,
+                "parent": pa.array(doc_ids[parent], type=pa.int64()),
+                "para_no": pa.array(chunk_no, type=pa.int64()),
             }
         )
 
@@ -1904,7 +1933,11 @@ def paragraph_neardup(
         explode, batch_format="pyarrow", zero_copy_batch=True
     )
     cfg = DedupConfig(shingle_k=3, tau=tau)
-    res = near_dedup(docs_ds=paras, cfg=cfg, num_partitions=num_partitions)
+    res = near_dedup(
+        docs_ds=paras.select_columns(["doc_id", "text"]),
+        cfg=cfg,
+        num_partitions=num_partitions,
+    )
 
     def keep_only(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1920,7 +1953,12 @@ def paragraph_neardup(
 
     def para_side(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"enc": batch.column("doc_id"), "para": batch.column("text")}
+            {
+                "enc": batch.column("doc_id"),
+                "para": batch.column("text"),
+                "parent": batch.column("parent"),
+                "para_no": batch.column("para_no"),
+            }
         )
 
     joined = hash_join(
@@ -1928,17 +1966,18 @@ def paragraph_neardup(
         keeps,
         left_on="enc",
         right_on="enc",
-        left_schema=pa.schema([("enc", pa.int64()), ("para", pa.string())]),
+        left_schema=pa.schema(
+            [
+                ("enc", pa.int64()),
+                ("para", pa.string()),
+                ("parent", pa.int64()),
+                ("para_no", pa.int64()),
+            ]
+        ),
         right_schema=pa.schema([("enc", pa.int64()), ("keep", pa.bool_())]),
         num_partitions=num_partitions,
         how="inner",
     )
-
-    def derive_doc(batch: pa.Table) -> pa.Table:
-        enc = np.asarray(batch.column("enc")).astype(np.int64)
-        return batch.append_column(
-            "parent", pa.array(enc // _PARA_CAP, type=pa.int64())
-        )
 
     out_schema = pa.schema(
         [
@@ -1952,8 +1991,10 @@ def paragraph_neardup(
     def reassemble_block(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return out_schema.empty_table()
-        idx = pc.sort_indices(b, sort_keys=[("enc", "ascending")])
-        s = b.take(idx)  # enc order == (parent, para_no) order by key layout
+        idx = pc.sort_indices(
+            b, sort_keys=[("parent", "ascending"), ("para_no", "ascending")]
+        )
+        s = b.take(idx)
         parent = np.asarray(s.column("parent")).astype(np.int64)
         keep = np.asarray(s.column("keep"))
         paras_arr = s.column("para").combine_chunks()
@@ -1981,15 +2022,13 @@ def paragraph_neardup(
             schema=out_schema,
         )
 
-    return (
-        joined.map_batches(derive_doc, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(num_blocks=num_partitions, keys=["parent"])
-        .map_batches(
-            reassemble_block,
-            batch_size=None,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    return joined.repartition(
+        num_blocks=num_partitions, keys=["parent"]
+    ).map_batches(
+        reassemble_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

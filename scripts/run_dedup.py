@@ -43,9 +43,17 @@ def main() -> int:
     ap.add_argument(
         "--mode",
         default="full",
-        choices=["full", "build-index", "probe-index"],
+        choices=["full", "build-index", "probe-index", "paragraph"],
         help="full: one-shot dedup; build-index: dedup + persist the probe "
-        "index; probe-index: incremental dedup of --input against --index",
+        "index; probe-index: incremental dedup of --input against --index; "
+        "paragraph: paragraph-granular fuzzy dedup + per-doc reassembly "
+        "(pipelines/curation.paragraph_neardup)",
+    )
+    ap.add_argument(
+        "--chunk-words",
+        type=int,
+        default=16,
+        help="paragraph mode: words per paragraph window",
     )
     ap.add_argument("--index", default=None, help="index dir (probe-index: read; build-index: write)")
     ap.add_argument("--index-out", default=None, help="probe-index: write the folded index here")
@@ -76,6 +84,49 @@ def main() -> int:
         tau_quantile=args.tau_quantile,
         seed=args.seed,
     )
+    if args.mode == "paragraph":
+        from dynaalign_ray.extract import extract_text_batch
+        from dynaalign_ray.pipelines.curation import paragraph_neardup
+
+        docs = rd.read_parquet(args.input).map_batches(
+            extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        t0 = time.time()
+        # pages ids are 63-bit url hashes — too wide for the packed
+        # (doc_id*2^20+para_no) layout, so use the hashed paragraph ids
+        clean = paragraph_neardup(
+            docs,
+            chunk_words=args.chunk_words,
+            tau=args.tau,
+            num_partitions=args.num_partitions or 8,
+            id_mode="hashed",
+        )
+        os.makedirs(args.output, exist_ok=True)
+        clean.write_parquet(os.path.join(args.output, "clean_docs"))
+        import pyarrow.dataset as pds
+
+        tbl = pds.dataset(os.path.join(args.output, "clean_docs")).to_table(
+            columns=["n_paras", "n_removed"]
+        )
+        import pyarrow.compute as _pc
+
+        wall = time.time() - t0
+        n_docs = tbl.num_rows
+        print(
+            json.dumps(
+                {
+                    "mode": "paragraph",
+                    "n_docs": n_docs,
+                    "n_paras": _pc.sum(tbl.column("n_paras")).as_py(),
+                    "n_paras_removed": _pc.sum(tbl.column("n_removed")).as_py(),
+                    "wall_sec": round(wall, 2),
+                    "docs_per_sec": round(n_docs / wall, 1),
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
+
     if args.mode != "full":
         # incremental entry points (pipelines/incremental.py): pages input is
         # extracted to docs(doc_id, text) first — the index stores signatures

@@ -369,3 +369,28 @@ class TestFuzzyDecontam:
         # the driver corpus plants near-dups across the % 10 boundary:
         # both flag values must occur (4 contaminated at sf0.001)
         assert t["contaminated"].any() and (~t["contaminated"]).any()
+
+    def test_hashed_id_mode_agrees_on_cluster_structure(self, ray_session):
+        # hashed ids may pick a DIFFERENT representative per cluster than
+        # packed ids (min hash vs earliest occurrence), but the cluster
+        # structure is identical: same docs, same per-doc paragraph counts,
+        # same TOTAL removed (exactly one representative kept per cluster
+        # either way)
+        from dynaalign_ray.pipelines.curation import _docs, paragraph_neardup
+
+        docs = _docs("/root/testdata/sf0.001", ["doc_id", "text"])
+        packed = (
+            paragraph_neardup(docs, num_partitions=4, id_mode="packed")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        hashed = (
+            paragraph_neardup(docs, num_partitions=4, id_mode="hashed")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert packed["doc_id"].tolist() == hashed["doc_id"].tolist()
+        assert packed["n_paras"].tolist() == hashed["n_paras"].tolist()
+        assert packed["n_removed"].sum() == hashed["n_removed"].sum() > 0
