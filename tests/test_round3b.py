@@ -394,3 +394,77 @@ class TestFuzzyDecontam:
         assert packed["doc_id"].tolist() == hashed["doc_id"].tolist()
         assert packed["n_paras"].tolist() == hashed["n_paras"].tolist()
         assert packed["n_removed"].sum() == hashed["n_removed"].sum() > 0
+
+
+class TestTrainingShards:
+    def _docs_tbl(self):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(1, 401), type=pa.int64()),
+                "text": [f"doc {i} body" for i in range(1, 401)],
+            }
+        )
+
+    def test_write_manifest_and_coverage(self, ray_session, tmp_path):
+        import json
+
+        import ray.data as rd
+
+        from dynaalign_ray.sources.io import write_training_shards
+
+        out = str(tmp_path / "shards")
+        m = write_training_shards(
+            rd.from_arrow(self._docs_tbl()), out, num_shards=8
+        )
+        assert sum(s["rows"] for s in m["shards"].values()) == 400
+        with open(f"{out}/_manifest.json") as f:
+            assert json.load(f) == m
+        # every row written exactly once, shard column present
+        back = rd.read_parquet(out).to_pandas()
+        assert sorted(back["doc_id"]) == list(range(1, 401))
+        # hive partition values read back as strings
+        assert {str(v) for v in back["shard"].unique()} == set(m["shards"])
+
+    def test_resume_rewrites_only_missing_shards(self, ray_session, tmp_path):
+        import json
+        import os
+        import shutil
+
+        import ray.data as rd
+
+        from dynaalign_ray.sources.io import write_training_shards
+
+        out = str(tmp_path / "shards")
+        m1 = write_training_shards(
+            rd.from_arrow(self._docs_tbl()), out, num_shards=8
+        )
+        # simulate a crash: one shard's dir exists but isn't in the manifest
+        victim = sorted(m1["shards"])[2]
+        with open(f"{out}/_manifest.json") as f:
+            man = json.load(f)
+        del man["shards"][victim]
+        with open(f"{out}/_manifest.json", "w") as f:
+            json.dump(man, f)
+        # also corrupt the victim dir (partial write)
+        vdir = f"{out}/shard={victim}"
+        for p in os.listdir(vdir)[1:]:
+            os.unlink(os.path.join(vdir, p))
+        m2 = write_training_shards(
+            rd.from_arrow(self._docs_tbl()), out, num_shards=8, resume=True
+        )
+        assert m2["shards"] == m1["shards"]  # identical write-verified stats
+        back = rd.read_parquet(out).to_pandas()
+        assert sorted(back["doc_id"]) == list(range(1, 401))
+
+    def test_resume_num_shards_mismatch_raises(self, ray_session, tmp_path):
+        import ray.data as rd
+        import pytest as _pytest
+
+        from dynaalign_ray.sources.io import write_training_shards
+
+        out = str(tmp_path / "shards")
+        write_training_shards(rd.from_arrow(self._docs_tbl()), out, num_shards=8)
+        with _pytest.raises(ValueError, match="num_shards"):
+            write_training_shards(
+                rd.from_arrow(self._docs_tbl()), out, num_shards=16, resume=True
+            )
