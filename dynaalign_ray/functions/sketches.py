@@ -497,12 +497,18 @@ def cms_query(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
 
 
 def approx_token_counts(
-    ds, col: str, probe_tokens: list[str], d: int = 4, w: int = 8192
+    ds, col: str, probe_tokens: list[str], d: int = 4, w: int = 8192,
+    merge_fanin: int = 8,
 ):
     """Approximate whitespace-token frequencies via a distributed count-min
     sketch: per-batch (d, w) partials (d*w*8 bytes each — the ONLY bytes
-    that leave the workers), elementwise-sum merge on the driver, then one
-    vectorized probe of ``probe_tokens``.  Deterministic given the seeds.
+    that leave the workers), a DISTRIBUTED pre-merge (repartition to
+    ``merge_fanin`` blocks, per-block elementwise sum — integer sums are
+    order-independent, so this is exact), then a final <=merge_fanin-row
+    driver merge and one vectorized probe of ``probe_tokens``.  Driver
+    transfer is O(merge_fanin * d * w), independent of the corpus block
+    count (the per-batch-to-driver form would ship one 256 KB partial per
+    block — a real cap at 10^6 blocks).  Deterministic given the seeds.
 
     Returns a pyarrow table (token, est_count) in probe order."""
     import pyarrow.compute as pc
@@ -517,14 +523,31 @@ def approx_token_counts(
         sk = cms_from_hashes(h, d=d, w=w)
         return pa.table({"sketch": pa.array([sk.tobytes()], type=pa.binary())})
 
+    def sum_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"sketch": pa.array([], type=pa.binary())})
+        acc = np.zeros(d * w, dtype=np.int64)
+        for blob in b.column("sketch").to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64)
+        return pa.table({"sketch": pa.array([acc.tobytes()], type=pa.binary())})
+
     import ray
 
-    parts = ds.map_batches(
-        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).to_arrow_refs()
+    parts = (
+        ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=merge_fanin)
+        .map_batches(
+            sum_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_arrow_refs()
+    )
     sketches = []
     for ref in parts:
         tbl = ray.get(ref)
+        # repartition emits schema-LESS empty blocks (the same Ray quirk
+        # joins.py documents) — skip anything without the sketch column
+        if tbl.num_rows == 0 or "sketch" not in tbl.column_names:
+            continue
         for b in tbl.column("sketch").to_pylist():
             sketches.append(np.frombuffer(b, dtype=np.int64).reshape(d, w))
     if not sketches:

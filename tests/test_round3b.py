@@ -468,3 +468,19 @@ class TestTrainingShards:
             write_training_shards(
                 rd.from_arrow(self._docs_tbl()), out, num_shards=16, resume=True
             )
+
+    def test_distributed_premerge_exact(self, ray_session):
+        # integer elementwise sums are order-independent: any merge_fanin
+        # must give identical estimates (exactness of the pre-merge tree)
+        import ray.data as rd
+
+        from dynaalign_ray.functions.sketches import approx_token_counts
+
+        docs = pa.table(
+            {"text": [f"tok{i % 17} tok{i % 5} common" for i in range(500)]}
+        )
+        probes = ["common", "tok0", "tok4", "absent"]
+        a = approx_token_counts(rd.from_arrow(docs), "text", probes, merge_fanin=1)
+        b = approx_token_counts(rd.from_arrow(docs), "text", probes, merge_fanin=7)
+        assert a.equals(b)
+        assert a.column("est_count").to_pylist()[0] >= 500  # 'common' in every doc
