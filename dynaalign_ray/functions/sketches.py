@@ -55,10 +55,14 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def approx_distinct_strings(ds, col: str, p: int = 14, flatten_tokens: bool = False):
+def approx_distinct_strings(
+    ds, col: str, p: int = 14, flatten_tokens: bool = False, merge_fanin: int = 8
+):
     """Approximate distinct count of a string column (or of its whitespace
-    tokens with ``flatten_tokens``) — per-batch HLL partials merged on the
-    driver.  Only 2^p bytes per batch leave the workers."""
+    tokens with ``flatten_tokens``) — per-batch HLL partials, a distributed
+    register-max pre-merge (EXACT: max is order-independent), then a
+    <=merge_fanin-row driver merge.  Driver transfer is O(merge_fanin * 2^p)
+    regardless of the corpus block count."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -73,14 +77,29 @@ def approx_distinct_strings(ds, col: str, p: int = 14, flatten_tokens: bool = Fa
         regs = hll_from_hashes(h, p)
         return pa.table({"sketch": pa.array([regs.tobytes()], type=pa.binary())})
 
+    def max_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sketch" not in b.column_names:
+            return pa.table({"sketch": pa.array([], type=pa.binary())})
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for blob in b.column("sketch").to_pylist():
+            np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+        return pa.table({"sketch": pa.array([acc.tobytes()], type=pa.binary())})
+
     import ray
 
-    parts = ds.map_batches(
-        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).to_arrow_refs()
+    parts = (
+        ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=merge_fanin)
+        .map_batches(
+            max_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_arrow_refs()
+    )
     sketches = []
     for ref in parts:
         tbl = ray.get(ref)
+        if tbl.num_rows == 0 or "sketch" not in tbl.column_names:
+            continue
         for b in tbl.column("sketch").to_pylist():
             sketches.append(np.frombuffer(b, dtype=np.uint8))
     if not sketches:
@@ -320,11 +339,13 @@ class KLL:
 
 
 def approx_float_quantiles(
-    values_ds, col: str, qs: list[float], *, k: int = 256
+    values_ds, col: str, qs: list[float], *, k: int = 256, merge_fanin: int = 8
 ) -> pa.Table:
     """Distributed approximate quantiles of an UNBOUNDED float column: one
-    KLL partial per block (a few KiB of bytes each — never the column),
-    merged associatively on the driver.  Returns (q, value) like
+    KLL partial per block (a few KiB of bytes each — never the column), a
+    distributed pre-merge to ``merge_fanin`` blocks (KLL merge is
+    associative; the rank-error bound composes over any merge tree), then a
+    <=merge_fanin-row driver merge.  Returns (q, value) like
     :func:`exact_int_quantiles`; rank error ~2/k of n (pytest-gated)."""
     import ray
 
@@ -332,12 +353,31 @@ def approx_float_quantiles(
         sk = KLL(k).add(np.asarray(batch.column(col), dtype=np.float64))
         return pa.table({"sketch": pa.array([sk.to_bytes()], type=pa.binary())})
 
-    parts = values_ds.map_batches(
-        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).to_arrow_refs()
+    def merge_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sketch" not in b.column_names:
+            return pa.table({"sketch": pa.array([], type=pa.binary())})
+        acc: KLL | None = None
+        for blob in b.column("sketch").to_pylist():
+            sk = KLL.from_bytes(blob)
+            acc = sk if acc is None else acc.merge(sk)
+        return pa.table({"sketch": pa.array([acc.to_bytes()], type=pa.binary())})
+
+    parts = (
+        values_ds.map_batches(
+            sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(num_blocks=merge_fanin)
+        .map_batches(
+            merge_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_arrow_refs()
+    )
     merged: KLL | None = None
     for ref in parts:
-        for blob in ray.get(ref).column("sketch").to_pylist():
+        tbl = ray.get(ref)
+        if tbl.num_rows == 0 or "sketch" not in tbl.column_names:
+            continue
+        for blob in tbl.column("sketch").to_pylist():
             sk = KLL.from_bytes(blob)
             merged = sk if merged is None else merged.merge(sk)
     if merged is None or merged.n() == 0:
