@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_global_rank": c.doc_global_rank,  # total order via histogram prefix (no global sort)
         "doc_top_quartile": c.doc_top_quartile,  # percentile-gated filter (Q3 threshold)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # near-dup cross-corpus decontamination
+        "doc_shard_assign": c.doc_shard_assign,  # deterministic training-shard assignment
         "customer_segment_fullouter": r.customer_segment_fullouter,  # FULL OUTER join
         "pages_blocklist_filter": w.pages_blocklist_filter,  # broadcast host blocklist pre-tier
         # --- never driver-checked before round 3: relational surface
@@ -625,6 +626,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE n_chars >= (
                 SELECT quantile_disc(n_chars, 0.75) FROM documents)
+        """,
+        # Shard assignment: the sink's multiplicative u64 hash in HUGEINT.
+        "doc_shard_assign": """
+            SELECT doc_id,
+                   CAST((CAST(((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                               % 18446744073709551616::HUGEINT) // 2 AS BIGINT))
+                        % 16 AS BIGINT) AS shard
+            FROM documents
         """,
         # Deterministic split assignment: same int64 arithmetic hash.
         "doc_split_assign": """

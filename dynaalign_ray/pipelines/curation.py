@@ -2266,3 +2266,28 @@ def doc_decontam_fuzzy(sf_dir: str, tau: float = 0.7, num_partitions: int = 8):
         )
 
     return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_shard_assign(sf_dir: str, num_shards: int = 16):
+    """Deterministic training-shard assignment — the narrow query form of
+    the resumable shard sink (sources/io.write_training_shards uses this
+    exact hash): shard = (doc_id * Knuth-multiplier mod 2^64) >> 1 mod
+    num_shards.  Pure function of the key; the oracle mirrors it in
+    HUGEINT modular arithmetic."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id")).astype(np.int64)
+        shard = (
+            ((ids.astype(np.uint64) * _MIX_KNUTH) >> np.uint64(1))
+            % np.uint64(num_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shard": pa.array(shard, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    )

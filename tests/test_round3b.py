@@ -484,3 +484,26 @@ class TestTrainingShards:
         b = approx_token_counts(rd.from_arrow(docs), "text", probes, merge_fanin=7)
         assert a.equals(b)
         assert a.column("est_count").to_pylist()[0] >= 500  # 'common' in every doc
+
+
+class TestShardAssign:
+    def test_parity_sf0001(self, ray_session):
+        _duck_parity("doc_shard_assign")
+
+    def test_matches_sink_assignment(self, ray_session, tmp_path):
+        # the query and the sink must place every doc in the same shard
+        import ray.data as rd
+
+        from dynaalign_ray.pipelines.curation import doc_shard_assign
+        from dynaalign_ray.sources.io import write_training_shards
+
+        q = doc_shard_assign("/root/testdata/sf0.001").to_pandas()
+        docs = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )
+        out = str(tmp_path / "s")
+        write_training_shards(docs, out, num_shards=16)
+        back = rd.read_parquet(out).to_pandas()
+        merged = q.merge(back, on="doc_id", suffixes=("_q", "_s"))
+        assert len(merged) == 500
+        assert (merged["shard_q"].astype(int) == merged["shard_s"].astype(int)).all()
