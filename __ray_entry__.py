@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs_lsh": c.embedding_cosine_pairs_lsh,  # rows-only (ANN scale path)
         "embedding_topk_lsh": c.embedding_topk_lsh,  # rows-only (ANN)
         "embedding_topk_ivf": c.embedding_topk_ivf,  # rows-only (ANN, IVF index)
+        "embedding_pq_topk": c.embedding_pq_topk,  # rows-only (ANN, product-quantized codes)
         "doc_similarity_stats": c.doc_similarity_stats,  # oracle since r3
         # --- flagship (oracle-checked since round 3: recursive-CTE CC)
         "doc_neardup_clusters": c.doc_neardup_clusters,

@@ -2291,3 +2291,48 @@ def doc_shard_assign(sf_dir: str, num_shards: int = 16):
     return _docs(sf_dir, ["doc_id"]).map_batches(
         kern, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def embedding_pq_topk(sf_dir: str, k: int = 5, n_queries: int = 5, m: int = 8):
+    """Product-quantized ANN top-k (functions/pq.py): train codebooks on a
+    bounded hash-sample, encode the corpus to m uint8 codes per vector (the
+    compressed at-rest form), answer queries by asymmetric distance over
+    the codes.  Approximate by contract (rows-only driver check; recall
+    vs the exact scan is pytest-gated)."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.pq import encode_pq, pq_topk, train_pq
+
+    configure_context()
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qrows = sorted(
+        (r for r in emb.filter(expr=f"vec_id < {n_queries}").take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    books = train_pq(emb, m=m)
+    codes = encode_pq(emb, books)
+    out = pq_topk(codes, books, qm, k=k + 1)  # +1 to drop the query itself
+
+    qs = np.asarray(out.column("query_id")).astype(np.int64)
+    vs = np.asarray(out.column("vec_id")).astype(np.int64)
+    dd = np.asarray(out.column("approx_dist")).astype(np.float64)
+    keep = vs != qids[qs]
+    qs, vs, dd = qs[keep], vs[keep], dd[keep]
+    out_q, out_r, out_v = [], [], []
+    for qi in range(len(qids)):
+        sel = np.flatnonzero(qs == qi)[:k]
+        out_q.extend([int(qids[qi])] * len(sel))
+        out_r.extend(range(1, len(sel) + 1))
+        out_v.extend(vs[sel].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
