@@ -154,6 +154,34 @@ void jaccard_row_vs_tail(const uint64_t *vals, const int64_t *st,
         out[q - row - 1] = uni ? (double)inter / (double)uni : 0.0;
     }
 }
+
+/* Every row of CSR block A vs every row of CSR block B (exact all-pairs
+   Jaccard, STRIPED plan past the broadcast gate): out[r*nb + q] is the
+   exact Jaccard of A row r against B row q.  Callers chunk A so the dense
+   (rows_a, nb) output stays bounded regardless of block size. */
+void jaccard_cross_block(const uint64_t *va, const int64_t *sa,
+                         const int64_t *ea, int64_t na,
+                         const uint64_t *vb, const int64_t *sb,
+                         const int64_t *eb, int64_t nb, double *out) {
+    for (int64_t r = 0; r < na; r++) {
+        const uint64_t *a = va + sa[r];
+        int64_t la = ea[r] - sa[r];
+        double *o = out + r * nb;
+        for (int64_t q = 0; q < nb; q++) {
+            const uint64_t *b = vb + sb[q];
+            int64_t lb = eb[q] - sb[q];
+            int64_t i = 0, j = 0, inter = 0;
+            while (i < la && j < lb) {
+                uint64_t x = a[i], y = b[j];
+                inter += (x == y);
+                i += (x <= y);
+                j += (y <= x);
+            }
+            int64_t uni = la + lb - inter;
+            o[q] = uni ? (double)inter / (double)uni : 0.0;
+        }
+    }
+}
 """
 
 _CACHE_DIR = os.path.join(tempfile.gettempdir(), "dynaalign_ckernels")
@@ -207,6 +235,11 @@ def _build() -> ctypes.CDLL | None:
             _U64P, _I64P, _I64P, ctypes.c_int64, _U64P,
         ]
         lib.simhash_segments.restype = None
+        lib.jaccard_cross_block.argtypes = [
+            _U64P, _I64P, _I64P, ctypes.c_int64,
+            _U64P, _I64P, _I64P, ctypes.c_int64, _F64P,
+        ]
+        lib.jaccard_cross_block.restype = None
         return lib
     except Exception:
         return None
@@ -325,5 +358,28 @@ def jaccard_row_vs_tail(
         lib.jaccard_row_vs_tail(
             _c64(vals, np.uint64), _c64(st, np.int64), _c64(en, np.int64),
             n_rows, int(row), out,
+        )
+    return out
+
+
+def jaccard_cross_block(
+    va: np.ndarray, sa: np.ndarray, ea: np.ndarray,
+    vb: np.ndarray, sb: np.ndarray, eb: np.ndarray,
+) -> np.ndarray | None:
+    """Exact Jaccard of every CSR row of block A against every CSR row of
+    block B as a dense ``(len(sa), len(sb))`` float64 matrix, or None when
+    the compiled kernel is unavailable.  Callers chunk A's rows so the
+    dense output stays bounded regardless of block size (striped exact
+    all-pairs plan past the broadcast gate)."""
+    lib = _load()
+    if lib is None:
+        return None
+    na, nb = len(sa), len(sb)
+    out = np.empty((max(na, 0), max(nb, 0)), dtype=np.float64)
+    if na and nb:
+        lib.jaccard_cross_block(
+            _c64(va, np.uint64), _c64(sa, np.int64), _c64(ea, np.int64), na,
+            _c64(vb, np.uint64), _c64(sb, np.int64), _c64(eb, np.int64), nb,
+            out,
         )
     return out

@@ -161,3 +161,33 @@ def test_verify_helper_falls_back_without_compiler(monkeypatch):
     monkeypatch.setattr(ckernels, "jaccard_batch", lambda *a, **k: None)
     without = V._pairwise_jaccard(vals, st[ia], en[ia], vals, st[ib], en[ib], 16)
     np.testing.assert_array_equal(with_c, without)
+
+
+def test_jaccard_cross_block_matches_pairwise():
+    rng = np.random.default_rng(9)
+    va, sa, ea = _random_csr(rng, 21, 1 << 31, 25)
+    vb, sb, eb = _random_csr(rng, 17, 1 << 31, 25)
+    got = ckernels.jaccard_cross_block(va, sa, ea, vb, sb, eb)
+    assert got is not None
+    assert got.shape == (21, 17)
+    want = np.array(
+        [
+            [
+                jaccard_from_sketches(
+                    va[sa[r] : ea[r]], vb[sb[q] : eb[q]], 1 << 62
+                )
+                for q in range(17)
+            ]
+            for r in range(21)
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_jaccard_cross_block_empty_rows():
+    v = np.array([1, 2, 3], dtype=np.uint64)
+    sa = np.array([0, 0], dtype=np.int64)
+    ea = np.array([0, 3], dtype=np.int64)  # rows: empty, {1,2,3}
+    got = ckernels.jaccard_cross_block(v, sa, ea, v, sa, ea)
+    assert got is not None
+    np.testing.assert_array_equal(got, [[0.0, 0.0], [0.0, 1.0]])

@@ -159,15 +159,92 @@ class TestPackedListPayload:
         assert unpack_int64_blob(None).tolist() == []
 
 
-class TestAllPairsCsrGate:
-    def test_gate_raises_with_lsh_pointer(self, ray_session, monkeypatch):
+class TestAllPairsStripedPlan:
+    """Past the broadcast gate the exact all-pairs queries now SWITCH to
+    the striped group-pair plan instead of raising (VERDICT r2 #2); the
+    two plans must produce the identical pair set."""
+
+    @staticmethod
+    def _sorted(df, col):
+        return (
+            df.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b", col]]
+        )
+
+    def test_jaccard_plan_agreement_forced_multigroup(
+        self, ray_session, monkeypatch
+    ):
+        import pandas as pd
+
         import dynaalign_ray.pipelines.curation as cur
 
+        sf = "/root/testdata/sf0.001"
+        base = cur.doc_jaccard_pairs(sf, plan="broadcast").to_pandas()
+        # tiny stripe target -> one group per input block, maximum
+        # group-pair fan-out; gate 0 exercises the auto switch too
+        monkeypatch.setattr(cur, "_ALLPAIRS_STRIPE_BYTES", 1)
         monkeypatch.setattr(cur, "_ALLPAIRS_CSR_BYTE_LIMIT", 0)
-        with pytest.raises(NotImplementedError, match="banded LSH"):
-            cur.doc_jaccard_pairs("/root/testdata/sf0.001")
-        with pytest.raises(NotImplementedError, match="banded LSH"):
-            cur.doc_containment_pairs("/root/testdata/sf0.001")
+        striped = cur.doc_jaccard_pairs(sf).to_pandas()
+        assert len(base) > 0
+        pd.testing.assert_frame_equal(
+            self._sorted(base, "jaccard"), self._sorted(striped, "jaccard")
+        )
+
+    def test_containment_plan_agreement(self, ray_session, monkeypatch):
+        import pandas as pd
+
+        import dynaalign_ray.pipelines.curation as cur
+
+        sf = "/root/testdata/sf0.001"
+        base = cur.doc_containment_pairs(sf, plan="broadcast").to_pandas()
+        monkeypatch.setattr(cur, "_ALLPAIRS_STRIPE_BYTES", 1)
+        striped = cur.doc_containment_pairs(sf, plan="striped").to_pandas()
+        assert len(base) > 0
+        pd.testing.assert_frame_equal(
+            self._sorted(base, "containment"),
+            self._sorted(striped, "containment"),
+        )
+
+    def test_cross_kernel_stripe_chunking_exact(self, monkeypatch):
+        # force tiny dense-output stripes so the row-chunk loop is the
+        # code path under test, and compare against the one-shot kernel
+        import dynaalign_ray.pipelines.curation as cur
+        from dynaalign_ray.stages.verify import build_sketch_csr
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.default_rng(11)
+
+        def mk(n, base):
+            ids, sk = [], []
+            for i in range(n):
+                s = np.unique(rng.integers(0, 60, rng.integers(1, 20)))
+                ids.append(base + i)
+                sk.append(np.sort(s).astype(np.uint64))
+            return build_sketch_csr(
+                [pa.table({"doc_id": pa.array(ids, pa.int64()),
+                           "sketch": pa.array(
+                               [s.astype("<u8").tobytes() for s in sk],
+                               pa.binary())})]
+            )
+
+        ca, cb = mk(23, 0), mk(17, 1000)
+        one = cur._cross_pairs_from_csrs(ca, cb, 0.05, "jaccard")
+        monkeypatch.setattr(cur, "_ALLPAIRS_DENSE_OUT_BYTES", 8)  # 1 row/stripe
+        many = cur._cross_pairs_from_csrs(ca, cb, 0.05, "jaccard")
+
+        def flat(t):
+            a, b, s = t
+            out = sorted(
+                zip(
+                    np.concatenate(a).tolist(),
+                    np.concatenate(b).tolist(),
+                    np.round(np.concatenate(s), 10).tolist(),
+                )
+            )
+            return out
+
+        assert len(flat(one)) > 0
+        assert flat(one) == flat(many)
 
     def test_below_gate_unchanged(self, ray_session):
         from dynaalign_ray.pipelines.curation import doc_jaccard_pairs
