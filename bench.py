@@ -381,6 +381,24 @@ def run_plans() -> dict:
         out["distributed_cc_multiblock_clusters_match"] = bool(nm == base_clusters)
     finally:
         CC._EDGES_PER_BLOCK, CC._DRIVER_FINISH_EDGES = old_epb, old_dfl
+
+    # exact all-pairs Jaccard: broadcast plan vs the striped group-pair
+    # plan forced into multi-group mode (the past-the-4GiB-gate shape);
+    # same pair set required
+    import dynaalign_ray.pipelines.curation as cur
+
+    t0 = time.time()
+    n_bc = cur.doc_jaccard_pairs(SF_DIR, plan="broadcast").count()
+    out["allpairs_broadcast_sec"] = round(time.time() - t0, 3)
+    old_stripe = cur._ALLPAIRS_STRIPE_BYTES
+    cur._ALLPAIRS_STRIPE_BYTES = 1  # one CSR group per input block
+    try:
+        t0 = time.time()
+        n_st = cur.doc_jaccard_pairs(SF_DIR, plan="striped").count()
+        out["allpairs_striped_sec"] = round(time.time() - t0, 3)
+        out["allpairs_striped_pairs_match"] = bool(n_st == n_bc)
+    finally:
+        cur._ALLPAIRS_STRIPE_BYTES = old_stripe
     ray.shutdown()
     return out
 
