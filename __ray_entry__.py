@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries last (weakest signal — drop first under the cap).
     return {
         # --- new in round 3 (never driver-checked)
+        "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_model_scores": c.doc_model_scores,  # batched linear-model inference (actor pool)
         "doc_split_assign": c.doc_split_assign,  # deterministic train/val/test split
         "doc_paragraph_neardup": c.doc_paragraph_neardup,  # fuzzy paragraph dedup + reassembly
@@ -526,6 +527,43 @@ def oracle_sql() -> dict[str, str]:
         # constants the engine actor uses (functions/modelscore.py); class
         # scores are fixed left-assoc double sums, bit-exact per row.
         "doc_model_scores": model_score_sql("documents"),
+        # Trigram-LM familiarity: top-V selection is (count DESC, trigram
+        # ASC); the engine selects by packed-codepoint key whose numeric
+        # order equals binary-UTF-8 string order (3 x 21-bit fields), so
+        # both sides truncate to the identical vocabulary.  familiarity is
+        # one double division of exact ints (< 2^53) — bit-exact.
+        "doc_lm_familiarity": """
+            WITH tri AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(text) - 1),
+                           i -> substr(text, CAST(i AS INTEGER), 3)
+                       )) AS g
+                FROM documents
+                WHERE length(text) >= 3
+            ),
+            cnt AS (SELECT g, count(*) AS n FROM tri GROUP BY g),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM cnt),
+            model AS (
+                SELECT g, n FROM cnt ORDER BY n DESC, g ASC LIMIT 4096
+            ),
+            per AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_trigrams,
+                       CAST(COALESCE(sum(m.n), 0) AS BIGINT) AS hit_count
+                FROM tri t LEFT JOIN model m USING (g)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_trigrams, 0) AS n_trigrams,
+                   COALESCE(p.hit_count, 0) AS hit_count,
+                   CASE WHEN COALESCE(p.n_trigrams, 0) = 0 THEN 0.0
+                        ELSE CAST(p.hit_count AS DOUBLE) /
+                             (CAST(p.n_trigrams AS DOUBLE) *
+                              CAST((SELECT T FROM tot) AS DOUBLE))
+                   END AS familiarity
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
         # Flagship cluster-size histogram: the recursive-CTE CC (same form
         # as doc_neardup_clusters) grouped twice.
         "doc_neardup_histogram": """

@@ -1,0 +1,141 @@
+"""Corpus-trained character-trigram LM scoring — the CCNet-style
+"train a statistical LM on the corpus, score every document" quality
+filter (Wenzek et al. 2019 use KenLM 5-gram perplexity; the plumbing
+here is the same three-stage distributed shape, the scoring statistic is
+count-based so the DuckDB oracle is bit-exact — repo discipline: no
+transcendentals in oracle-checked floats):
+
+1. TRAIN: one vectorized pass packs every in-doc character-trigram
+   window into a 63-bit integer key (3 x 21-bit codepoints — injective,
+   and numeric key order == UTF-8 lexicographic order of the trigram
+   string, which makes the top-V tie-break SQL-reproducible), partially
+   aggregates per block, then one small ``groupby(key).sum`` shuffle
+   produces exact global counts.
+2. TRUNCATE + BROADCAST: the top ``vocab`` trigrams by (count DESC, key
+   ASC) plus the exact total window count T are ``ray.put`` ONCE
+   (``exec.broadcast_put``); at 100 TB the model stays O(vocab), never
+   O(corpus).
+3. SCORE: each docs block re-packs its windows, binary-searches the
+   broadcast key table, and segment-sums hits per doc.  familiarity =
+   hit_count / (n_trigrams * T) — ONE IEEE division of exact integers
+   (numerator and denominator < 2^53 up to ~10^15 total windows), so
+   DuckDB reproduces the double bit-for-bit.
+
+Low familiarity flags text whose character statistics diverge from the
+corpus (mojibake, binary spill, boilerplate code in a prose corpus) —
+the same decision surface a perplexity threshold gives, with the
+monotone log dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SHIFT = 21  # max codepoint 0x10FFFF < 2^21; 3 fields pack into 63 bits
+_DEFAULT_VOCAB = 4096
+
+
+def pack_trigram_windows(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Texts -> (packed int64 trigram keys concatenated doc-order, per-doc
+    window counts).  A doc of L codepoints has max(L-2, 0) windows; the
+    pack is ``(c0<<42)|(c1<<21)|c2`` over codepoints, injective and
+    order-isomorphic to the trigram string under binary UTF-8 collation."""
+    bufs: list[np.ndarray] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None or len(t) < 3:
+            continue
+        a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        p = (a[:-2] << (2 * _SHIFT)) | (a[1:-1] << _SHIFT) | a[2:]
+        bufs.append(p)
+        counts[i] = len(p)
+    flat = np.concatenate(bufs) if bufs else np.empty(0, dtype=np.int64)
+    return flat, counts
+
+
+def trigram_counts_block(batch: pa.Table, *, col: str = "text") -> pa.Table:
+    """Per-block PARTIAL trigram counts (the pre-aggregate combiner that
+    keeps the global shuffle O(distinct), not O(windows))."""
+    flat, _ = pack_trigram_windows(batch.column(col).to_pylist())
+    keys, n = np.unique(flat, return_counts=True)
+    return pa.table(
+        {
+            "g_pack": pa.array(keys, type=pa.int64()),
+            "n": pa.array(n.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def train_trigram_model(
+    docs_ds, vocab: int = _DEFAULT_VOCAB, num_partitions: int = 8
+):
+    """docs (doc_id, text) -> broadcast ref of (keys_sorted_asc,
+    counts_aligned, T).  Exact: partial per-block counts -> one
+    groupby-sum over distinct trigrams -> top-``vocab`` by
+    (count DESC, key ASC); T is the exact total over ALL trigrams
+    (pre-truncation), so truncation changes hit_count, never the
+    denominator."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.exec import broadcast_put
+
+    grouped = (
+        docs_ds.map_batches(
+            trigram_counts_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("g_pack", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+    ).materialize()
+    total_row = grouped.aggregate(Sum("n", alias_name="T"))
+    T = int(total_row["T"] or 0)
+    top = grouped.sort(["n", "g_pack"], descending=[True, False]).limit(vocab)
+    parts = [t for t in (ray.get(r) for r in top.to_arrow_refs()) if t.num_rows]
+    if not parts:  # corpus with no doc of >= 3 codepoints
+        e = np.empty(0, dtype=np.int64)
+        return broadcast_put((e, e, 0))
+    mt = pa.concat_tables(parts)
+    keys = np.asarray(mt.column("g_pack")).astype(np.int64)
+    cnts = np.asarray(mt.column("n")).astype(np.int64)
+    order = np.argsort(keys, kind="stable")  # searchsorted wants asc keys
+    return broadcast_put((keys[order], cnts[order], T))
+
+
+def familiarity_score_block(
+    batch: pa.Table, *, model_ref, col: str = "text"
+) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_trigrams, hit_count, familiarity)."""
+    import ray
+
+    keys, cnts, T = ray.get(model_ref)
+    flat, per_doc = pack_trigram_windows(batch.column(col).to_pylist())
+    vals = np.zeros(len(flat), dtype=np.int64)
+    if len(flat) and len(keys):
+        idx = np.searchsorted(keys, flat)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        ok = keys[idx_c] == flat
+        vals[ok] = cnts[idx_c[ok]]
+    ends = np.cumsum(per_doc)
+    starts = ends - per_doc
+    hit = np.zeros(len(per_doc), dtype=np.int64)
+    nz = np.flatnonzero(per_doc > 0)
+    if len(nz):
+        hit[nz] = np.add.reduceat(vals, starts[nz])
+    denom = per_doc.astype(np.float64) * float(T)
+    fam = np.divide(
+        hit.astype(np.float64),
+        denom,
+        out=np.zeros(len(per_doc), dtype=np.float64),
+        where=denom > 0,
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_trigrams": pa.array(per_doc, type=pa.int64()),
+            "hit_count": pa.array(hit, type=pa.int64()),
+            "familiarity": pa.array(fam, type=pa.float64()),
+        }
+    )

@@ -2007,6 +2007,33 @@ def doc_model_scores(sf_dir: str):
     )
 
 
+def doc_lm_familiarity(
+    sf_dir: str, vocab: int = 4096, num_partitions: int = 8
+):
+    """Corpus-trained char-trigram LM scoring (CCNet-style train-then-
+    score quality filter, functions/ngramlm.py): exact global trigram
+    counts via partial-aggregate + one small groupby-sum shuffle, top-
+    ``vocab`` model broadcast once, vectorized binary-search scoring per
+    block.  familiarity = hit_count / (n_trigrams * T) — one integer
+    division, bit-exact vs the DuckDB oracle."""
+    import functools
+
+    from dynaalign_ray.functions.ngramlm import (
+        familiarity_score_block,
+        train_trigram_model,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    model_ref = train_trigram_model(
+        docs, vocab=vocab, num_partitions=num_partitions
+    )
+    return docs.map_batches(
+        functools.partial(familiarity_score_block, model_ref=model_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # paragraph enc key layout shared with stages/chunk_dedup (doc_id*2^20+no)
 _PARA_CAP = 1 << 20
 
