@@ -165,6 +165,10 @@ def run_bench() -> dict:
         "doc_paragraph_neardup",
         lambda: c.doc_paragraph_neardup(SF_DIR, num_partitions=P).count(),
     )
+    timed(
+        "doc_lm_familiarity",
+        lambda: c.doc_lm_familiarity(SF_DIR, num_partitions=P).count(),
+    )
 
     result = {
         "metric": "neardup_pages_e2e",
