@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- new in round 3 (never driver-checked)
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
+        "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "doc_model_scores": c.doc_model_scores,  # batched linear-model inference (actor pool)
         "doc_split_assign": c.doc_split_assign,  # deterministic train/val/test split
         "doc_paragraph_neardup": c.doc_paragraph_neardup,  # fuzzy paragraph dedup + reassembly
@@ -432,11 +433,74 @@ def _textstats_oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'after_near_dedup', CAST(count(*) AS BIGINT) FROM cc WHERE node = lbl
         """
+    # Quality-based keep rule: flagship CC (k=3 word shingles, tau=0.7 —
+    # same CTE shape as doc_neardup_clusters) + the bit-exact quality
+    # score; keep = row_number()==1 over (quality_score DESC, doc_id ASC)
+    # per cluster.  Scores are per-row bit-identical to the engine's, so
+    # the argmax — hence the keep set — matches exactly.
+    best_keep = f"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            ),
+            cc AS (
+                SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            raw AS (
+                SELECT doc_id,
+                       GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS chars,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                       GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS toks,
+                       CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{{-~]')) AS DOUBLE) AS n_punct_f,
+                       CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit_f,
+                       CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE) AS n_stop_f
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       0.4 * LEAST(GREATEST(CAST(n_tokens AS DOUBLE) / 50.0, 0.0), 1.0)
+                       + 0.4 * LEAST(GREATEST(1.0 - 2.0 * (n_punct_f / chars + n_digit_f / chars), 0.0), 1.0)
+                       + 0.2 * LEAST(GREATEST(n_stop_f / toks * 4.0, 0.0), 1.0) AS quality_score
+                FROM raw
+            )
+            SELECT cc.doc_id, cc.cluster_id, q.quality_score,
+                   (row_number() OVER (
+                        PARTITION BY cc.cluster_id
+                        ORDER BY q.quality_score DESC, cc.doc_id ASC
+                    ) = 1) AS keep
+            FROM cc JOIN q USING (doc_id)
+        """
     return {
         "doc_quality": quality,
         "doc_langid_counts": langid,
         "doc_curation_funnel": funnel,
         "doc_tiered_funnel": tiered,
+        "doc_neardup_best_keep": best_keep,
     }
 
 

@@ -678,6 +678,29 @@ def doc_neardup_clusters(sf_dir: str, num_partitions: int = 8):
     return res.clusters.select_columns(["doc_id", "cluster_id", "keep"])
 
 
+def doc_neardup_best_keep(sf_dir: str, num_partitions: int = 8):
+    """Flagship clustering + the production keep rule: within each
+    near-dup cluster keep the HIGHEST-QUALITY doc (argmax by
+    quality_score DESC, doc_id ASC) instead of the min-id representative
+    (stages/cluster.rekeep_best).  Quality scores are bit-exact vs their
+    own oracle, so the argmax — and therefore the keep set — is
+    SQL-reproducible."""
+    from dynaalign_ray.functions.textstats import quality_score_batch
+    from dynaalign_ray.pipelines.neardup import near_dedup
+    from dynaalign_ray.stages.cluster import rekeep_best
+
+    cfg = DedupConfig(shingle_k=3)
+    clusters = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=cfg,
+        num_partitions=num_partitions,
+    ).clusters
+    scores = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return rekeep_best(clusters, scores, num_partitions)
+
+
 def doc_neardup_sized(sf_dir: str, num_partitions: int = 8):
     """Flagship pipeline + the clusterbreak size controller
     (size_min/size_max re-split with per-component quantile re-thresholding,

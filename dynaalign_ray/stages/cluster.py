@@ -348,3 +348,64 @@ def assign_clusters(docs_ds, labels_ds, num_partitions: int, labels_table=None):
     )
 
     return joined.map_batches(_decide, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rekeep_best(
+    clusters_ds,
+    scores_ds,
+    num_partitions: int,
+    score_col: str = "quality_score",
+):
+    """Re-decide the per-cluster representative by SCORE instead of min
+    doc_id: ``keep`` = argmax by (score DESC, doc_id ASC) within each
+    cluster — the production dedup keep rule (keep the best-quality
+    duplicate; RefinedWeb/CCNet pipelines keep by quality or length, not
+    by id).  Composable after any clustering.
+
+    One partitioned hash join on doc_id (both sides shuffle only their
+    narrow columns) + one keyed repartition by cluster_id (clusters are
+    co-located whole) + a vectorized lexsort winner kernel per block.  No
+    driver materialization; scores ride the shuffle as a single float64
+    column."""
+    from dynaalign_ray.joins import hash_join
+
+    joined = hash_join(
+        clusters_ds.select_columns(["doc_id", "cluster_id"]),
+        scores_ds.select_columns(["doc_id", score_col]),
+        left_on="doc_id",
+        right_on="doc_id",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), (score_col, pa.float64())]
+        ),
+        num_partitions=num_partitions,
+        how="inner",
+    )
+
+    def winner_block(batch: pa.Table) -> pa.Table:
+        cid = np.asarray(batch.column("cluster_id")).astype(np.int64)
+        did = np.asarray(batch.column("doc_id")).astype(np.int64)
+        sc = np.asarray(batch.column(score_col)).astype(np.float64)
+        keep = np.zeros(len(cid), dtype=bool)
+        if len(cid):
+            # primary cluster_id, then score DESC, then doc_id ASC
+            order = np.lexsort((did, -sc, cid))
+            c_s = cid[order]
+            first = np.empty(len(c_s), dtype=bool)
+            first[0] = True
+            first[1:] = c_s[1:] != c_s[:-1]
+            keep[order[first]] = True
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "cluster_id": pa.array(cid),
+                score_col: pa.array(sc),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return joined.repartition(
+        num_blocks=num_partitions, keys=["cluster_id"]
+    ).map_batches(winner_block, batch_format="pyarrow", zero_copy_batch=True)
