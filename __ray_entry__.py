@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3 (never driver-checked)
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
+        "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
         "doc_model_scores": c.doc_model_scores,  # batched linear-model inference (actor pool)
         "doc_split_assign": c.doc_split_assign,  # deterministic train/val/test split
         "doc_paragraph_neardup": c.doc_paragraph_neardup,  # fuzzy paragraph dedup + reassembly
@@ -1088,6 +1089,49 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a, b FROM inter
                 JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
                 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
+            FROM reach GROUP BY node
+        """,
+        # Crawl-window-scoped near-dup: same CC as doc_neardup_clusters but
+        # edges additionally require |warc_us(a) - warc_us(b)| <= 50 steps
+        # (ts formula mirrors derive_pages / _PAGES_CTE exactly).
+        "pages_window_neardup": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            ts AS (
+                SELECT doc_id,
+                       1704067200000000 + doc_id * 900000000
+                           + (doc_id * 37) % 1000 AS warc_us
+                FROM documents
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                JOIN ts ta ON ta.doc_id = a JOIN ts tb ON tb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+                  AND abs(ta.warc_us - tb.warc_us) <= 45000000000
             ),
             sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
             reach(node, lbl) AS (

@@ -47,6 +47,8 @@ def near_dedup(
     salt_hot: bool = True,
     similarity_backend: str = "minhash",
     cluster_backend=None,
+    edge_filter=None,
+    edge_filter_tag: str = "",
 ) -> NearDupResult:
     """Run the flagship pipeline.
 
@@ -58,6 +60,15 @@ def near_dedup(
     intermediates (signatures, pairs, edges) are pinned with
     ``materialize()`` — extract streams into the signature kernel with no
     barrier, and the final assignment reads ids off the signature table.
+
+    ``edge_filter`` (Dataset(a, b, jaccard) -> Dataset, applied AFTER
+    verify, before clustering) scopes which verified near-dup edges may
+    merge clusters — e.g. a crawl-time window or a same-host constraint.
+    Because the callable can't be fingerprinted, pass a stable
+    ``edge_filter_tag`` whenever ``checkpoint_dir`` is set: it is folded
+    into the clusters-stage fingerprint so a changed filter invalidates
+    the cached assignment (the cached EDGES stay valid — the filter is
+    downstream of them).
     """
     configure_context()
     if (pages_ds is None) == (docs_ds is None):
@@ -218,16 +229,23 @@ def near_dedup(
         if checkpoint_dir is None:
             edges = edges.materialize()
 
+    cluster_edges = edges
+    if edge_filter is not None:
+        cluster_edges = edge_filter(edges)
+        if checkpoint_dir is None:
+            cluster_edges = cluster_edges.materialize()
+        fp_edges = f"{fp_edges}|edge_filter:{edge_filter_tag}"
+
     if cluster_backend is not None:
         # the reference's cluster_fn injection point (R/clusterbreak.R:185-188,
         # netcluster's cluster_func): any callable (edges_ds, num_partitions)
         # -> labels Dataset(node, label)
-        labels = cluster_backend(edges, P)
-        cc_info = {"mode": "custom", "n_edges": edges.count()}
+        labels = cluster_backend(cluster_edges, P)
+        cc_info = {"mode": "custom", "n_edges": cluster_edges.count()}
         labels_table = None
     else:
         labels, cc_info = connected_components(
-            edges, P, cfg.max_cc_rounds, cfg.small_cc_limit
+            cluster_edges, P, cfg.max_cc_rounds, cfg.small_cc_limit
         )
         labels_table = cc_info.pop("labels_table", None)
     clusters, _ = ckpt.run_stage(

@@ -439,3 +439,96 @@ def pages_blocklist_filter(sf_dir: str, blocked: tuple = ("www.site3.example", "
         zero_copy_batch=True,
         concurrency=(2, max(2, ncpu // 2)),
     )
+
+
+def pages_window_neardup(
+    sf_dir: str, window_snapshots: int = 50, num_partitions: int = 8
+):
+    """Crawl-window-scoped near-dup clustering: verified near-dup edges
+    (exact Jaccard >= tau) may merge two snapshots ONLY if their WARC
+    timestamps lie within ``window_snapshots`` steps of each other — the
+    standard inter-crawl dedup constraint (dedupe within a crawl window,
+    keep re-crawls from distant crawls as separate documents).
+
+    Mechanism: the flagship pipeline's ``edge_filter`` hook.  The page
+    timestamp table is corpus-sized, so it is NEVER broadcast: each edge
+    endpoint gets its timestamp through a narrow partitioned hash join
+    (edges carry 3 int64/float64 columns; the ts side 2 int64), then one
+    vectorized predicate drops out-of-window edges before clustering.
+    The unfiltered verified-edge set is untouched upstream (this is a
+    clustering SCOPE, not a different similarity)."""
+    import pyarrow.compute as pc
+
+    from dynaalign_ray.config import DedupConfig
+    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.pipelines.neardup import near_dedup
+
+    window_us = window_snapshots * _SNAPSHOT_STEP_US
+
+    def _ts(colname: str):
+        def kern(batch: pa.Table) -> pa.Table:
+            pages = derive_pages(batch)
+            return pa.table(
+                {
+                    "doc_id": pages.column("doc_id"),
+                    colname: pages.column("warc_us"),
+                }
+            )
+
+        return _docs(sf_dir, ["doc_id"]).map_batches(
+            kern, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def edge_filter(edges):
+        e1 = hash_join(
+            edges,
+            _ts("ts_a"),
+            left_on="a",
+            right_on="doc_id",
+            left_schema=pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+            ),
+            right_schema=pa.schema(
+                [("doc_id", pa.int64()), ("ts_a", pa.int64())]
+            ),
+            num_partitions=num_partitions,
+        )
+        e2 = hash_join(
+            e1,
+            _ts("ts_b"),
+            left_on="b",
+            right_on="doc_id",
+            left_schema=pa.schema(
+                [
+                    ("a", pa.int64()),
+                    ("b", pa.int64()),
+                    ("jaccard", pa.float64()),
+                    ("ts_a", pa.int64()),
+                ]
+            ),
+            right_schema=pa.schema(
+                [("doc_id", pa.int64()), ("ts_b", pa.int64())]
+            ),
+            num_partitions=num_partitions,
+        )
+
+        def in_window(batch: pa.Table) -> pa.Table:
+            d = pc.abs(
+                pc.subtract(batch.column("ts_a"), batch.column("ts_b"))
+            )
+            return batch.filter(
+                pc.less_equal(d, pa.scalar(window_us, pa.int64()))
+            ).select(["a", "b", "jaccard"])
+
+        return e2.map_batches(
+            in_window, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    res = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=DedupConfig(shingle_k=3),
+        num_partitions=num_partitions,
+        edge_filter=edge_filter,
+        edge_filter_tag=f"warc_window_us:{window_us}",
+    )
+    return res.clusters.select_columns(["doc_id", "cluster_id", "keep"])
