@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
+        "doc_lm_familiarity_ref": c.doc_lm_familiarity_ref,  # train on ref slice, score all (CCNet)
         "doc_model_scores": c.doc_model_scores,  # batched linear-model inference (actor pool)
         "doc_split_assign": c.doc_split_assign,  # deterministic train/val/test split
         "doc_paragraph_neardup": c.doc_paragraph_neardup,  # fuzzy paragraph dedup + reassembly
@@ -611,6 +612,48 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM cnt),
             model AS (
                 SELECT g, n FROM cnt ORDER BY n DESC, g ASC LIMIT 4096
+            ),
+            per AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_trigrams,
+                       CAST(COALESCE(sum(m.n), 0) AS BIGINT) AS hit_count
+                FROM tri t LEFT JOIN model m USING (g)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_trigrams, 0) AS n_trigrams,
+                   COALESCE(p.hit_count, 0) AS hit_count,
+                   CASE WHEN COALESCE(p.n_trigrams, 0) = 0 THEN 0.0
+                        ELSE CAST(p.hit_count AS DOUBLE) /
+                             (CAST(p.n_trigrams AS DOUBLE) *
+                              CAST((SELECT T FROM tot) AS DOUBLE))
+                   END AS familiarity
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # Cross-corpus LM scoring: model counts and T come from the src0
+        # slice only; every doc is scored against that reference model.
+        "doc_lm_familiarity_ref": """
+            WITH ref_tri AS (
+                SELECT unnest(list_transform(
+                           range(1, length(text) - 1),
+                           i -> substr(text, CAST(i AS INTEGER), 3)
+                       )) AS g
+                FROM documents
+                WHERE source = 'src0' AND length(text) >= 3
+            ),
+            cnt AS (SELECT g, count(*) AS n FROM ref_tri GROUP BY g),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM cnt),
+            model AS (
+                SELECT g, n FROM cnt ORDER BY n DESC, g ASC LIMIT 4096
+            ),
+            tri AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(text) - 1),
+                           i -> substr(text, CAST(i AS INTEGER), 3)
+                       )) AS g
+                FROM documents
+                WHERE length(text) >= 3
             ),
             per AS (
                 SELECT t.doc_id,

@@ -2057,6 +2057,47 @@ def doc_lm_familiarity(
     )
 
 
+def doc_lm_familiarity_ref(
+    sf_dir: str,
+    ref_source: str = "src0",
+    vocab: int = 4096,
+    num_partitions: int = 8,
+):
+    """Cross-corpus form of :func:`doc_lm_familiarity` — the full CCNet
+    shape (Wenzek et al. 2019 train KenLM on Wikipedia and score Common
+    Crawl by it): the trigram model is trained ONLY on the ``ref_source``
+    slice (the trusted reference corpus), then EVERY document is scored
+    against it.  T is the reference corpus's total window count, so
+    familiarity is comparable across target docs regardless of target
+    size.  Same bit-exact single-division contract as the in-corpus
+    form."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from dynaalign_ray.functions.ngramlm import (
+        familiarity_score_block,
+        train_trigram_model,
+    )
+
+    def ref_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("source"), pa.scalar(ref_source))
+        ).select(["doc_id", "text"])
+
+    ref_docs = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        ref_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    model_ref = train_trigram_model(
+        ref_docs, vocab=vocab, num_partitions=num_partitions
+    )
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        functools.partial(familiarity_score_block, model_ref=model_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # paragraph enc key layout shared with stages/chunk_dedup (doc_id*2^20+no)
 _PARA_CAP = 1 << 20
 

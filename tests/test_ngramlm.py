@@ -116,3 +116,28 @@ class TestFamiliarityEndToEnd:
         assert (out["familiarity"] <= 1).all()
         # word-soup corpus: every doc shares trigrams with the corpus
         assert (out.loc[out["n_trigrams"] > 0, "hit_count"] > 0).all()
+
+
+class TestCrossCorpusRef:
+    def test_ref_trained_scoring_runs_and_is_ref_grounded(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_lm_familiarity_ref
+
+        out = doc_lm_familiarity_ref(
+            "/root/testdata/sf0.001", ref_source="src0"
+        ).to_pandas()
+        assert len(out) == 500
+        assert (out["familiarity"] >= 0).all()
+        # every trigram of a src0 doc is in the (untruncated-at-this-size)
+        # reference model, so src0 docs must all register hits
+        import duckdb
+
+        src0 = set(
+            r[0]
+            for r in duckdb.sql(
+                "SELECT doc_id FROM read_parquet("
+                "'/root/testdata/sf0.001/documents.parquet') "
+                "WHERE source='src0' AND length(text) >= 3"
+            ).fetchall()
+        )
+        sub = out[out["doc_id"].isin(src0)]
+        assert (sub["hit_count"] > 0).all()
