@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries last (weakest signal — drop first under the cap).
     return {
         # --- new in round 3 (never driver-checked)
+        "doc_dsir_weights": c.doc_dsir_weights,  # DSIR importance weights (target-vs-raw trigram LMs)
+        "doc_dsir_sample": c.doc_dsir_sample,  # DSIR selection: deterministic top-m by weight
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -629,6 +631,98 @@ def oracle_sql() -> dict[str, str]:
                               CAST((SELECT T FROM tot) AS DOUBLE))
                    END AS familiarity
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # DSIR importance weights: two truncated trigram models (target =
+        # src0 slice, raw = full corpus), weight = smoothed exact-int count
+        # ratio (hit_t+1)*T_raw / ((hit_r+1)*T_tgt) — the float tree is
+        # mirrored op-for-op (int add, cast, mul, mul, div).
+        "doc_dsir_weights": """
+            WITH tri AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(text) - 1),
+                           i -> substr(text, CAST(i AS INTEGER), 3)
+                       )) AS g
+                FROM documents
+                WHERE length(text) >= 3
+            ),
+            raw_cnt AS (SELECT g, count(*) AS n FROM tri GROUP BY g),
+            raw_tot AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM raw_cnt),
+            raw_model AS (
+                SELECT g, n FROM raw_cnt ORDER BY n DESC, g ASC LIMIT 4096
+            ),
+            tgt_tri AS (
+                SELECT t.g FROM tri t JOIN documents d USING (doc_id)
+                WHERE d.source = 'src0'
+            ),
+            tgt_cnt AS (SELECT g, count(*) AS n FROM tgt_tri GROUP BY g),
+            tgt_tot AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM tgt_cnt),
+            tgt_model AS (
+                SELECT g, n FROM tgt_cnt ORDER BY n DESC, g ASC LIMIT 4096
+            ),
+            per AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_trigrams,
+                       CAST(COALESCE(sum(tm.n), 0) AS BIGINT) AS hit_target,
+                       CAST(COALESCE(sum(rm.n), 0) AS BIGINT) AS hit_raw
+                FROM tri t
+                LEFT JOIN tgt_model tm USING (g)
+                LEFT JOIN raw_model rm USING (g)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_trigrams, 0) AS n_trigrams,
+                   COALESCE(p.hit_target, 0) AS hit_target,
+                   COALESCE(p.hit_raw, 0) AS hit_raw,
+                   CAST(COALESCE(p.hit_target, 0) + 1 AS DOUBLE) *
+                       CAST((SELECT T FROM raw_tot) AS DOUBLE) /
+                       (CAST(COALESCE(p.hit_raw, 0) + 1 AS DOUBLE) *
+                        CAST((SELECT T FROM tgt_tot) AS DOUBLE)) AS weight
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # DSIR selection: deterministic top-m by (weight DESC, doc_id ASC)
+        # over the same weight expression.
+        "doc_dsir_sample": """
+            WITH tri AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(text) - 1),
+                           i -> substr(text, CAST(i AS INTEGER), 3)
+                       )) AS g
+                FROM documents
+                WHERE length(text) >= 3
+            ),
+            raw_cnt AS (SELECT g, count(*) AS n FROM tri GROUP BY g),
+            raw_tot AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM raw_cnt),
+            raw_model AS (
+                SELECT g, n FROM raw_cnt ORDER BY n DESC, g ASC LIMIT 4096
+            ),
+            tgt_tri AS (
+                SELECT t.g FROM tri t JOIN documents d USING (doc_id)
+                WHERE d.source = 'src0'
+            ),
+            tgt_cnt AS (SELECT g, count(*) AS n FROM tgt_tri GROUP BY g),
+            tgt_tot AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM tgt_cnt),
+            tgt_model AS (
+                SELECT g, n FROM tgt_cnt ORDER BY n DESC, g ASC LIMIT 4096
+            ),
+            per AS (
+                SELECT t.doc_id,
+                       CAST(COALESCE(sum(tm.n), 0) AS BIGINT) AS hit_target,
+                       CAST(COALESCE(sum(rm.n), 0) AS BIGINT) AS hit_raw
+                FROM tri t
+                LEFT JOIN tgt_model tm USING (g)
+                LEFT JOIN raw_model rm USING (g)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.hit_target, 0) + 1 AS DOUBLE) *
+                       CAST((SELECT T FROM raw_tot) AS DOUBLE) /
+                       (CAST(COALESCE(p.hit_raw, 0) + 1 AS DOUBLE) *
+                        CAST((SELECT T FROM tgt_tot) AS DOUBLE)) AS weight
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY weight DESC, d.doc_id ASC
+            LIMIT 50
         """,
         # Cross-corpus LM scoring: model counts and T come from the src0
         # slice only; every doc is scored against that reference model.

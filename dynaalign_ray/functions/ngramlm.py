@@ -139,3 +139,63 @@ def familiarity_score_block(
             "familiarity": pa.array(fam, type=pa.float64()),
         }
     )
+
+
+def _model_hits(flat: np.ndarray, per_doc: np.ndarray, model) -> np.ndarray:
+    """Segment-sum of model counts over each doc's packed windows."""
+    keys, cnts, _T = model
+    vals = np.zeros(len(flat), dtype=np.int64)
+    if len(flat) and len(keys):
+        idx = np.searchsorted(keys, flat)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        ok = keys[idx_c] == flat
+        vals[ok] = cnts[idx_c[ok]]
+    ends = np.cumsum(per_doc)
+    starts = ends - per_doc
+    hit = np.zeros(len(per_doc), dtype=np.int64)
+    nz = np.flatnonzero(per_doc > 0)
+    if len(nz):
+        hit[nz] = np.add.reduceat(vals, starts[nz])
+    return hit
+
+
+def dsir_weight_block(
+    batch: pa.Table, *, target_ref, raw_ref, col: str = "text"
+) -> pa.Table:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — hashed-n-gram importance
+    estimator; here the features are the repo's packed char trigrams so the
+    weight is a bit-exact-oracle-able ratio of exact integer counts).
+
+    weight = p_target(x) / p_raw(x) over the doc's trigram bag, with the
+    per-doc window count cancelling:
+
+        weight = (hit_target + 1) * T_raw / ((hit_raw + 1) * T_target)
+
+    +1 smoothing keeps the ratio finite when a doc misses a truncated
+    vocabulary entirely (standard additive smoothing; also removes the
+    zero-denominator branch from the SQL mirror).  Every term is an exact
+    int64 < 2^53; the float tree is two IEEE multiplies and one divide,
+    mirrored op-for-op by the DuckDB oracle.  One window-pack pass per
+    block, two binary searches (target model, raw model) — both models are
+    broadcast refs fetched once per task."""
+    import ray
+
+    tgt = ray.get(target_ref)
+    raw = ray.get(raw_ref)
+    flat, per_doc = pack_trigram_windows(batch.column(col).to_pylist())
+    ht = _model_hits(flat, per_doc, tgt)
+    hr = _model_hits(flat, per_doc, raw)
+    t_tgt, t_raw = float(tgt[2]), float(raw[2])
+    w = ((ht + 1).astype(np.float64) * t_raw) / (
+        (hr + 1).astype(np.float64) * t_tgt
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_trigrams": pa.array(per_doc, type=pa.int64()),
+            "hit_target": pa.array(ht, type=pa.int64()),
+            "hit_raw": pa.array(hr, type=pa.int64()),
+            "weight": pa.array(w, type=pa.float64()),
+        }
+    )

@@ -2098,6 +2098,99 @@ def doc_lm_familiarity_ref(
     )
 
 
+def doc_dsir_weights(
+    sf_dir: str,
+    target_source: str = "src0",
+    vocab: int = 4096,
+    num_partitions: int = 8,
+):
+    """DSIR importance weights (Xie et al. 2023): train a target trigram LM
+    on the trusted ``target_source`` slice and a raw LM on the full corpus,
+    then weight every doc by the smoothed count ratio
+    ``(hit_target+1)*T_raw / ((hit_raw+1)*T_target)`` — high weight means
+    the doc's character statistics look like the target distribution
+    relative to the raw one.  Both models are O(vocab) broadcast refs; the
+    scoring pass packs each doc's windows ONCE and binary-searches both
+    models (functions/ngramlm.py:dsir_weight_block).  Bit-exact vs the
+    DuckDB oracle: all counts are exact ints, the weight is one mirrored
+    IEEE mul/mul/div tree."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from dynaalign_ray.functions.ngramlm import (
+        dsir_weight_block,
+        train_trigram_model,
+    )
+
+    def tgt_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("source"), pa.scalar(target_source))
+        ).select(["doc_id", "text"])
+
+    with_src = _docs(sf_dir, ["doc_id", "text", "source"])
+    target_ref = train_trigram_model(
+        with_src.map_batches(tgt_only, batch_format="pyarrow", zero_copy_batch=True),
+        vocab=vocab,
+        num_partitions=num_partitions,
+    )
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    raw_ref = train_trigram_model(
+        docs, vocab=vocab, num_partitions=num_partitions
+    )
+    return docs.map_batches(
+        functools.partial(
+            dsir_weight_block, target_ref=target_ref, raw_ref=raw_ref
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def doc_dsir_sample(
+    sf_dir: str,
+    m: int = 50,
+    target_source: str = "src0",
+    vocab: int = 4096,
+    num_partitions: int = 8,
+):
+    """DSIR selection step: the top-``m`` docs by (weight DESC, doc_id ASC).
+
+    Deterministic-top-m variant of DSIR's Gumbel-top-k resampling (the
+    Gumbel form needs -log(-log(u)) noise — transcendental, so it cannot be
+    oracle-checked bit-exact; the deterministic argmax form is the one the
+    oracle gates, and seeded Gumbel noise can be layered on the same
+    weights downstream).  Scale plan: per-block partial top-m (each block
+    emits <= m rows) so the global sort sees O(m * n_blocks) rows, never
+    the corpus."""
+    import pyarrow.compute as pc
+
+    weights = doc_dsir_weights(
+        sf_dir,
+        target_source=target_source,
+        vocab=vocab,
+        num_partitions=num_partitions,
+    )
+
+    def block_topm(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "weight"])
+        if b.num_rows <= m:
+            return b
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[("weight", "descending"), ("doc_id", "ascending")],
+        )
+        return b.take(idx[:m])
+
+    return (
+        weights.map_batches(
+            block_topm, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .sort(["weight", "doc_id"], descending=[True, False])
+        .limit(m)
+    )
+
+
 # paragraph enc key layout shared with stages/chunk_dedup (doc_id*2^20+no)
 _PARA_CAP = 1 << 20
 
