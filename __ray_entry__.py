@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3 (never driver-checked)
         "doc_dsir_weights": c.doc_dsir_weights,  # DSIR importance weights (target-vs-raw trigram LMs)
         "doc_dsir_sample": c.doc_dsir_sample,  # DSIR selection: deterministic top-m by weight
+        "events_user_funnel": r.events_user_funnel,  # ordered funnel (view->click->purchase)
+        "events_cohort_retention": r.events_cohort_retention,  # first-event-hour cohort retention
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -631,6 +633,56 @@ def oracle_sql() -> dict[str, str]:
                               CAST((SELECT T FROM tot) AS DOUBLE))
                    END AS familiarity
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # Ordered funnel: stage i+1 counts only at/after the user's earliest
+        # completion of stage i (time-based >=, so intra-microsecond tie
+        # order never matters).  funnel_stage = stages completed in order.
+        "events_user_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            v AS (
+                SELECT user_id, min(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= v.t_view
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                             WHEN c.t_click IS NOT NULL THEN 2
+                             WHEN v.t_view IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage,
+                   v.t_view, c.t_click, p.t_purchase
+            FROM u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
+        """,
+        # Cohort retention: cohort = hour of the user's first event;
+        # offset_hours = whole hours between the cohort hour and each
+        # active hour (hour-truncated epochs, exact integer division).
+        "events_cohort_retention": """
+            WITH f AS (
+                SELECT user_id, date_trunc('hour', min(ts)) AS cohort
+                FROM events GROUP BY user_id
+            ),
+            a AS (
+                SELECT DISTINCT e.user_id, f.cohort,
+                       (epoch_us(date_trunc('hour', e.ts)) -
+                        epoch_us(f.cohort)) // 3600000000 AS offset_hours
+                FROM events e JOIN f USING (user_id)
+            )
+            SELECT cohort, offset_hours,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort, offset_hours
         """,
         # DSIR importance weights: two truncated trigram models (target =
         # src0 slice, raw = full corpus), weight = smoothed exact-int count

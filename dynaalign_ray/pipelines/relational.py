@@ -404,6 +404,30 @@ def events_user_deltas(sf_dir: str, num_partitions: int = 8):
     return user_lag_deltas(ev, num_partitions)
 
 
+def events_user_funnel(sf_dir: str, num_partitions: int = 8):
+    """Ordered-funnel analysis (view -> click -> purchase): per user, the
+    stage reached and per-stage earliest completion timestamps, with the
+    ">= previous stage's time" ordering rule (see
+    stages/windows.funnel_stage_block).  One keyed repartition, one
+    vectorized kernel — the standard product-analytics query expressed in
+    the engine's window skeleton."""
+    from dynaalign_ray.stages.windows import user_funnel
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return user_funnel(ev, num_partitions)
+
+
+def events_cohort_retention(sf_dir: str, num_partitions: int = 8):
+    """Cohort retention: users bucketed by the hour of their first event;
+    for each (cohort, offset_hours), how many of that cohort's users were
+    active then (see stages/windows.cohort_retention — per-block distinct
+    emission keeps the count shuffle at one row per user-hour)."""
+    from dynaalign_ray.stages.windows import cohort_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev, num_partitions)
+
+
 def events_user_running(sf_dir: str, num_partitions: int = 8):
     """Running SUM/COUNT window analog over each user's event sequence
     (see stages/windows.running_totals_block; exact integer cents keep the

@@ -281,6 +281,161 @@ def trailing_window_block(batch, *, window_us: int):
     )
 
 
+_TS_INF = np.iinfo(np.int64).max
+
+
+def funnel_stage_block(batch, *, stages: tuple[str, ...]):
+    """Ordered-funnel analog (the product-analytics "view -> click ->
+    purchase" query): per user, the earliest timestamp of stage i+1 at or
+    after the user's earliest completion of stage i; funnel_stage = number
+    of stages completed in order.  Time-based (``>=`` on ts): two events
+    sharing a microsecond count as ordered either way, so the result never
+    depends on intra-timestamp tie order — exactly reproducible in SQL.
+
+    Vectorized per block: one sort by (user, ts), then one masked
+    ``np.minimum.reduceat`` per funnel stage (missing -> int64 max
+    sentinel, emitted as NULL)."""
+    import pyarrow as pa
+
+    fields = [("user_id", pa.int64()), ("funnel_stage", pa.int64())]
+    fields += [(f"t_{s}", pa.timestamp("us")) for s in stages]
+    out_schema = pa.schema(fields)
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid = np.asarray(batch.column("user_id")).astype(np.int64)
+    ts = np.asarray(batch.column("ts").cast(pa.int64()))
+    # dictionary-encode once; compare int codes, never strings, in the loop
+    et = batch.column("event_type").combine_chunks()
+    if isinstance(et, pa.ChunkedArray):
+        et = et.chunk(0) if et.num_chunks else pa.array([], pa.string())
+    enc = et.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    dictionary = enc.dictionary.to_pylist()
+    stage_code = {s: dictionary.index(s) if s in dictionary else -1 for s in stages}
+    order = np.lexsort((ts, uid))
+    uid, ts, codes = uid[order], ts[order], codes[order]
+    new = _segment_starts(uid)
+    starts = np.flatnonzero(new)
+    gidx = np.cumsum(new) - 1
+    prev = np.zeros(len(starts), dtype=np.int64)  # t_0 lower bound: epoch 0
+    cols: dict = {"user_id": pa.array(uid[starts], type=pa.int64())}
+    stage_count = np.zeros(len(starts), dtype=np.int64)
+    t_cols = []
+    for s in stages:
+        cand = np.where(
+            (codes == stage_code[s]) & (ts >= prev[gidx]), ts, _TS_INF
+        )
+        t_s = np.minimum.reduceat(cand, starts)
+        stage_count += (t_s != _TS_INF).astype(np.int64)
+        t_cols.append(t_s)
+        prev = t_s
+    cols["funnel_stage"] = pa.array(stage_count, type=pa.int64())
+    for s, t_s in zip(stages, t_cols):
+        cols[f"t_{s}"] = pa.array(
+            np.where(t_s == _TS_INF, 0, t_s),
+            type=pa.int64(),
+            mask=(t_s == _TS_INF),
+        ).cast(pa.timestamp("us"))
+    return pa.table(cols, schema=out_schema)
+
+
+def user_funnel(
+    events_ds,
+    num_partitions: int,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+):
+    """events(user_id, ts, event_type) -> one row per user with the ordered
+    funnel stage reached and per-stage completion timestamps.  Plan: ONE
+    keyed repartition on user_id, one vectorized kernel per block."""
+    import functools
+
+    return (
+        events_ds.select_columns(["user_id", "ts", "event_type"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            functools.partial(funnel_stage_block, stages=stages),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+def cohort_activity_block(batch):
+    """Cohort-retention pre-aggregate: each user's cohort is the hour of
+    their first event (floor is monotone, so hour(min ts) == min hour);
+    emit ONE row per distinct (user, offset_hours) as (cohort_hour_us,
+    offset_hours) — the block holds ALL of a user's events after the keyed
+    repartition, so per-block dedup is globally complete and the downstream
+    groupby-count counts users exactly."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("cohort_hour_us", pa.int64()), ("offset_hours", pa.int64())]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid = np.asarray(batch.column("user_id")).astype(np.int64)
+    ts = np.asarray(batch.column("ts").cast(pa.int64()))
+    order = np.lexsort((ts, uid))
+    uid, ts = uid[order], ts[order]
+    hour = ts // _HOUR_US
+    new = _segment_starts(uid)
+    starts = np.flatnonzero(new)
+    gidx = np.cumsum(new) - 1
+    cohort = np.minimum.reduceat(hour, starts)  # == hour of first event
+    offset = hour - cohort[gidx]
+    pairs = np.unique(np.stack([gidx, offset], axis=1), axis=0)
+    return pa.table(
+        {
+            "cohort_hour_us": pa.array(
+                cohort[pairs[:, 0]] * _HOUR_US, type=pa.int64()
+            ),
+            "offset_hours": pa.array(pairs[:, 1], type=pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def cohort_retention(events_ds, num_partitions: int):
+    """events(user_id, ts) -> (cohort, offset_hours, n_users): how many
+    users whose first event fell in ``cohort`` were active ``offset_hours``
+    hours later.  Plan: keyed repartition by user -> per-block distinct
+    (user, offset) emission -> small groupby-count over (cohort, offset) —
+    the shuffle after the kernel carries one row per (user, active-hour),
+    never the raw events."""
+    import functools
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": b.column("cohort_hour_us").cast(pa.timestamp("us")),
+                "offset_hours": b.column("offset_hours"),
+                "n_users": b.column("n_users"),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "ts"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            cohort_activity_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["cohort_hour_us", "offset_hours"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def user_trailing_window(events_ds, num_partitions: int, window_us: int = 3_600_000_000):
     """events(event_id, user_id, ts, value) -> per-event trailing-interval
     SUM/COUNT.  Same ONE-keyed-repartition + one-vectorized-kernel plan as
