@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_sample": c.doc_dsir_sample,  # DSIR selection: deterministic top-m by weight
         "events_user_funnel": r.events_user_funnel,  # ordered funnel (view->click->purchase)
         "events_cohort_retention": r.events_cohort_retention,  # first-event-hour cohort retention
+        "doc_jaccard_pairs_prefix": c.doc_jaccard_pairs_prefix,  # exact SSJoin (prefix filter, recall 1.0)
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -1332,6 +1333,33 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """,
         "doc_jaccard_pairs": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 10000.0 / (ca.n + cb.n - i)) / 10000 AS jaccard
+            FROM inter
+            JOIN c ca ON ca.doc_id = a
+            JOIN c cb ON cb.doc_id = b
+            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        """,
+        # Exact SSJoin (prefix filter): same semantic and output contract as
+        # doc_jaccard_pairs, different physical plan — the oracle is shared.
+        "doc_jaccard_pairs_prefix": """
             WITH t AS (
                 SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
                 FROM documents

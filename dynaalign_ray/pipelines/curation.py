@@ -492,6 +492,44 @@ def doc_jaccard_pairs(
     return sets_ds.map_batches(pairs_block, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def doc_jaccard_pairs_prefix(
+    sf_dir: str, k: int = 3, threshold: float = 0.5, num_partitions: int = 8
+):
+    """EXACT word-k-shingle Jaccard pairs above ``threshold`` via the
+    prefix-filtered set-similarity join (SSJoin/PPJoin family — see
+    stages/ssjoin.py): recall 1.0 by the prefix-filter theorem, never
+    O(n^2) row pairs, nothing corpus-sized broadcast.  Same output
+    contract as :func:`doc_jaccard_pairs` (a < b, round4 jaccard), so the
+    same DuckDB oracle gates it — and a pytest asserts plan agreement
+    with the all-pairs plans pair-for-pair."""
+    import functools
+
+    from dynaalign_ray.pipelines.relational import round4
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()  # consumed twice: prefix explode + verify joins
+    )
+    edges = prefix_jaccard_join(sets_ds, threshold, num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": b.column("a"),
+                "b": b.column("b"),
+                "jaccard": round4(np.asarray(b.column("jaccard"))),
+            }
+        )
+
+    return edges.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_containment_pairs(
     sf_dir: str, k: int = 3, threshold: float = 0.8, plan: str = "auto"
 ):
