@@ -403,6 +403,13 @@ def run_plans() -> dict:
         out["allpairs_striped_pairs_match"] = bool(n_st == n_bc)
     finally:
         cur._ALLPAIRS_STRIPE_BYTES = old_stripe
+
+    # prefix-filtered exact SSJoin: third exact plan — never O(n^2) row
+    # pairs, recall 1.0 by construction; same pair set required
+    t0 = time.time()
+    n_pf = cur.doc_jaccard_pairs_prefix(SF_DIR).count()
+    out["allpairs_prefix_sec"] = round(time.time() - t0, 3)
+    out["allpairs_prefix_pairs_match"] = bool(n_pf == n_bc)
     ray.shutdown()
     return out
 
