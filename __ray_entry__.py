@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_funnel": r.events_user_funnel,  # ordered funnel (view->click->purchase)
         "events_cohort_retention": r.events_cohort_retention,  # first-event-hour cohort retention
         "doc_jaccard_pairs_prefix": c.doc_jaccard_pairs_prefix,  # exact SSJoin (prefix filter, recall 1.0)
+        "events_value_ntile": r.events_value_ntile,  # NTILE(4) per user by value
+        "doc_cooccurrence": c.doc_cooccurrence,  # top-100-df token co-occurrence counts
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -634,6 +636,32 @@ def oracle_sql() -> dict[str, str]:
                               CAST((SELECT T FROM tot) AS DOUBLE))
                    END AS familiarity
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # NTILE per user: SQL's remainder-to-the-first-tiles rule, ORDER BY
+        # (value, event_id) so ties never depend on input order.
+        "events_value_ntile": """
+            SELECT event_id, user_id,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY user_id ORDER BY value, event_id
+                   ) AS BIGINT) AS tile
+            FROM events
+        """,
+        # Token co-occurrence over the top-100 document-frequency tokens:
+        # distinct tokens per doc, top-100 by (df DESC, token ASC), pair
+        # counts with t1 < t2 in binary string order.
+        "doc_cooccurrence": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS t
+                FROM documents
+            ),
+            df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+            top AS (SELECT t FROM df ORDER BY df DESC, t ASC LIMIT 100),
+            ft AS (SELECT doc_id, t FROM tok JOIN top USING (t))
+            SELECT x.t AS t1, y.t AS t2,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM ft x JOIN ft y ON x.doc_id = y.doc_id AND x.t < y.t
+            GROUP BY 1, 2
         """,
         # Ordered funnel: stage i+1 counts only at/after the user's earliest
         # completion of stage i (time-based >=, so intra-microsecond tie

@@ -2229,6 +2229,19 @@ def doc_dsir_sample(
     )
 
 
+def doc_cooccurrence(sf_dir: str, top_w: int = 100, num_partitions: int = 8):
+    """Token co-occurrence counts over the top-``top_w``
+    document-frequency tokens (functions/cooccur.py — GloVe/PMI-style
+    count matrix): (t1, t2, n_docs) for t1 < t2 in binary string order.
+    Everything past the df groupby is O(W^2)-bounded; the top-W token
+    array is the only broadcast."""
+    from dynaalign_ray.functions.cooccur import token_cooccurrence
+
+    return token_cooccurrence(
+        _docs(sf_dir, ["doc_id", "text"]), top_w, num_partitions
+    )
+
+
 # paragraph enc key layout shared with stages/chunk_dedup (doc_id*2^20+no)
 _PARA_CAP = 1 << 20
 

@@ -428,6 +428,16 @@ def events_cohort_retention(sf_dir: str, num_partitions: int = 8):
     return cohort_retention(ev, num_partitions)
 
 
+def events_value_ntile(sf_dir: str, num_partitions: int = 8, n_tiles: int = 4):
+    """NTILE window analog: per event, the quartile bucket of its value
+    within the user's events (see stages/windows.ntile_block — SQL's
+    remainder-to-the-first-tiles rule, vectorized)."""
+    from dynaalign_ray.stages.windows import user_value_ntiles
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return user_value_ntiles(ev, num_partitions, n_tiles)
+
+
 def events_user_running(sf_dir: str, num_partitions: int = 8):
     """Running SUM/COUNT window analog over each user's event sequence
     (see stages/windows.running_totals_block; exact integer cents keep the

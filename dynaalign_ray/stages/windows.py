@@ -361,6 +361,67 @@ def user_funnel(
     )
 
 
+def ntile_block(batch, *, n_tiles: int):
+    """NTILE(n) OVER (PARTITION BY user_id ORDER BY value, event_id) —
+    SQL's rule exactly: with g rows and r = g mod n, the first r tiles get
+    ceil(g/n) rows, the rest floor(g/n).  Vectorized: one lexsort, then a
+    closed-form tile index per in-group position."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("tile", pa.int64()),
+        ]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid = np.asarray(batch.column("user_id")).astype(np.int64)
+    eid = np.asarray(batch.column("event_id")).astype(np.int64)
+    val = np.asarray(batch.column("value"), dtype=np.float64)
+    order = np.lexsort((eid, val, uid))
+    uid, eid = uid[order], eid[order]
+    new = _segment_starts(uid)
+    starts = np.flatnonzero(new)
+    gidx = np.cumsum(new) - 1
+    g = np.diff(np.append(starts, len(uid)))  # group sizes
+    q, r = g // n_tiles, g % n_tiles
+    pos = np.arange(len(uid), dtype=np.int64) - starts[gidx]
+    qg, rg = q[gidx], r[gidx]
+    big = rg * (qg + 1)  # rows covered by the ceil-sized tiles
+    in_big = pos < big
+    # guard the qg==0 division (all rows are then in the big tiles)
+    qg_safe = np.maximum(qg, 1)
+    tile = np.where(
+        in_big,
+        pos // np.maximum(qg + 1, 1) + 1,
+        rg + (pos - big) // qg_safe + 1,
+    )
+    return pa.table(
+        {"event_id": eid, "user_id": uid, "tile": tile.astype(np.int64)},
+        schema=out_schema,
+    )
+
+
+def user_value_ntiles(events_ds, num_partitions: int, n_tiles: int = 4):
+    """events(event_id, user_id, value) -> per-event NTILE bucket within
+    the user's value order.  Same ONE-keyed-repartition plan as the other
+    per-user windows."""
+    import functools
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "value"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            functools.partial(ntile_block, n_tiles=n_tiles),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
 _HOUR_US = 3_600_000_000
 
 

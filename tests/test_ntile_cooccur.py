@@ -1,0 +1,110 @@
+"""NTILE window (stages/windows.ntile_block) + token co-occurrence
+(functions/cooccur.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from dynaalign_ray.stages.windows import ntile_block
+
+
+def _sql_ntile(g: int, n: int) -> list[int]:
+    """SQL NTILE sizes: first g%n tiles get ceil(g/n), rest floor(g/n)."""
+    q, r = divmod(g, n)
+    out = []
+    for tile in range(1, n + 1):
+        out.extend([tile] * (q + 1 if tile <= r else q))
+    return out
+
+
+class TestNtile:
+    def test_matches_sql_rule_all_group_sizes(self):
+        for g in range(1, 23):
+            t = pa.table(
+                {
+                    "event_id": pa.array(list(range(g)), pa.int64()),
+                    "user_id": pa.array([1] * g, pa.int64()),
+                    "value": pa.array([float(i) for i in range(g)], pa.float64()),
+                }
+            )
+            got = ntile_block(t, n_tiles=4)
+            order = np.argsort(np.asarray(got.column("event_id")))
+            tiles = np.asarray(got.column("tile"))[order].tolist()
+            assert tiles == _sql_ntile(g, 4), g
+
+    def test_tie_break_on_event_id(self):
+        # equal values: event_id decides tile membership deterministically
+        t = pa.table(
+            {
+                "event_id": pa.array([5, 3, 9, 1], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+                "value": pa.array([1.0, 1.0, 1.0, 1.0], pa.float64()),
+            }
+        )
+        got = ntile_block(t, n_tiles=2).to_pydict()
+        by_eid = dict(zip(got["event_id"], got["tile"]))
+        assert by_eid == {1: 1, 3: 1, 5: 2, 9: 2}
+
+    def test_multi_user_block(self):
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+                "value": pa.array([2.0, 1.0, 3.0, 1.0, 2.0], pa.float64()),
+            }
+        )
+        got = ntile_block(t, n_tiles=2).to_pydict()
+        by_eid = dict(zip(got["event_id"], got["tile"]))
+        # user 1: order (2,1) -> tiles {2:1, 1:2}; user 2: order (4,5,3)
+        assert by_eid == {2: 1, 1: 2, 4: 1, 5: 1, 3: 2}
+
+
+class TestCooccurrence:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from dynaalign_ray.functions.cooccur import token_cooccurrence
+
+        texts = [
+            "a b c",
+            "a b",
+            "b c d",
+            "a a a b",  # distinct-per-doc: {a, b}
+            "e",
+            "",
+        ]
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        got = {
+            (r["t1"], r["t2"]): r["n_docs"]
+            for r in token_cooccurrence(docs, 3, 2).take_all()
+        }
+        # df: b=4, a=3, c=2, d=1, e=1 -> top-3 = {b, a, c}
+        # pairs: (a,b) in docs 0,1,3; (a,c) in 0; (b,c) in 0,2
+        assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 2}
+
+    def test_topw_tiebreak_is_token_asc(self, ray_session):
+        import ray.data as rd
+
+        from dynaalign_ray.functions.cooccur import token_cooccurrence
+
+        # x and y tie on df; top-2 must keep (b, x) by (df DESC, t ASC)
+        texts = ["b x", "b y", "b x y"]
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        got = {
+            (r["t1"], r["t2"]): r["n_docs"]
+            for r in token_cooccurrence(docs, 2, 2).take_all()
+        }
+        assert got == {("b", "x"): 2}
