@@ -493,7 +493,11 @@ def doc_jaccard_pairs(
 
 
 def doc_jaccard_pairs_prefix(
-    sf_dir: str, k: int = 3, threshold: float = 0.5, num_partitions: int = 8
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+    order: str = "value",
 ):
     """EXACT word-k-shingle Jaccard pairs above ``threshold`` via the
     prefix-filtered set-similarity join (SSJoin/PPJoin family — see
@@ -516,7 +520,7 @@ def doc_jaccard_pairs_prefix(
         )
         .materialize()  # consumed twice: prefix explode + verify joins
     )
-    edges = prefix_jaccard_join(sets_ds, threshold, num_partitions)
+    edges = prefix_jaccard_join(sets_ds, threshold, num_partitions, order=order)
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -17,14 +17,23 @@ tokens would have to fit in the two suffixes, of combined capacity
 token longer when tau*n is integral — so float rounding of ``tau*n`` can
 only ever LENGTHEN the prefix, never break the guarantee.
 
-Global token order: ascending shingle-HASH value (the sets are already
-stored sorted).  Hash order is a uniform random permutation of the
-universe — the correct-but-unweighted baseline; the classic
-rarest-first (ascending document frequency) order shrinks candidate
-counts further at the cost of a df groupby over the token universe and a
-broadcast/join of the df table (the TF-IDF-gate shape).  At web scale the
-df ordering is worth wiring behind the same plan switch; candidates are
-exact either way.
+Global token order — two plans, both exact (the order affects only the
+candidate count, never recall; any FIXED global total order satisfies
+the theorem):
+
+- ``order="value"``: ascending shingle-HASH value (the sets are already
+  stored sorted) — a uniform random permutation of the universe; zero
+  extra passes.
+- ``order="df"``: rarest-first, the classic PPJoin ordering, WITHOUT the
+  corpus-sized df table: token document frequencies are estimated by a
+  count-min sketch (one bounded (d, w) partial per block, distributed
+  pre-merge, ~1 MB broadcast), and each set is ordered by
+  (estimated df ASC, token value ASC).  CMS error can only mis-RANK
+  tokens — both endpoints of a pair use the same merged sketch, so the
+  order stays a fixed global total order and recall stays 1.0;
+  boilerplate tokens (df ~ corpus size, estimate within eps*N) sink to
+  the suffix, so prefixes carry rare tokens and hot-token buckets
+  shrink from O(corpus) to near the true-duplicate groups.
 
 Scale shape: prefix explode (O(sum p_i) narrow rows) -> ONE keyed shuffle
 on the token -> per-bucket pair emission with the length filter
@@ -42,11 +51,15 @@ import pyarrow as pa
 from dynaalign_ray.hashing import to_id63
 
 
-def prefix_tokens_block(batch: pa.Table, *, threshold: float) -> pa.Table:
+def prefix_tokens_block(
+    batch: pa.Table, *, threshold: float, cms_ref=None
+) -> pa.Table:
     """(doc_id, sketch) -> (tok, doc_id, n): each doc's first
-    ``n - floor(tau*n) + 1`` sorted shingle hashes (63-bit folded for the
-    int64 shuffle key; a fold collision only ever ADDS a candidate pair —
-    exactness lives in the verify stage)."""
+    ``n - floor(tau*n) + 1`` tokens in the global order (63-bit folded for
+    the int64 shuffle key; a fold collision only ever ADDS a candidate
+    pair — exactness lives in the verify stage).  With ``cms_ref`` the
+    order is (CMS-estimated df ASC, value ASC); without, ascending value
+    (the sets are stored sorted, so the prefix is a contiguous slice)."""
     from dynaalign_ray.stages.verify import _sketch_arrays
 
     out_schema = pa.schema(
@@ -61,10 +74,30 @@ def prefix_tokens_block(batch: pa.Table, *, threshold: float) -> pa.Table:
     p = np.minimum(
         sizes - np.floor(threshold * sizes).astype(np.int64) + 1, sizes
     )
-    total = int(p.sum())
-    first = np.cumsum(p) - p
-    pos = np.arange(total, dtype=np.int64) - np.repeat(first, p)
-    toks = vals[np.repeat(starts, p) + pos]
+    if cms_ref is None:
+        total = int(p.sum())
+        first = np.cumsum(p) - p
+        pos = np.arange(total, dtype=np.int64) - np.repeat(first, p)
+        toks = vals[np.repeat(starts, p) + pos]
+    else:
+        import ray
+
+        from dynaalign_ray.functions.sketches import cms_query
+
+        sk = ray.get(cms_ref)
+        n_total = int(sizes.sum())
+        seg = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        flat_idx = np.repeat(starts, sizes) + (
+            np.arange(n_total, dtype=np.int64)
+            - np.repeat(np.cumsum(sizes) - sizes, sizes)
+        )
+        flat = vals[flat_idx]
+        est = cms_query(sk, flat)
+        order = np.lexsort((flat, est, seg))  # per-set (df ASC, value ASC)
+        flat_s = flat[order]
+        seg_starts = np.cumsum(sizes) - sizes  # segments stay contiguous
+        pos = np.arange(n_total, dtype=np.int64) - np.repeat(seg_starts, sizes)
+        toks = flat_s[pos < np.repeat(p, sizes)]
     return pa.table(
         {
             "tok": pa.array(to_id63(toks), type=pa.int64()),
@@ -121,19 +154,73 @@ def prefix_candidates_block(batch: pa.Table, *, threshold: float) -> pa.Table:
     )
 
 
-def prefix_jaccard_join(sets_ds, threshold: float, num_partitions: int):
+def cms_df_order_ref(sets_ds, d: int = 4, w: int = 1 << 15, merge_fanin: int = 8):
+    """Merged count-min sketch over every set token — the rarest-first
+    order's frequency table, O(d*w) regardless of corpus size.  Same
+    bounded distributed pre-merge shape as
+    functions.sketches.approx_token_counts: one (d, w) partial per block,
+    repartition to ``merge_fanin``, per-block elementwise sum (integer —
+    exact under any order), tiny driver merge, broadcast ONCE."""
+    import ray
+
+    from dynaalign_ray.exec import broadcast_put
+    from dynaalign_ray.functions.sketches import cms_from_hashes, cms_merge
+    from dynaalign_ray.stages.verify import _sketch_arrays
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        vals, _ = _sketch_arrays(batch.column("sketch"))
+        sk = cms_from_hashes(vals, d=d, w=w)
+        return pa.table({"cms": pa.array([sk.tobytes()], type=pa.binary())})
+
+    def sum_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"cms": pa.array([], type=pa.binary())})
+        acc = np.zeros(d * w, dtype=np.int64)
+        for blob in b.column("cms").to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64)
+        return pa.table({"cms": pa.array([acc.tobytes()], type=pa.binary())})
+
+    parts = (
+        sets_ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=merge_fanin)
+        .map_batches(
+            sum_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_arrow_refs()
+    )
+    sketches = []
+    for ref in parts:
+        tbl = ray.get(ref)
+        if tbl.num_rows == 0 or "cms" not in tbl.column_names:
+            continue  # schema-less empty repartition blocks (joins.py quirk)
+        for blob in tbl.column("cms").to_pylist():
+            sketches.append(np.frombuffer(blob, dtype=np.int64).reshape(d, w))
+    merged = cms_merge(sketches) if sketches else np.zeros((d, w), np.int64)
+    return broadcast_put(merged)
+
+
+def prefix_jaccard_join(
+    sets_ds, threshold: float, num_partitions: int, order: str = "value"
+):
     """(doc_id, sketch) dataset -> exact (a, b, jaccard) edges with
     jaccard >= threshold, via prefix filter + length filter + exact
     verify.  ``sets_ds`` must hold COMPLETE sorted shingle-hash sets (the
-    verify is exact only below the sketch cap)."""
+    verify is exact only below the sketch cap).  ``order``: "value"
+    (zero-pass baseline) or "df" (rarest-first via a CMS — smaller
+    candidate buckets on boilerplate-heavy corpora; same exact result)."""
     import functools
 
     from dynaalign_ray.config import DedupConfig
     from dynaalign_ray.stages.verify import verified_edges
 
+    if order not in ("value", "df"):
+        raise ValueError(f"order must be 'value' or 'df', got {order!r}")
+    cms_ref = cms_df_order_ref(sets_ds) if order == "df" else None
     pairs = (
         sets_ds.map_batches(
-            functools.partial(prefix_tokens_block, threshold=threshold),
+            functools.partial(
+                prefix_tokens_block, threshold=threshold, cms_ref=cms_ref
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

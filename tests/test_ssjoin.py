@@ -99,6 +99,55 @@ class TestPrefixJoinExactness:
         assert (1, 2) in got and (1, 3) not in got
 
 
+class TestDfOrder:
+    @pytest.mark.parametrize("tau", [0.4, 0.7])
+    def test_df_order_matches_brute_force(self, ray_session, tau):
+        """Rarest-first (CMS) ordering changes only the candidate set,
+        never the exact result."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(23)
+        universe = rng.integers(0, 2**63, size=300, dtype=np.int64)
+        sets = _rand_sets(rng, 30, universe, 4, 25, 8)
+        ds = rd.from_arrow(_sets_table(sets)).materialize()
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in prefix_jaccard_join(ds, tau, 4, order="df").take_all()
+        }
+        assert got == _brute_pairs(sets, tau), tau
+
+    def test_df_order_shrinks_boilerplate_buckets(self, ray_session):
+        """A token shared by EVERY doc and placed first in value order
+        (smallest hash) drags all C(n,2) pairs into one bucket under
+        value order; under df order it sinks to every suffix and the
+        candidate count collapses to the true near-dup groups."""
+        import functools
+
+        import ray.data as rd
+
+        from dynaalign_ray.stages.ssjoin import cms_df_order_ref
+
+        rng = np.random.default_rng(5)
+        n_docs, tau = 40, 0.7
+        sets = {}
+        for d in range(n_docs):
+            rare = [int(x) for x in rng.integers(1000, 2**62, size=6)]
+            sets[d] = sorted({1, *rare})  # token 1: global boilerplate, min value
+        t = _sets_table(sets)
+        ds = rd.from_arrow(t).materialize()
+
+        def count_candidates(cms_ref):
+            toks = prefix_tokens_block(t, threshold=tau, cms_ref=cms_ref)
+            return prefix_candidates_block(toks, threshold=tau).num_rows
+
+        n_value = count_candidates(None)
+        n_df = count_candidates(
+            cms_df_order_ref(ds)
+        )  # single block: bucket grouping is complete
+        assert n_value >= n_docs * (n_docs - 1) // 2  # boilerplate blowup
+        assert n_df < n_value / 10  # rare-first prefixes: near-zero overlap
+
+
 class TestPrefixBlocks:
     def test_prefix_lengths(self):
         sets = {1: [1, 2, 3, 4], 2: [5]}
