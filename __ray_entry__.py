@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_neardup": c.media_audio_neardup,  # rows-only (spectral hash)
         "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
         "doc_token_cms": c.doc_token_cms,  # rows-only (count-min sketch; pytest-gated bounds)
+        "doc_compress_ratio": c.doc_compress_ratio,  # rows-only (zlib not SQL-reproducible; law pytests)
     }
 
 

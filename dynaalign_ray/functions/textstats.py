@@ -165,3 +165,37 @@ def fingerprint_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
             "fingerprint": pa.array(fps, type=pa.int64()),
         }
     )
+
+
+def compress_ratio_batch(batch: pa.Table, *, col: str = "text", level: int = 6) -> pa.Table:
+    """docs -> (doc_id, raw_bytes, gz_bytes, compress_ratio): zlib
+    compressed size over raw UTF-8 size — the classic
+    low-entropy/boilerplate detector (highly repetitive text compresses
+    far below normal prose; near-random bytes sit near or above 1.0).
+    Deterministic for a fixed zlib level; inherently per-payload C calls
+    (like the HTML extract kernel), so the loop is per row by necessity.
+    Not SQL-reproducible (no zlib in the oracle) — rows-only query;
+    semantics pytest-gated."""
+    import zlib
+
+    texts = batch.column(col).to_pylist()
+    raw = np.zeros(len(texts), dtype=np.int64)
+    gz = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        raw[i] = len(b)
+        gz[i] = len(zlib.compress(b, level))
+    ratio = np.divide(
+        gz.astype(np.float64),
+        raw.astype(np.float64),
+        out=np.zeros(len(texts), dtype=np.float64),
+        where=raw > 0,
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "raw_bytes": pa.array(raw, type=pa.int64()),
+            "gz_bytes": pa.array(gz, type=pa.int64()),
+            "compress_ratio": pa.array(ratio, type=pa.float64()),
+        }
+    )

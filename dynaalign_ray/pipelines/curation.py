@@ -2233,6 +2233,17 @@ def doc_dsir_sample(
     )
 
 
+def doc_compress_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (functions/textstats.py:
+    compress_ratio_batch) — the low-entropy/boilerplate quality signal.
+    Rows-only (zlib is not SQL-reproducible); laws pytest-gated."""
+    from dynaalign_ray.functions.textstats import compress_ratio_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        compress_ratio_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def doc_cooccurrence(sf_dir: str, top_w: int = 100, num_partitions: int = 8):
     """Token co-occurrence counts over the top-``top_w``
     document-frequency tokens (functions/cooccur.py — GloVe/PMI-style

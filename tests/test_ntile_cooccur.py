@@ -108,3 +108,49 @@ class TestCooccurrence:
             for r in token_cooccurrence(docs, 2, 2).take_all()
         }
         assert got == {("b", "x"): 2}
+
+
+class TestCompressRatio:
+    def test_laws(self):
+        from dynaalign_ray.functions.textstats import compress_ratio_batch
+
+        rep = "spam ham " * 500
+        rng = np.random.default_rng(3)
+        noise = "".join(chr(int(c)) for c in rng.integers(0x4E00, 0x9FFF, 800))
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([rep, noise, ""], pa.string()),
+            }
+        )
+        out = compress_ratio_batch(t).to_pydict()
+        by = dict(zip(out["doc_id"], out["compress_ratio"]))
+        assert by[1] < 0.05          # repetition collapses
+        assert by[2] > 0.5           # high-entropy text stays large
+        assert by[3] == 0.0          # empty -> defined 0
+        assert out["raw_bytes"][0] == len(rep.encode())
+
+    def test_batch_split_invariant(self):
+        from dynaalign_ray.functions.textstats import compress_ratio_batch
+
+        texts = ["abc " * k for k in range(1, 30)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        whole = compress_ratio_batch(t).to_pydict()
+        parts: dict[int, int] = {}
+        for lo in range(0, len(texts), 7):
+            p = compress_ratio_batch(t.slice(lo, 7)).to_pydict()
+            parts.update(zip(p["doc_id"], p["gz_bytes"]))
+        assert parts == dict(zip(whole["doc_id"], whole["gz_bytes"]))
+
+    def test_query_runs(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_compress_ratio
+
+        out = doc_compress_ratio("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 500
+        assert (out["compress_ratio"] > 0).all()
+        assert (out["gz_bytes"] > 0).all()
