@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs_prefix": c.doc_jaccard_pairs_prefix,  # exact SSJoin (prefix filter, recall 1.0)
         "events_value_ntile": r.events_value_ntile,  # NTILE(4) per user by value
         "doc_cooccurrence": c.doc_cooccurrence,  # top-100-df token co-occurrence counts
+        "doc_hash_embedding": c.doc_hash_embedding,  # feature-hashed trigram embeddings (sparse rows)
+        "doc_neardup_exact": c.doc_neardup_exact,  # SSJoin-edged clustering (no probabilistic stage)
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -637,6 +639,33 @@ def oracle_sql() -> dict[str, str]:
                               CAST((SELECT T FROM tot) AS DOUBLE))
                    END AS familiarity
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # Feature-hashed trigram embedding: the 63-bit codepoint pack is
+        # SQL-expressible (unicode() per character), dim = pack % 64, sign
+        # from the next bit, value = exact signed count; only nonzero rows.
+        "doc_hash_embedding": """
+            WITH tri AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, length(text) - 1),
+                           i -> substr(text, CAST(i AS INTEGER), 3)
+                       )) AS g
+                FROM documents
+                WHERE length(text) >= 3
+            ),
+            p AS (
+                SELECT doc_id,
+                       (CAST(unicode(substr(g, 1, 1)) AS BIGINT) * 4398046511104 +
+                        CAST(unicode(substr(g, 2, 1)) AS BIGINT) * 2097152 +
+                        CAST(unicode(substr(g, 3, 1)) AS BIGINT)) AS pack
+                FROM tri
+            )
+            SELECT doc_id, pack % 64 AS dim,
+                   CAST(sum(CASE WHEN (pack // 64) % 2 = 0 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS val
+            FROM p
+            GROUP BY doc_id, dim
+            HAVING sum(CASE WHEN (pack // 64) % 2 = 0 THEN 1 ELSE -1 END) != 0
         """,
         # NTILE per user: SQL's remainder-to-the-first-tiles rule, ORDER BY
         # (value, event_id) so ties never depend on input order.
@@ -1286,6 +1315,41 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard.  doc_neardup_sized stays rows-only: its re-split labels
         # depend on per-component quantile re-thresholding, which SQL can't
         # express.
+        # Exact clustering via the prefix SSJoin edge source — same output
+        # contract and oracle as the LSH flagship (recall 1.0 both ways:
+        # measured there, structural here).
+        "doc_neardup_exact": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
+            FROM reach GROUP BY node
+        """,
         "doc_neardup_clusters": """
             WITH RECURSIVE t AS (
                 SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks

@@ -141,6 +141,40 @@ def familiarity_score_block(
     )
 
 
+def hash_embedding_block(
+    batch: pa.Table, *, dims: int = 64, col: str = "text"
+) -> pa.Table:
+    """Feature-hashed bag-of-character-trigrams document embedding (the
+    hashing trick, Weinberger et al. ICML'09): dim = pack % dims, sign =
+    +1/-1 from the next pack bit, value = signed trigram count — exact
+    integers, so the sparse (doc_id, dim, val) rows are bit-exact against
+    a DuckDB oracle (the pack is SQL-expressible:
+    unicode(c0)*2^42 + unicode(c1)*2^21 + unicode(c2)).  Emits only
+    nonzero entries.  These vectors feed the ANN/semantic-dedup family
+    when no learned embedding column exists."""
+    flat, per_doc = pack_trigram_windows(batch.column(col).to_pylist())
+    ids = np.asarray(batch.column("doc_id")).astype(np.int64)
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("dim", pa.int64()), ("val", pa.int64())]
+    )
+    if len(flat) == 0:
+        return out_schema.empty_table()
+    gidx = np.repeat(np.arange(len(per_doc), dtype=np.int64), per_doc)
+    dim = flat % dims
+    sign = 1 - 2 * ((flat // dims) & 1)
+    acc = np.zeros((len(per_doc), dims), dtype=np.int64)
+    np.add.at(acc, (gidx, dim), sign)
+    di, dj = np.nonzero(acc)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[di], type=pa.int64()),
+            "dim": pa.array(dj.astype(np.int64), type=pa.int64()),
+            "val": pa.array(acc[di, dj], type=pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
 def _model_hits(flat: np.ndarray, per_doc: np.ndarray, model) -> np.ndarray:
     """Segment-sum of model counts over each doc's packed windows."""
     keys, cnts, _T = model

@@ -720,6 +720,48 @@ def doc_neardup_clusters(sf_dir: str, num_partitions: int = 8):
     return res.clusters.select_columns(["doc_id", "cluster_id", "keep"])
 
 
+def doc_neardup_exact(
+    sf_dir: str,
+    k: int = 3,
+    tau: float = 0.7,
+    num_partitions: int = 8,
+    order: str = "df",
+):
+    """Flagship-shaped clustering with the edge source swapped: exact
+    prefix-filtered set-similarity join (stages/ssjoin.py) instead of
+    banded LSH — deterministic recall 1.0 with NO probabilistic stage at
+    all, so the whole clustering is exact by construction (the LSH
+    flagship reaches the same output because its measured recall is 1.0;
+    this path PROVES it structurally).  Shares doc_neardup_clusters's
+    recursive-CTE oracle."""
+    import functools
+
+    from dynaalign_ray.stages.cluster import assign_clusters, connected_components
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    edges = prefix_jaccard_join(sets_ds, tau, num_partitions, order=order)
+    cfg = DedupConfig()
+    labels, info = connected_components(
+        edges, num_partitions, cfg.max_cc_rounds, cfg.small_cc_limit
+    )
+    clusters = assign_clusters(
+        _docs(sf_dir, ["doc_id"]),
+        labels,
+        num_partitions,
+        labels_table=info.get("labels_table"),
+    )
+    return clusters.select_columns(["doc_id", "cluster_id", "keep"])
+
+
 def doc_neardup_best_keep(sf_dir: str, num_partitions: int = 8):
     """Flagship clustering + the production keep rule: within each
     near-dup cluster keep the HIGHEST-QUALITY doc (argmax by
@@ -2230,6 +2272,22 @@ def doc_dsir_sample(
         )
         .sort(["weight", "doc_id"], descending=[True, False])
         .limit(m)
+    )
+
+
+def doc_hash_embedding(sf_dir: str, dims: int = 64):
+    """Feature-hashed trigram document embeddings as sparse (doc_id, dim,
+    val) rows (functions/ngramlm.py:hash_embedding_block) — exact signed
+    integer counts, bit-exact DuckDB oracle; one embarrassingly parallel
+    map_batches, no shuffle."""
+    import functools
+
+    from dynaalign_ray.functions.ngramlm import hash_embedding_block
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        functools.partial(hash_embedding_block, dims=dims),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

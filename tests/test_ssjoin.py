@@ -183,3 +183,23 @@ class TestPrefixBlocks:
         ap = doc_jaccard_pairs("/root/testdata/sf0.001").to_pandas()
         pf = doc_jaccard_pairs_prefix("/root/testdata/sf0.001").to_pandas()
         assert key(ap) == key(pf)
+
+
+class TestExactClustering:
+    def test_agrees_with_lsh_flagship(self, ray_session):
+        """doc_neardup_exact (SSJoin edges, no probabilistic stage) must
+        produce the identical cluster assignment to the LSH flagship —
+        the structural proof that the flagship's measured recall 1.0 is
+        the exact answer."""
+        from dynaalign_ray.pipelines.curation import (
+            doc_neardup_clusters,
+            doc_neardup_exact,
+        )
+
+        lsh = doc_neardup_clusters("/root/testdata/sf0.001").to_pandas()
+        ext = doc_neardup_exact("/root/testdata/sf0.001").to_pandas()
+        a = lsh.sort_values("doc_id").reset_index(drop=True)
+        b = ext.sort_values("doc_id").reset_index(drop=True)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["cluster_id"].tolist() == b["cluster_id"].tolist()
+        assert a["keep"].tolist() == b["keep"].tolist()
