@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cooccurrence": c.doc_cooccurrence,  # top-100-df token co-occurrence counts
         "doc_hash_embedding": c.doc_hash_embedding,  # feature-hashed trigram embeddings (sparse rows)
         "doc_neardup_exact": c.doc_neardup_exact,  # SSJoin-edged clustering (no probabilistic stage)
+        "pages_crawl_diff": w.pages_crawl_diff,  # latest-vs-previous snapshot diff per canonical URL
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -1211,6 +1212,32 @@ def oracle_sql() -> dict[str, str]:
         "pages_url_canonical": _PAGES_CTE
         + """
             SELECT doc_id, url, canon_url, host FROM canon
+        """,
+        # Crawl diff: latest vs previous snapshot per canonical URL;
+        # 'same' decided by TEXT equality (never hash equality).
+        "pages_crawl_diff": _PAGES_CTE
+        + """
+            , ranked AS (
+                SELECT canon_url, doc_id,
+                       row_number() OVER (
+                           PARTITION BY canon_url ORDER BY warc_us DESC
+                       ) AS rk
+                FROM canon
+            ),
+            latest AS (
+                SELECT canon_url, doc_id AS doc_id_latest FROM ranked WHERE rk = 1
+            ),
+            prev AS (
+                SELECT canon_url, doc_id AS doc_id_prev FROM ranked WHERE rk = 2
+            )
+            SELECT l.canon_url, l.doc_id_latest, p.doc_id_prev,
+                   CASE WHEN p.doc_id_prev IS NULL THEN 'added'
+                        WHEN dl.text = dp.text THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM latest l
+            LEFT JOIN prev p USING (canon_url)
+            LEFT JOIN documents dl ON dl.doc_id = l.doc_id_latest
+            LEFT JOIN documents dp ON dp.doc_id = p.doc_id_prev
         """,
         "pages_blocklist_filter": _PAGES_CTE
         + """

@@ -532,3 +532,158 @@ def pages_window_neardup(
         edge_filter_tag=f"warc_window_us:{window_us}",
     )
     return res.clusters.select_columns(["doc_id", "cluster_id", "keep"])
+
+
+def pages_crawl_diff(sf_dir: str, num_partitions: int = 8):
+    """Crawl-over-crawl diff per canonical URL: compare the LATEST snapshot
+    against the PREVIOUS one — status 'added' (single snapshot), 'changed'
+    (texts differ) or 'same' (byte-identical revisit).  The crawl-
+    maintenance primitive: 'changed' urls need re-processing downstream,
+    'same' ones are revisit noise.
+
+    Plan: derive (doc_id, canon_url, warc_us) in the map stage (narrow
+    shuffle, never text), keyed repartition by hash(canon_url), one sorted
+    segment-gather per block for the (latest, previous) snapshot pair,
+    then TWO narrow hash joins fetch exactly the two candidate texts per
+    URL for an exact string comparison — payloads never shuffle with the
+    snapshots, and 'same' is decided by STRING equality, not hash equality
+    (repo discipline: exactness never depends on hash injectivity)."""
+    import functools
+
+    from dynaalign_ray.joins import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    pages = docs.map_batches(
+        derive_pages, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_add_canon, batch_format="pyarrow", zero_copy_batch=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return _add_route(
+            batch.select(["doc_id", "canon_url", "warc_us"]), key="canon_url"
+        )
+
+    def last_two_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("canon_url", pa.string()),
+                ("doc_id_latest", pa.int64()),
+                ("doc_id_prev", pa.int64()),
+            ]
+        )
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            b, sort_keys=[("canon_url", "ascending"), ("warc_us", "ascending")]
+        )
+        s = b.take(idx)
+        url = s.column("canon_url").combine_chunks()
+        if isinstance(url, pa.ChunkedArray):
+            url = url.chunk(0) if url.num_chunks else pa.array([], pa.string())
+        codes = np.asarray(url.dictionary_encode().indices, dtype=np.int64)
+        ids = np.asarray(s.column("doc_id")).astype(np.int64)
+        n = len(codes)
+        last = np.ones(n, dtype=bool)
+        last[:-1] = codes[1:] != codes[:-1]
+        ends = np.flatnonzero(last)
+        starts = np.empty(len(ends), dtype=np.int64)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        latest = ids[ends]
+        has_prev = ends > starts
+        prev = np.where(has_prev, ids[np.maximum(ends - 1, 0)], 0)
+        return pa.table(
+            {
+                "canon_url": url.take(pa.array(ends)),
+                "doc_id_latest": pa.array(latest, type=pa.int64()),
+                "doc_id_prev": pa.array(
+                    prev, type=pa.int64(), mask=~has_prev
+                ),
+            },
+            schema=out_schema,
+        )
+
+    pairs = (
+        pages.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["route"])
+        .map_batches(
+            last_two_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def split_added(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch.column("doc_id_prev"))
+        added = batch.filter(keep)
+        return pa.table(
+            {
+                "canon_url": added.column("canon_url"),
+                "doc_id_latest": added.column("doc_id_latest"),
+                "doc_id_prev": added.column("doc_id_prev"),
+                "status": pa.array(["added"] * added.num_rows, pa.string()),
+            }
+        )
+
+    def split_pairs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("doc_id_prev")))
+
+    added = pairs.map_batches(
+        split_added, batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_prev = pairs.map_batches(
+        split_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    texts = _docs(sf_dir, ["doc_id", "text"])
+    pair_schema = pa.schema(
+        [
+            ("canon_url", pa.string()),
+            ("doc_id_latest", pa.int64()),
+            ("doc_id_prev", pa.int64()),
+        ]
+    )
+    text_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def _txt(name):
+        def proj(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b.column("doc_id"), name: b.column("text")})
+
+        return texts.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(
+        with_prev,
+        _txt("text_l"),
+        left_on="doc_id_latest",
+        right_on="doc_id",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text_l", pa.string())]),
+        num_partitions=num_partitions,
+    )
+    j1_schema = pa.schema(
+        list(pair_schema) + [pa.field("text_l", pa.string())]
+    )
+    j2 = hash_join(
+        j1,
+        _txt("text_p"),
+        left_on="doc_id_prev",
+        right_on="doc_id",
+        left_schema=j1_schema,
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text_p", pa.string())]),
+        num_partitions=num_partitions,
+    )
+
+    def decide(b: pa.Table) -> pa.Table:
+        same = pc.equal(b.column("text_l"), b.column("text_p"))
+        status = pc.if_else(same, pa.scalar("same"), pa.scalar("changed"))
+        return pa.table(
+            {
+                "canon_url": b.column("canon_url"),
+                "doc_id_latest": b.column("doc_id_latest"),
+                "doc_id_prev": b.column("doc_id_prev"),
+                "status": status,
+            }
+        )
+
+    return added.union(
+        j2.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)
+    )

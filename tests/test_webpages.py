@@ -201,3 +201,43 @@ class TestLatestSnapshotPages:
             )
         )
         assert a == b and len(a) == 130  # 120 urls + 10 tied duplicates
+
+
+class TestCrawlDiff:
+    def test_statuses_partition_urls(self, ray_session):
+        from dynaalign_ray.pipelines.webpages import (
+            pages_crawl_diff,
+            pages_latest_snapshot,
+        )
+
+        diff = pages_crawl_diff("/root/testdata/sf0.001").to_pandas()
+        latest = pages_latest_snapshot("/root/testdata/sf0.001").to_pandas()
+        # one row per canonical URL, same universe as latest-snapshot
+        assert sorted(diff["canon_url"]) == sorted(latest["canon_url"])
+        assert set(diff["status"]) <= {"added", "changed", "same"}
+        # 'added' iff single snapshot
+        single = set(latest.loc[latest["n_snapshots"] == 1, "canon_url"])
+        assert set(diff.loc[diff["status"] == "added", "canon_url"]) == single
+        # latest doc ids agree with the latest-snapshot query
+        l_map = dict(zip(latest["canon_url"], latest["doc_id"]))
+        for u, d in zip(diff["canon_url"], diff["doc_id_latest"]):
+            assert l_map[u] == d
+
+    def test_same_means_equal_text(self, ray_session):
+        import duckdb
+
+        from dynaalign_ray.pipelines.webpages import pages_crawl_diff
+
+        diff = pages_crawl_diff("/root/testdata/sf0.001").to_pandas()
+        texts = dict(
+            duckdb.sql(
+                "SELECT doc_id, text FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+            ).fetchall()
+        )
+        checked = 0
+        for _, r in diff[diff["status"] != "added"].iterrows():
+            same = texts[r["doc_id_latest"]] == texts[int(r["doc_id_prev"])]
+            assert same == (r["status"] == "same"), r["canon_url"]
+            checked += 1
+        assert checked > 0
