@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_embedding": c.doc_hash_embedding,  # feature-hashed trigram embeddings (sparse rows)
         "doc_neardup_exact": c.doc_neardup_exact,  # SSJoin-edged clustering (no probabilistic stage)
         "pages_crawl_diff": w.pages_crawl_diff,  # latest-vs-previous snapshot diff per canonical URL
+        "doc_source_regression": c.doc_source_regression,  # per-source OLS fit (exact int sufficient stats)
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -640,6 +641,37 @@ def oracle_sql() -> dict[str, str]:
                               CAST((SELECT T FROM tot) AS DOUBLE))
                    END AS familiarity
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # Per-source OLS fit: integer sufficient statistics, closed-form
+        # solve mirrored op-for-op (int diffs cast to double, one divide;
+        # intercept = (Sy - slope*Sx)/n in doubles).
+        "doc_source_regression": """
+            WITH f AS (
+                SELECT source,
+                       CAST(n_chars AS BIGINT) AS x,
+                       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS y
+                FROM documents
+            ),
+            s AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM f GROUP BY source
+            )
+            SELECT source, n,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                             CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS slope,
+                   (CAST(sy AS DOUBLE) -
+                    (CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                          ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                               CAST(n * sxx - sx * sx AS DOUBLE)
+                     END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+            FROM s
         """,
         # Feature-hashed trigram embedding: the 63-bit codepoint pack is
         # SQL-expressible (unicode() per character), dim = pack % 64, sign

@@ -2291,6 +2291,71 @@ def doc_hash_embedding(sf_dir: str, dims: int = 64):
     )
 
 
+def doc_source_regression(sf_dir: str, num_partitions: int = 8):
+    """Distributed least-squares fit per source: n_tokens ~ n_chars via
+    exact integer sufficient statistics (n, Sx, Sy, Sxx, Sxy — partial
+    per block, ONE small groupby-sum shuffle) and the closed-form OLS
+    solve on the reduced rows.  slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2),
+    intercept = (Sy - slope*Sx)/n — every sum is an exact int64 (safe to
+    ~10^12 docs of 2k chars: Sxx < 2^63) and the float tree is mirrored
+    op-for-op by the DuckDB oracle, so the fit is bit-exact.  The
+    quality-calibration primitive: per-slice linear fits without any
+    driver-side data pass."""
+    from ray.data.aggregate import Count, Sum
+
+    def stats(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("n_chars")).astype(np.int64)
+        y = np.asarray(
+            pc.count_substring_regex(batch.column("text"), r"\S+")
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+                "xx": pa.array(x * x, type=pa.int64()),
+                "xy": pa.array(x * y, type=pa.int64()),
+            }
+        )
+
+    def solve(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n")).astype(np.int64)
+        sx = np.asarray(b.column("sx")).astype(np.int64)
+        sy = np.asarray(b.column("sy")).astype(np.int64)
+        sxx = np.asarray(b.column("sxx")).astype(np.int64)
+        sxy = np.asarray(b.column("sxy")).astype(np.int64)
+        den = (n * sxx - sx * sx).astype(np.float64)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        slope = np.divide(
+            num, den, out=np.zeros(len(n), dtype=np.float64), where=den != 0.0
+        )
+        intercept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) / n.astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n": pa.array(n, type=pa.int64()),
+                "slope": pa.array(slope, type=pa.float64()),
+                "intercept": pa.array(intercept, type=pa.float64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text", "source", "n_chars"])
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source", num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("xy", alias_name="sxy"),
+        )
+        .map_batches(solve, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def doc_compress_ratio(sf_dir: str):
     """Per-doc zlib compression ratio (functions/textstats.py:
     compress_ratio_batch) — the low-entropy/boilerplate quality signal.

