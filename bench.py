@@ -169,6 +169,20 @@ def run_bench() -> dict:
         "doc_lm_familiarity",
         lambda: c.doc_lm_familiarity(SF_DIR, num_partitions=P).count(),
     )
+    timed(
+        "doc_dsir_weights",
+        lambda: c.doc_dsir_weights(SF_DIR, num_partitions=P).count(),
+    )
+    timed(
+        "doc_neardup_exact",
+        lambda: c.doc_neardup_exact(SF_DIR, num_partitions=P).count(),
+    )
+    timed(
+        "doc_cooccurrence",
+        lambda: c.doc_cooccurrence(SF_DIR, num_partitions=P).count(),
+    )
+    timed("pages_crawl_diff", lambda: w.pages_crawl_diff(SF_DIR, P).count())
+    timed("events_user_funnel", lambda: r.events_user_funnel(SF_DIR, P).count())
 
     result = {
         "metric": "neardup_pages_e2e",
