@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_exact": c.doc_neardup_exact,  # SSJoin-edged clustering (no probabilistic stage)
         "pages_crawl_diff": w.pages_crawl_diff,  # latest-vs-previous snapshot diff per canonical URL
         "doc_source_regression": c.doc_source_regression,  # per-source OLS fit (exact int sufficient stats)
+        "doc_containment_pairs_prefix": c.doc_containment_pairs_prefix,  # exact containment SSJoin
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -1759,6 +1760,33 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM bench b
                     WHERE contains(d.text, b.snip)) > 0 AS contaminated
             FROM documents d
+        """,
+        # Exact containment SSJoin (asymmetric prefix filter): same output
+        # contract as doc_containment_pairs — shared oracle.
+        "doc_containment_pairs_prefix": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 10000.0 / least(ca.n, cb.n)) / 10000 AS containment
+            FROM inter
+            JOIN c ca ON ca.doc_id = a
+            JOIN c cb ON cb.doc_id = b
+            WHERE i * 1.0 / least(ca.n, cb.n) >= 0.8
         """,
         "doc_lang_stats": """
             SELECT lang,

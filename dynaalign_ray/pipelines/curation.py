@@ -615,6 +615,49 @@ def doc_containment_pairs(
     return sets_ds.map_batches(pairs_block, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def doc_containment_pairs_prefix(
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = 8,
+    order: str = "df",
+):
+    """EXACT shingle-containment pairs above ``threshold`` via the
+    asymmetric prefix filter (stages/ssjoin.py:prefix_containment_join —
+    the smaller set's prefix probes the larger set's full token list):
+    recall 1.0 by construction, nothing broadcast, never O(n^2) row
+    pairs.  Same output contract as :func:`doc_containment_pairs`, so the
+    same DuckDB oracle gates it."""
+    import functools
+
+    from dynaalign_ray.pipelines.relational import round4
+    from dynaalign_ray.stages.ssjoin import prefix_containment_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    edges = prefix_containment_join(
+        sets_ds, threshold, num_partitions, order=order
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": b.column("a"),
+                "b": b.column("b"),
+                "containment": round4(np.asarray(b.column("containment"))),
+            }
+        )
+
+    return edges.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_curation_funnel(sf_dir: str, num_partitions: int = 8):
     """Composed curation funnel (quality+lang filter -> exact dedup ->
     near dedup) over the documents table; returns (stage, n_docs) rows.

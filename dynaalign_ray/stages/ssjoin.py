@@ -199,6 +199,200 @@ def cms_df_order_ref(sets_ds, d: int = 4, w: int = 1 << 15, merge_fanin: int = 8
     return broadcast_put(merged)
 
 
+def all_tokens_block(batch: pa.Table) -> pa.Table:
+    """(doc_id, sketch) -> EVERY token as (tok, doc_id, n) — the index side
+    of the containment join (the smaller set's prefix must be probed
+    against the larger set's FULL token list; prefix-vs-prefix only bounds
+    symmetric measures like Jaccard)."""
+    from dynaalign_ray.stages.verify import _sketch_arrays
+
+    out_schema = pa.schema(
+        [("tok", pa.int64()), ("doc_id", pa.int64()), ("n", pa.int64())]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    vals, offs = _sketch_arrays(batch.column("sketch"))
+    ids = np.asarray(batch.column("doc_id")).astype(np.int64)
+    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+    return pa.table(
+        {
+            "tok": pa.array(to_id63(vals), type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, sizes), type=pa.int64()),
+            "n": pa.array(np.repeat(sizes, sizes), type=pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def containment_candidates_block(batch: pa.Table) -> pa.Table:
+    """Token-bucket candidate emission for the containment join (runs
+    after repartition(keys=["tok"]) over the UNION of probe rows
+    (role=0, prefix tokens) and index rows (role=1, all tokens)): emit
+    (min_doc, max_doc) for every (probe, index) pair in the bucket with
+    probe.n <= index.n and different docs.  The size gate keeps exactly
+    the guaranteed direction (the smaller set's prefix is the probe);
+    cross-bucket duplicates drop inside the verify join."""
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    tok = np.asarray(batch.column("tok")).astype(np.int64)
+    doc = np.asarray(batch.column("doc_id")).astype(np.int64)
+    n = np.asarray(batch.column("n")).astype(np.int64)
+    role = np.asarray(batch.column("role")).astype(np.int64)
+    order = np.lexsort((doc, role, tok))
+    tok, doc, n, role = tok[order], doc[order], n[order], role[order]
+    boundary = np.ones(len(tok), dtype=bool)
+    boundary[1:] = tok[1:] != tok[:-1]
+    starts = np.flatnonzero(boundary)
+    ends = np.append(starts[1:], len(tok))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        r = role[s:e]
+        probes = np.flatnonzero(r == 0)
+        index = np.flatnonzero(r == 1)
+        if len(probes) == 0 or len(index) == 0:
+            continue
+        pd_, pn = doc[s:e][probes], n[s:e][probes]
+        id_, inn = doc[s:e][index], n[s:e][index]
+        pi, ii = np.meshgrid(
+            np.arange(len(probes)), np.arange(len(index)), indexing="ij"
+        )
+        keep = (pn[pi] <= inn[ii]) & (pd_[pi] != id_[ii])
+        if keep.any():
+            da, db = pd_[pi[keep]], id_[ii[keep]]
+            out_a.append(np.minimum(da, db))
+            out_b.append(np.maximum(da, db))
+    if not out_a:
+        return out_schema.empty_table()
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def containment_verify_batch(batch: pa.Table, *, threshold: float) -> pa.Table:
+    """(a, b, sketch_a, sketch_b) -> (a, b, containment) rows with
+    containment = |A∩B| / min(|A|,|B|) >= threshold.  Duplicate (a, b)
+    copies are dropped in-kernel (the upstream join partitions on ``b``,
+    colocating them — the verify_pairs_batch contract).  The intersection
+    count is recovered from the exact Jaccard row exactly as the
+    broadcast containment plan does (i = rint(j*(la+lb)/(1+j))), so the
+    emitted float matches that plan bit-for-bit."""
+    from dynaalign_ray.stages.verify import _pairwise_jaccard, _sketch_arrays
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("containment", pa.float64())]
+    )
+    n = batch.num_rows
+    if n == 0:
+        return out_schema.empty_table()
+    aa = np.asarray(batch.column("a")).astype(np.int64)
+    bb = np.asarray(batch.column("b")).astype(np.int64)
+    order = np.lexsort((bb, aa))
+    uniq = np.ones(n, dtype=bool)
+    uniq[1:] = (aa[order][1:] != aa[order][:-1]) | (bb[order][1:] != bb[order][:-1])
+    if not uniq.all():
+        batch = batch.take(pa.array(order[uniq]))
+    va, oa = _sketch_arrays(batch.column("sketch_a"))
+    vb, ob = _sketch_arrays(batch.column("sketch_b"))
+    oa64 = oa.astype(np.int64, copy=False)
+    ob64 = ob.astype(np.int64, copy=False)
+    la = (oa64[1:] - oa64[:-1]).astype(np.float64)
+    lb = (ob64[1:] - ob64[:-1]).astype(np.float64)
+    jac = _pairwise_jaccard(
+        va, oa64[:-1], oa64[1:], vb, ob64[:-1], ob64[1:], 1 << 62
+    )
+    inter = np.rint(jac * (la + lb) / (1.0 + jac))
+    cont = inter / np.minimum(la, lb)
+    keep = cont >= threshold
+    return pa.table(
+        {
+            "a": pa.array(np.asarray(batch.column("a"))[keep], type=pa.int64()),
+            "b": pa.array(np.asarray(batch.column("b"))[keep], type=pa.int64()),
+            "containment": pa.array(cont[keep], type=pa.float64()),
+        },
+        schema=out_schema,
+    )
+
+
+def prefix_containment_join(
+    sets_ds, threshold: float, num_partitions: int, order: str = "value"
+):
+    """(doc_id, sketch) -> exact (a, b, containment) edges with
+    containment >= threshold, via the asymmetric prefix filter: the
+    smaller set's prefix (length n - floor(t*n) + 1) must intersect the
+    larger set's FULL token list when |A∩B| >= t*min (same suffix-capacity
+    argument as the Jaccard form, applied one-sided).  Index side shuffles
+    every token once — O(total tokens), nothing broadcast."""
+    import functools
+
+    from dynaalign_ray.joins import hash_join
+
+    if order not in ("value", "df"):
+        raise ValueError(f"order must be 'value' or 'df', got {order!r}")
+    cms_ref = cms_df_order_ref(sets_ds) if order == "df" else None
+
+    def with_role(role):
+        def add(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "role", pa.array(np.full(b.num_rows, role, dtype=np.int64))
+            )
+
+        return add
+
+    probe = sets_ds.map_batches(
+        functools.partial(
+            prefix_tokens_block, threshold=threshold, cms_ref=cms_ref
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(with_role(0), batch_format="pyarrow", zero_copy_batch=True)
+    index = sets_ds.map_batches(
+        all_tokens_block, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(with_role(1), batch_format="pyarrow", zero_copy_batch=True)
+    pairs = (
+        probe.union(index)
+        .repartition(num_blocks=num_partitions, keys=["tok"])
+        .map_batches(
+            containment_candidates_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    sk_a = pa.schema([("doc_id", pa.int64()), ("sketch_a", pa.binary())])
+    sk_b = pa.schema([("doc_id", pa.int64()), ("sketch_b", pa.binary())])
+
+    def _sk(name):
+        def project(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b.column("doc_id"), name: b.column("sketch")})
+
+        return sets_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(
+        pairs, _sk("sketch_a"), left_on="a", right_on="doc_id",
+        left_schema=pairs_schema, right_schema=sk_a, num_partitions=num_partitions,
+    )
+    j1_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("sketch_a", pa.binary())]
+    )
+    j2 = hash_join(
+        j1, _sk("sketch_b"), left_on="b", right_on="doc_id",
+        left_schema=j1_schema, right_schema=sk_b, num_partitions=num_partitions,
+    )
+    return j2.map_batches(
+        functools.partial(containment_verify_batch, threshold=threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def prefix_jaccard_join(
     sets_ds, threshold: float, num_partitions: int, order: str = "value"
 ):

@@ -203,3 +203,58 @@ class TestExactClustering:
         assert a["doc_id"].tolist() == b["doc_id"].tolist()
         assert a["cluster_id"].tolist() == b["cluster_id"].tolist()
         assert a["keep"].tolist() == b["keep"].tolist()
+
+
+def _brute_containment(sets, tau):
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = set(sets[a]), set(sets[b])
+            if not sa or not sb:
+                continue
+            c = len(sa & sb) / min(len(sa), len(sb))
+            if c >= tau:
+                out[(a, b)] = c
+    return out
+
+
+class TestContainmentJoin:
+    @pytest.mark.parametrize("order", ["value", "df"])
+    def test_matches_brute_force(self, ray_session, order):
+        import ray.data as rd
+
+        from dynaalign_ray.stages.ssjoin import prefix_containment_join
+
+        rng = np.random.default_rng(31)
+        universe = rng.integers(0, 2**63, size=300, dtype=np.int64)
+        sets = _rand_sets(rng, 25, universe, 4, 25, 6)
+        # plant a SUBSET pair: small set fully inside a big one (the
+        # containment-only shape Jaccard misses)
+        sets[100] = sets[0][:4]
+        ds = rd.from_arrow(_sets_table(sets)).materialize()
+        for tau in (0.6, 0.9):
+            got = {
+                (r["a"], r["b"]): r["containment"]
+                for r in prefix_containment_join(
+                    ds, tau, 4, order=order
+                ).take_all()
+            }
+            want = _brute_containment(sets, tau)
+            assert got.keys() == want.keys(), (tau, order)
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-12, (k, tau)
+        assert (0, 100) in got  # the planted subset at tau=0.9
+
+    def test_query_agrees_with_allpairs_plan(self, ray_session):
+        from dynaalign_ray.pipelines.curation import (
+            doc_containment_pairs,
+            doc_containment_pairs_prefix,
+        )
+
+        def key(df):
+            return sorted(zip(df["a"], df["b"], df["containment"]))
+
+        ap = doc_containment_pairs("/root/testdata/sf0.001").to_pandas()
+        pf = doc_containment_pairs_prefix("/root/testdata/sf0.001").to_pandas()
+        assert key(ap) == key(pf)
