@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_crawl_diff": w.pages_crawl_diff,  # latest-vs-previous snapshot diff per canonical URL
         "doc_source_regression": c.doc_source_regression,  # per-source OLS fit (exact int sufficient stats)
         "doc_containment_pairs_prefix": c.doc_containment_pairs_prefix,  # exact containment SSJoin
+        "doc_range_bucket": c.doc_range_bucket,  # range-shard assignment from exact quantile boundaries
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -642,6 +643,19 @@ def oracle_sql() -> dict[str, str]:
                               CAST((SELECT T FROM tot) AS DOUBLE))
                    END AS familiarity
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # Range-shard assignment: boundaries are quantile_disc at
+        # i/8, bucket = count of boundaries <= n_chars (side='right' ties).
+        "doc_range_bucket": """
+            WITH b AS (
+                SELECT quantile_disc(n_chars,
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   CAST(len(list_filter((SELECT bounds FROM b),
+                                        x -> x <= n_chars)) AS BIGINT) AS bucket
+            FROM documents
         """,
         # Per-source OLS fit: integer sufficient statistics, closed-form
         # solve mirrored op-for-op (int diffs cast to double, one divide;

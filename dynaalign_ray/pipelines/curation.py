@@ -2334,6 +2334,43 @@ def doc_hash_embedding(sf_dir: str, dims: int = 64):
     )
 
 
+def doc_range_bucket(sf_dir: str, num_shards: int = 8, num_partitions: int = 8):
+    """Range-shard assignment: bucket = number of exact i/num_shards
+    quantile boundaries of n_chars that are <= the doc's n_chars — the
+    query form of sources/io.write_range_shards (same boundaries, same
+    side='right' tie rule), so placement is auditable in SQL.  Boundaries
+    come from the proven exact_int_quantiles (DuckDB quantile_disc rule),
+    making the whole assignment hash-exact."""
+    import functools
+
+    from dynaalign_ray.exec import broadcast_put
+    from dynaalign_ray.functions.sketches import exact_int_quantiles
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    qs = [i / num_shards for i in range(1, num_shards)]
+    bounds = np.asarray(
+        exact_int_quantiles(docs, "n_chars", qs, num_partitions).column("value"),
+        dtype=np.int64,
+    )
+    bref = broadcast_put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray
+
+        b = ray.get(bref)
+        x = np.asarray(batch.column("n_chars")).astype(np.int64)
+        bucket = np.searchsorted(b, x, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_source_regression(sf_dir: str, num_partitions: int = 8):
     """Distributed least-squares fit per source: n_tokens ~ n_chars via
     exact integer sufficient statistics (n, Sx, Sy, Sxx, Sxy — partial

@@ -148,3 +148,61 @@ def write_training_shards(
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, manifest_path)
     return manifest
+
+
+def write_range_shards(
+    ds,
+    out_dir: str,
+    *,
+    col: str,
+    num_shards: int = 8,
+    num_partitions: int = 8,
+):
+    """Range-partitioned SORTED Parquet sink: shard boundaries are the
+    exact ``i/num_shards`` quantiles of ``col`` (bounded-cardinality int
+    column — functions/sketches.exact_int_quantiles), each row goes to
+    bucket = #boundaries <= value, buckets are co-located by a keyed
+    repartition and each block is sorted by (col) before writing under
+    ``out_dir/bucket=<k>/``.  The at-rest layout downstream range scans
+    want: bucket k holds a contiguous value range, files within it are
+    sorted, and the bucket directories enumerate in key order.  Balanced
+    by construction (quantile boundaries), resumable per bucket dir."""
+    import functools
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dynaalign_ray.exec import broadcast_put
+    from dynaalign_ray.functions.sketches import exact_int_quantiles
+
+    qs = [i / num_shards for i in range(1, num_shards)]
+    bounds_tbl = exact_int_quantiles(ds, col, qs, num_partitions)
+    bounds = np.asarray(bounds_tbl.column("value"), dtype=np.int64)
+    bref = broadcast_put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray
+
+        b = ray.get(bref)
+        x = np.asarray(batch.column(col)).astype(np.int64)
+        bucket = np.searchsorted(b, x, side="right").astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    def sort_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.take(pc.sort_indices(batch, sort_keys=[(col, "ascending")]))
+
+    (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_shards, keys=["bucket"])
+        .map_batches(
+            sort_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .write_parquet(out_dir, partition_cols=["bucket"])
+    )
+    return out_dir

@@ -187,3 +187,47 @@ class TestSourceRegression:
         slope = 0.0
         intercept = (sy - slope * sx) / n
         assert intercept == 4.0
+
+
+class TestRangeShards:
+    def test_sink_layout_and_query_agree(self, ray_session, tmp_path):
+        import glob
+
+        import duckdb
+        import ray.data as rd
+
+        from dynaalign_ray.exec import configure_context
+        from dynaalign_ray.pipelines.curation import doc_range_bucket
+        from dynaalign_ray.sources.io import write_range_shards
+
+        configure_context()
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "n_chars"],
+        )
+        out = str(tmp_path / "shards")
+        write_range_shards(ds, out, col="n_chars", num_shards=4)
+        want = doc_range_bucket("/root/testdata/sf0.001", num_shards=4).to_pandas()
+        back = duckdb.sql(
+            f"SELECT * FROM read_parquet('{out}/bucket=*/*.parquet', "
+            "hive_partitioning=true)"
+        ).df()
+        # every row lands in the bucket the query form assigns
+        assert len(back) == len(want) == 500
+        w = dict(zip(want["doc_id"], want["bucket"]))
+        for d, b in zip(back["doc_id"], back["bucket"]):
+            assert w[d] == int(b)
+        # bucket value ranges are contiguous and ordered
+        ranges = (
+            back.groupby("bucket")["n_chars"].agg(["min", "max"]).sort_index()
+        )
+        prev_max = -1
+        for _, r in ranges.iterrows():
+            assert r["min"] > prev_max or r["min"] >= prev_max  # boundaries may tie
+            prev_max = r["max"]
+        # files within each bucket are sorted by the key
+        for f in glob.glob(f"{out}/bucket=*/*.parquet"):
+            col = duckdb.sql(f"SELECT n_chars FROM read_parquet('{f}')").df()[
+                "n_chars"
+            ]
+            assert (np.diff(col.to_numpy()) >= 0).all(), f
