@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_regression": c.doc_source_regression,  # per-source OLS fit (exact int sufficient stats)
         "doc_containment_pairs_prefix": c.doc_containment_pairs_prefix,  # exact containment SSJoin
         "doc_range_bucket": c.doc_range_bucket,  # range-shard assignment from exact quantile boundaries
+        "pages_intrahost_neardup": w.pages_intrahost_neardup,  # site-scoped near-dup (edge_filter hook)
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -1459,6 +1460,43 @@ def oracle_sql() -> dict[str, str]:
         # Crawl-window-scoped near-dup: same CC as doc_neardup_clusters but
         # edges additionally require |warc_us(a) - warc_us(b)| <= 50 steps
         # (ts formula mirrors derive_pages / _PAGES_CTE exactly).
+        # Intra-host-scoped near-dup: same CC as the flagship, edges
+        # additionally require equal hosts.  Host equality for the derived
+        # pages view is exactly site-index equality ((doc_id//3) % 20 —
+        # the only host-varying term in _PAGES_CTE's url construction).
+        "pages_intrahost_neardup": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+                  AND ((a // 3) % 20) = ((b // 3) % 20)
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
+            FROM reach GROUP BY node
+        """,
         "pages_window_neardup": """
             WITH RECURSIVE t AS (
                 SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks

@@ -534,6 +534,86 @@ def pages_window_neardup(
     return res.clusters.select_columns(["doc_id", "cluster_id", "keep"])
 
 
+def pages_intrahost_neardup(sf_dir: str, num_partitions: int = 8):
+    """Intra-host (per-site) near-dup clustering: verified near-dup edges
+    may merge two pages ONLY when they live on the same host — the
+    site-level dedup scope (boilerplate shared ACROSS sites must not
+    chain sites into one cluster; within a site it should).
+
+    Same ``edge_filter`` mechanism as :func:`pages_window_neardup`, with
+    the endpoint attribute being the host STRING (joined on, compared
+    with exact string equality — never by hash, per the repo's
+    no-injectivity-dependence discipline)."""
+    import pyarrow.compute as pc
+
+    from dynaalign_ray.config import DedupConfig
+    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.pipelines.neardup import near_dedup
+
+    def _host(colname: str):
+        def kern(batch: pa.Table) -> pa.Table:
+            pages = derive_pages(batch)
+            _, host = canonicalize(pages.column("url"))
+            return pa.table(
+                {"doc_id": pages.column("doc_id"), colname: host}
+            )
+
+        return _docs(sf_dir, ["doc_id"]).map_batches(
+            kern, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def edge_filter(edges):
+        e1 = hash_join(
+            edges,
+            _host("host_a"),
+            left_on="a",
+            right_on="doc_id",
+            left_schema=pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+            ),
+            right_schema=pa.schema(
+                [("doc_id", pa.int64()), ("host_a", pa.string())]
+            ),
+            num_partitions=num_partitions,
+        )
+        e2 = hash_join(
+            e1,
+            _host("host_b"),
+            left_on="b",
+            right_on="doc_id",
+            left_schema=pa.schema(
+                [
+                    ("a", pa.int64()),
+                    ("b", pa.int64()),
+                    ("jaccard", pa.float64()),
+                    ("host_a", pa.string()),
+                ]
+            ),
+            right_schema=pa.schema(
+                [("doc_id", pa.int64()), ("host_b", pa.string())]
+            ),
+            num_partitions=num_partitions,
+        )
+
+        def same_host(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("host_a"), batch.column("host_b"))
+            ).select(["a", "b", "jaccard"])
+
+        return e2.map_batches(
+            same_host, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    res = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=DedupConfig(shingle_k=3),
+        num_partitions=num_partitions,
+        edge_filter=edge_filter,
+        edge_filter_tag="same_host",
+    )
+    return res.clusters.select_columns(["doc_id", "cluster_id", "keep"])
+
+
 def pages_crawl_diff(sf_dir: str, num_partitions: int = 8):
     """Crawl-over-crawl diff per canonical URL: compare the LATEST snapshot
     against the PREVIOUS one — status 'added' (single snapshot), 'changed'

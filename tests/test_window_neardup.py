@@ -79,3 +79,24 @@ class TestWindowNeardup:
             pages_window_neardup(SF, window_snapshots=10**9, num_partitions=4)
         )
         assert full == win
+
+
+class TestIntrahostScope:
+    def test_refines_flagship_and_respects_hosts(self, ray_session):
+        """Intra-host clusters refine the unscoped flagship clustering
+        (dropping edges only splits components) and no cluster spans two
+        hosts."""
+        from dynaalign_ray.pipelines.curation import doc_neardup_clusters
+        from dynaalign_ray.pipelines.webpages import pages_intrahost_neardup
+
+        scoped = pages_intrahost_neardup("/root/testdata/sf0.001").to_pandas()
+        base = doc_neardup_clusters("/root/testdata/sf0.001").to_pandas()
+        assert len(scoped) == len(base) == 500
+        # refinement: docs in the same scoped cluster share a base cluster
+        base_of = dict(zip(base["doc_id"], base["cluster_id"]))
+        for cid, grp in scoped.groupby("cluster_id"):
+            assert len({base_of[d] for d in grp["doc_id"]}) == 1, cid
+        # host purity: cluster members share the site index (doc_id//3)%20
+        for cid, grp in scoped.groupby("cluster_id"):
+            sites = {(int(d) // 3) % 20 for d in grp["doc_id"]}
+            assert len(sites) == 1, cid
