@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment_pairs_prefix": c.doc_containment_pairs_prefix,  # exact containment SSJoin
         "doc_range_bucket": c.doc_range_bucket,  # range-shard assignment from exact quantile boundaries
         "pages_intrahost_neardup": w.pages_intrahost_neardup,  # site-scoped near-dup (edge_filter hook)
+        "events_hourly_anomaly": r.events_hourly_anomaly,  # hourly-volume z-scores (monitoring)
         "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
         "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
         "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
@@ -2240,6 +2241,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY o_custkey
             ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10
+        """,
+        # Hourly anomaly z-scores: exact int sufficient stats over the
+        # small hour table; mean/var/std/z mirror the engine's float tree
+        # op-for-op (sample variance, IEEE sqrt — correctly rounded on
+        # both engines).
+        "events_hourly_anomaly": """
+            WITH h AS (
+                SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ),
+            st AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(n) AS BIGINT) AS s,
+                       CAST(sum(n * n) AS BIGINT) AS ss
+                FROM h
+            )
+            SELECT h.hour_us, h.n,
+                   CASE
+                     WHEN st.k <= 1 THEN 0.0
+                     WHEN sqrt((CAST(st.k AS DOUBLE) * CAST(st.ss AS DOUBLE) -
+                                CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) /
+                               (CAST(st.k AS DOUBLE) *
+                                (CAST(st.k AS DOUBLE) - 1.0))) <= 0.0 THEN 0.0
+                     ELSE (CAST(h.n AS DOUBLE) -
+                           CAST(st.s AS DOUBLE) / CAST(st.k AS DOUBLE)) /
+                          sqrt((CAST(st.k AS DOUBLE) * CAST(st.ss AS DOUBLE) -
+                                CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) /
+                               (CAST(st.k AS DOUBLE) *
+                                (CAST(st.k AS DOUBLE) - 1.0)))
+                   END AS z
+            FROM h, st
         """,
         "events_hourly": """
             SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,

@@ -193,6 +193,71 @@ def top_customers(sf_dir: str, k: int = 10, num_partitions: int = 8):
     return _round_cols(top, ["revenue"])
 
 
+def events_hourly_anomaly(sf_dir: str, num_partitions: int = 8):
+    """Hourly-volume anomaly scores: z = (count_h - mean) / std over the
+    per-hour event counts — the monitoring primitive for crawl/pipeline
+    volume drops.  Distributed shape: one tumbling-window groupby-count
+    (the only corpus-sized pass), then the mean/std come from exact
+    integer sufficient statistics (k, S, SS) over the SMALL hour table
+    and the z column is one mirrored float tree per row.  std uses the
+    sample rule (k-1); IEEE sqrt is correctly rounded on both engines, so
+    the oracle is bit-exact."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return pa.table({"hour_us": hour})
+
+    counts = (
+        ev.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour_us", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def zscore(b: pa.Table, *, stats) -> pa.Table:
+        k, s, ss = stats
+        n = np.asarray(b.column("n")).astype(np.int64)
+        mean = float(s) / float(k)
+        var = (
+            (float(k) * float(ss) - float(s) * float(s))
+            / (float(k) * (float(k) - 1.0))
+            if k > 1
+            else 0.0
+        )
+        std = float(np.sqrt(var))
+        z = (
+            (n.astype(np.float64) - mean) / std
+            if std > 0.0
+            else np.zeros(len(n), dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "hour_us": b.column("hour_us"),
+                "n": pa.array(n, type=pa.int64()),
+                "z": pa.array(z, type=pa.float64()),
+            }
+        )
+
+    import functools
+
+    # the hour table is an aggregate result (one row per distinct hour) —
+    # reducing it to three exact-int scalars on the driver is O(hours)
+    tbl = counts.to_pandas()
+    nvals = tbl["n"].to_numpy(np.int64)
+    stats = (len(nvals), int(nvals.sum()), int((nvals * nvals).sum()))
+    import ray.data as rd
+
+    counts2 = rd.from_pandas(tbl)
+    return counts2.map_batches(
+        functools.partial(zscore, stats=stats),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def events_hourly(sf_dir: str, num_partitions: int = 8):
     """Tumbling 1-hour window aggregate over the events stream table —
     event-time windowing as groupby(floor(ts)) (Ray Data has no watermarks;

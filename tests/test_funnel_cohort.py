@@ -133,3 +133,20 @@ class TestCohortKernel:
         zero = out[out["offset_hours"] == 0].set_index("cohort")["n_users"]
         for _, r in want.iterrows():
             assert zero[r["cohort"]] == r["n"]
+
+
+class TestHourlyAnomaly:
+    def test_zscore_laws(self, ray_session):
+        from dynaalign_ray.pipelines.relational import events_hourly_anomaly
+
+        out = events_hourly_anomaly("/root/testdata/sf0.001").to_pandas()
+        n = out["n"].to_numpy(np.float64)
+        z = out["z"].to_numpy(np.float64)
+        k = len(n)
+        mean, std = n.mean(), n.std(ddof=1)
+        # standardization laws (sample rule)
+        assert abs(z.mean()) < 1e-9
+        assert abs(z.std(ddof=1) - 1.0) < 1e-9
+        # extreme hour maps to extreme z
+        assert out.loc[out["n"].idxmax(), "z"] == z.max()
+        assert k > 1 and std > 0
