@@ -458,7 +458,7 @@ def _textstats_oracles() -> dict[str, str]:
     # the argmax — hence the keep set — matches exactly.
     best_keep = f"""
             WITH RECURSIVE t AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
                 FROM documents
             ),
             s AS (
@@ -492,9 +492,9 @@ def _textstats_oracles() -> dict[str, str]:
             raw AS (
                 SELECT doc_id,
                        GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS chars,
-                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-                       GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS toks,
-                       CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{{-~]')) AS DOUBLE) AS n_punct_f,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                       GREATEST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS toks,
+                       CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS DOUBLE) AS n_punct_f,
                        CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit_f,
                        CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE) AS n_stop_f
                 FROM documents
