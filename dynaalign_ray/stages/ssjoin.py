@@ -41,6 +41,14 @@ on the token -> per-bucket pair emission with the length filter
 on ``b``, so duplicate (a,b) copies co-locate and drop in-kernel) ->
 exact-Jaccard verify via stages.verify.verified_edges.  No stage
 broadcasts anything that scales with the corpus.
+
+OUTPUT-SIZE boundary (inherent to exact pair enumeration, not to this
+plan): the result is Θ(true qualifying pairs).  A duplicate cluster of m
+docs contributes C(m, 2) pairs — a 100k-member boilerplate cluster alone
+is 5·10^9 rows.  For corpora with huge near-dup clusters the flagship
+LSH pipeline (pair_cap star edges preserve connectivity with m-1 rows)
+is the dedup path; the SSJoin is the exact-JOIN operator for workloads
+that need every pair (audits, similarity graphs over curated corpora).
 """
 
 from __future__ import annotations
