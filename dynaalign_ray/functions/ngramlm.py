@@ -110,20 +110,10 @@ def familiarity_score_block(
     """(doc_id, text) -> (doc_id, n_trigrams, hit_count, familiarity)."""
     import ray
 
-    keys, cnts, T = ray.get(model_ref)
+    model = ray.get(model_ref)
+    T = model[2]
     flat, per_doc = pack_trigram_windows(batch.column(col).to_pylist())
-    vals = np.zeros(len(flat), dtype=np.int64)
-    if len(flat) and len(keys):
-        idx = np.searchsorted(keys, flat)
-        idx_c = np.minimum(idx, len(keys) - 1)
-        ok = keys[idx_c] == flat
-        vals[ok] = cnts[idx_c[ok]]
-    ends = np.cumsum(per_doc)
-    starts = ends - per_doc
-    hit = np.zeros(len(per_doc), dtype=np.int64)
-    nz = np.flatnonzero(per_doc > 0)
-    if len(nz):
-        hit[nz] = np.add.reduceat(vals, starts[nz])
+    hit = _model_hits(flat, per_doc, model)
     denom = per_doc.astype(np.float64) * float(T)
     fam = np.divide(
         hit.astype(np.float64),

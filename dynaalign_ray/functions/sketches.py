@@ -602,3 +602,25 @@ def approx_token_counts(
             "est_count": pa.array(est, type=pa.int64()),
         }
     )
+
+
+def exact_range_bounds(
+    ds, col: str, num_shards: int, num_partitions: int
+) -> np.ndarray:
+    """Shard boundaries for range partitioning: the exact ``i/num_shards``
+    quantiles of ``col`` (i = 1..num_shards-1).  Shared by the sorted
+    range sink (sources/io.write_range_shards) and its auditing query
+    (pipelines/curation.doc_range_bucket) so the boundary rule cannot
+    drift between writer and reader."""
+    qs = [i / num_shards for i in range(1, num_shards)]
+    return np.asarray(
+        exact_int_quantiles(ds, col, qs, num_partitions).column("value"),
+        dtype=np.int64,
+    )
+
+
+def assign_range_bucket(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """bucket = #boundaries <= value (searchsorted side='right': a value
+    equal to a boundary goes to the HIGHER bucket) — the single tie rule
+    both the sink and the query use."""
+    return np.searchsorted(bounds, values, side="right").astype(np.int64)

@@ -791,7 +791,13 @@ def doc_neardup_exact(
         )
         .materialize()
     )
-    edges = prefix_jaccard_join(sets_ds, tau, num_partitions, order=order)
+    # materialize: connected_components counts the edges and then the CC
+    # pass consumes them again — without this the whole prefix join +
+    # verify re-executes (the near_dedup flagship materializes for the
+    # same reason, neardup.py)
+    edges = prefix_jaccard_join(
+        sets_ds, tau, num_partitions, order=order
+    ).materialize()
     cfg = DedupConfig()
     labels, info = connected_components(
         edges, num_partitions, cfg.max_cc_rounds, cfg.small_cc_limit
@@ -2255,12 +2261,19 @@ def doc_dsir_weights(
             pc.equal(batch.column("source"), pa.scalar(target_source))
         ).select(["doc_id", "text"])
 
+    import ray
+
     with_src = _docs(sf_dir, ["doc_id", "text", "source"])
     target_ref = train_trigram_model(
         with_src.map_batches(tgt_only, batch_format="pyarrow", zero_copy_batch=True),
         vocab=vocab,
         num_partitions=num_partitions,
     )
+    if ray.get(target_ref)[2] == 0:  # fail loudly, never emit inf weights
+        raise ValueError(
+            f"DSIR target slice source={target_source!r} has no trigrams "
+            "(empty slice or all docs shorter than 3 codepoints)"
+        )
     docs = _docs(sf_dir, ["doc_id", "text"])
     raw_ref = train_trigram_model(
         docs, vocab=vocab, num_partitions=num_partitions
@@ -2341,25 +2354,22 @@ def doc_range_bucket(sf_dir: str, num_shards: int = 8, num_partitions: int = 8):
     side='right' tie rule), so placement is auditable in SQL.  Boundaries
     come from the proven exact_int_quantiles (DuckDB quantile_disc rule),
     making the whole assignment hash-exact."""
-    import functools
-
     from dynaalign_ray.exec import broadcast_put
-    from dynaalign_ray.functions.sketches import exact_int_quantiles
+    from dynaalign_ray.functions.sketches import (
+        assign_range_bucket,
+        exact_range_bounds,
+    )
 
     docs = _docs(sf_dir, ["doc_id", "n_chars"])
-    qs = [i / num_shards for i in range(1, num_shards)]
-    bounds = np.asarray(
-        exact_int_quantiles(docs, "n_chars", qs, num_partitions).column("value"),
-        dtype=np.int64,
+    bref = broadcast_put(
+        exact_range_bounds(docs, "n_chars", num_shards, num_partitions)
     )
-    bref = broadcast_put(bounds)
 
     def assign(batch: pa.Table) -> pa.Table:
         import ray
 
-        b = ray.get(bref)
         x = np.asarray(batch.column("n_chars")).astype(np.int64)
-        bucket = np.searchsorted(b, x, side="right").astype(np.int64)
+        bucket = assign_range_bucket(x, ray.get(bref))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -220,6 +220,14 @@ def events_hourly_anomaly(sf_dir: str, num_partitions: int = 8):
     def zscore(b: pa.Table, *, stats) -> pa.Table:
         k, s, ss = stats
         n = np.asarray(b.column("n")).astype(np.int64)
+        if k == 0:  # empty events table: zero hour rows, nothing to score
+            return pa.table(
+                {
+                    "hour_us": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "z": pa.array([], type=pa.float64()),
+                }
+            )
         mean = float(s) / float(k)
         var = (
             (float(k) * float(ss) - float(s) * float(s))

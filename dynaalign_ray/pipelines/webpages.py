@@ -691,6 +691,8 @@ def pages_crawl_diff(sf_dir: str, num_partitions: int = 8):
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        .materialize()  # consumed twice (added split + join branch) — one
+        # derivation + shuffle pass, not two
     )
 
     def split_added(batch: pa.Table) -> pa.Table:

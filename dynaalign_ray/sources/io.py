@@ -174,19 +174,18 @@ def write_range_shards(
     import pyarrow.compute as pc
 
     from dynaalign_ray.exec import broadcast_put
-    from dynaalign_ray.functions.sketches import exact_int_quantiles
+    from dynaalign_ray.functions.sketches import (
+        assign_range_bucket,
+        exact_range_bounds,
+    )
 
-    qs = [i / num_shards for i in range(1, num_shards)]
-    bounds_tbl = exact_int_quantiles(ds, col, qs, num_partitions)
-    bounds = np.asarray(bounds_tbl.column("value"), dtype=np.int64)
-    bref = broadcast_put(bounds)
+    bref = broadcast_put(exact_range_bounds(ds, col, num_shards, num_partitions))
 
     def assign(batch: pa.Table) -> pa.Table:
         import ray
 
-        b = ray.get(bref)
         x = np.asarray(batch.column(col)).astype(np.int64)
-        bucket = np.searchsorted(b, x, side="right").astype(np.int64)
+        bucket = assign_range_bucket(x, ray.get(bref))
         return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
     def sort_block(batch: pa.Table) -> pa.Table:

@@ -143,11 +143,14 @@ def prefix_candidates_block(batch: pa.Table, *, threshold: float) -> pa.Table:
         m = e - s
         if m < 2:
             continue
-        bucket_doc = doc[s:e]  # ascending, distinct within a token
+        bucket_doc = doc[s:e]  # ascending within a token; a doc can repeat
+        # if two of its shingle hashes fold to the same 63-bit key
         bucket_n = n[s:e]
         ai, bi = np.triu_indices(m, k=1)
         na, nb = bucket_n[ai], bucket_n[bi]
-        keep = np.minimum(na, nb) >= tau_eps * np.maximum(na, nb)
+        keep = (np.minimum(na, nb) >= tau_eps * np.maximum(na, nb)) & (
+            bucket_doc[ai] != bucket_doc[bi]  # fold collision -> no self-pair
+        )
         if keep.any():
             out_a.append(bucket_doc[ai[keep]])
             out_b.append(bucket_doc[bi[keep]])

@@ -317,7 +317,9 @@ def funnel_stage_block(batch, *, stages: tuple[str, ...]):
     new = _segment_starts(uid)
     starts = np.flatnonzero(new)
     gidx = np.cumsum(new) - 1
-    prev = np.zeros(len(starts), dtype=np.int64)  # t_0 lower bound: epoch 0
+    # stage-0 lower bound: -inf (int64 min), NOT epoch 0 — pre-1970
+    # timestamps must still satisfy the first stage, as in the SQL oracle
+    prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
     cols: dict = {"user_id": pa.array(uid[starts], type=pa.int64())}
     stage_count = np.zeros(len(starts), dtype=np.int64)
     t_cols = []

@@ -150,3 +150,13 @@ class TestHourlyAnomaly:
         # extreme hour maps to extreme z
         assert out.loc[out["n"].idxmax(), "z"] == z.max()
         assert k > 1 and std > 0
+
+
+class TestPreEpochFunnel:
+    def test_negative_timestamps_satisfy_first_stage(self):
+        # pre-1970 ts must still count for stage 0 (oracle has no lower bound)
+        rows = [(1, -5_000_000, "view"), (1, -1_000_000, "click")]
+        got = funnel_stage_block(
+            _ev_table(rows), stages=("view", "click")
+        ).to_pydict()
+        assert got["funnel_stage"] == [2]

@@ -258,3 +258,20 @@ class TestContainmentJoin:
         ap = doc_containment_pairs("/root/testdata/sf0.001").to_pandas()
         pf = doc_containment_pairs_prefix("/root/testdata/sf0.001").to_pandas()
         assert key(ap) == key(pf)
+
+
+class TestFoldCollisionGuard:
+    def test_no_self_pair_when_doc_repeats_in_bucket(self):
+        """A to_id63 fold collision can place one doc twice in a token
+        bucket; the candidate kernel must never emit (a, a)."""
+        t = pa.table(
+            {
+                "tok": pa.array([7, 7, 7], pa.int64()),
+                "doc_id": pa.array([1, 1, 2], pa.int64()),  # doc 1 twice
+                "n": pa.array([4, 4, 4], pa.int64()),
+            }
+        )
+        out = prefix_candidates_block(t, threshold=0.5).to_pydict()
+        pairs = set(zip(out["a"], out["b"]))
+        assert (1, 1) not in pairs
+        assert pairs == {(1, 2)}
