@@ -44,6 +44,7 @@ FEATURE_DIM = 64
 
 PPM_TYPE = "image/x-portable-pixmap"
 WAV_TYPE = "audio/wav"
+GIF_TYPE = "image/gif"
 
 # ------------------------------------------------------- decoder registry
 #
@@ -130,6 +131,171 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     n = w * h * 3
     raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return raster.reshape(h, w, 3)
+
+
+# --------------------------------------------------------------- GIF codec
+# Pure-spec GIF87a/89a decode (CompuServe spec + the LZW variable-width
+# coding it mandates) — the third native compressed-format codec after
+# PPM/WAV.  First frame only (feature extraction needs one raster);
+# interlaced images are de-interlaced per the spec's 4-pass order.
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes -> HxWx3 uint8 array (first image block)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    sw = int.from_bytes(payload[pos : pos + 2], "little")
+    sh = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+    packed = payload[pos + 4]
+    pos += 7  # screen descriptor: 2+2+1(packed)+1(bg)+1(aspect)
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        # image descriptor
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                payload, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+        if ipacked & 0x40:  # interlaced: spec pass order 0,8 / 4,8 / 2,4 / 1,2
+            rows = np.empty((h, w), np.uint8)
+            src = idx.reshape(h, w)
+            order = np.concatenate(
+                [np.arange(s, h, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            rows[order] = src
+            idx = rows.reshape(-1)
+        return table[np.minimum(idx, len(table) - 1)].reshape(h, w, 3)
+    raise ValueError(f"GIF has no image block ({sw}x{sh} screen)")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width (min_code+1 .. 12 bits, LSB-first
+    packing), CLEAR resets the table, EOI ends the stream."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bits = np.unpackbits(
+        np.frombuffer(data, np.uint8).reshape(-1, 1), axis=1, bitorder="little"
+    ).reshape(-1)
+    out = np.empty(n_pixels, np.uint8)
+    written = 0
+    bp = 0
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code + 1
+    prev = None
+    while written < n_pixels and bp + width <= len(bits):
+        code = int(bits[bp : bp + width] @ (1 << np.arange(width, dtype=np.int64)))
+        bp += width
+        if code == clear:
+            table = fresh()
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        seg = np.frombuffer(entry, np.uint8)
+        take = min(len(seg), n_pixels - written)
+        out[written : written + take] = seg[:take]
+        written += take
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if written < n_pixels:
+        raise ValueError(f"GIF LZW stream ended early ({written}/{n_pixels})")
+    return out
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> GIF87a bytes (<=256 distinct colors; the classic
+    fixed-width LZW form: literal codes with a CLEAR emitted whenever the
+    decoder's table would force a width increase — spec-compliant output
+    any GIF decoder accepts, no compression dictionary needed)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_gif expects an HxWx3 uint8 array")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif supports <=256 colors, got {len(palette)}")
+    gct_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    gct_n = 1 << gct_bits
+    pal = np.zeros((gct_n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    min_code = max(2, gct_bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    codes: list[int] = [clear]
+    budget = (1 << width) - eoi - 1  # literals until the table forces width+1
+    for c in inverse.astype(np.int64):
+        if budget == 0:
+            codes.append(clear)
+            budget = (1 << width) - eoi - 1
+        codes.append(int(c))
+        budget -= 1
+    codes.append(eoi)
+    # pack LSB-first at fixed width
+    nbits = len(codes) * width
+    bits = np.zeros(nbits, np.uint8)
+    arr = np.asarray(codes, np.int64)
+    for b in range(width):
+        bits[b::width] = (arr >> b) & 1
+    data = np.packbits(bits, bitorder="little").tobytes()
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | ((gct_bits - 1) & 0x07), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0])  # no LCT, not interlaced
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -291,6 +457,8 @@ class MediaFeatureActor:
             return self._fake_feature(payload)
         if media_type == PPM_TYPE:
             return self._image_features(payload)
+        if media_type == GIF_TYPE:
+            return self._image_features_from_array(decode_gif(payload))
         if media_type == WAV_TYPE:
             return self._audio_feature_vec(payload)
         decoder = _DECODER_REGISTRY.get(media_type)

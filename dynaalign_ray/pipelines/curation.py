@@ -1600,6 +1600,59 @@ def _shingle_setop(sf_dir: str, src_a: str, src_b: str, num_partitions: int, op:
     )
 
 
+def media_gif_features(sf_dir: str, num_partitions: int = 4):
+    """GIF decode under the driver (rows-only): the synthetic image corpus
+    re-encoded as REAL GIF87a payloads (pure-spec LZW — see
+    functions/multimodal.decode_gif), pushed through the strict
+    MediaFeatureActor pool.  Proves the compressed-format path end-to-end
+    with no codec library: parse header + color table, LZW-decompress,
+    de-palette, extract the same image features as the PPM path."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.multimodal import (
+        GIF_TYPE,
+        MediaFeatureActor,
+        encode_gif,
+        synth_image,
+    )
+
+    configure_context()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_media = max(8, n_docs // 4)
+
+    def synth_gifs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("id")).astype(np.int64)
+        payloads = [
+            # quantize the synthetic image to a small palette so the GIF
+            # 256-color constraint holds (posterize to 2 bits/channel:
+            # <= 64 distinct colors)
+            encode_gif((synth_image(int(i)) >> 6) << 6)
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array([GIF_TYPE] * len(ids), pa.string()),
+            }
+        )
+
+    ds = (
+        rd.range(n_media)
+        .map_batches(synth_gifs, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            MediaFeatureActor,
+            fn_constructor_kwargs={"decode": "strict"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=num_partitions,
+        )
+    )
+    return ds
+
+
 def media_features(sf_dir: str, num_partitions: int = 4):
     """REAL multimodal decode under the driver (rows-only): a deterministic
     media corpus sized from the documents table (one media row per two docs;
