@@ -45,6 +45,7 @@ FEATURE_DIM = 64
 PPM_TYPE = "image/x-portable-pixmap"
 WAV_TYPE = "audio/wav"
 GIF_TYPE = "image/gif"
+PNG_TYPE = "image/png"
 
 # ------------------------------------------------------- decoder registry
 #
@@ -87,7 +88,7 @@ def _try_autoregister() -> None:
             img = Image.open(io.BytesIO(payload)).convert("RGB")
             return ("image", np.asarray(img, dtype=np.uint8))
 
-        for mt in ("image/jpeg", "image/png", "image/webp"):
+        for mt in ("image/jpeg", "image/webp"):  # png/gif decode natively
             _DECODER_REGISTRY.setdefault(mt, _pil_decode)
     except ImportError:
         pass
@@ -298,6 +299,132 @@ def encode_gif(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------- PNG codec
+# Pure-spec PNG decode (RFC 2083 / W3C spec): chunk walk, stdlib-zlib
+# inflate (zlib is in the stdlib — it is the DEFLATE bitstream, not an
+# external codec), and the five scanline filters reconstructed exactly.
+# Supports 8-bit gray (0), RGB (2), palette (3) and RGBA (6),
+# non-interlaced (Adam7 raises — progressive rendering is a display
+# concern, not a feature-extraction one).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx3 uint8 (alpha dropped, gray replicated)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    color_type = bit_depth = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + body + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+            if bit_depth != 8:
+                raise ValueError(f"only 8-bit PNG supported, got {bit_depth}")
+            if color_type not in (0, 2, 3, 6):
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace:
+                raise ValueError("Adam7-interlaced PNG not supported")
+        elif typ == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = line.reshape(w, channels)
+            rec = np.cumsum(rec, axis=0)
+            rec = rec.reshape(stride)
+        elif ftype == 3:  # Average — left-dependent, per-pixel scan
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = rec[x - channels] if x >= channels else 0
+                rec[x] = line[x] + ((left + int(prev[x])) >> 1)
+                rec[x] &= 0xFF
+        elif ftype == 4:  # Paeth — left-dependent, per-pixel scan
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        prev = (rec & 0xFF).astype(np.uint8)
+        out[y] = prev
+    px = out.reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[np.minimum(px[:, :, 0], len(palette) - 1)]
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> PNG bytes (color type 2, filter 0 rows, one IDAT)."""
+    import zlib
+
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png expects an HxWx3 uint8 array")
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # 8-bit, RGB, deflate, adaptive, no interlace
+    )
+    raw = np.zeros((h, w * 3 + 1), np.uint8)
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize: two integer index gathers, no Python loop."""
     h, w = img.shape[:2]
@@ -459,6 +586,8 @@ class MediaFeatureActor:
             return self._image_features(payload)
         if media_type == GIF_TYPE:
             return self._image_features_from_array(decode_gif(payload))
+        if media_type == PNG_TYPE:
+            return self._image_features_from_array(decode_png(payload))
         if media_type == WAV_TYPE:
             return self._audio_feature_vec(payload)
         decoder = _DECODER_REGISTRY.get(media_type)

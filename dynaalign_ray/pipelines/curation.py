@@ -1653,6 +1653,50 @@ def media_gif_features(sf_dir: str, num_partitions: int = 4):
     return ds
 
 
+def media_png_features(sf_dir: str, num_partitions: int = 4):
+    """PNG decode under the driver (rows-only): the synthetic image corpus
+    as REAL PNG payloads (stdlib-zlib DEFLATE + the five scanline filters
+    — functions/multimodal.decode_png), through the strict actor pool.
+    With GIF this makes BOTH dominant lossless web formats native."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.multimodal import (
+        PNG_TYPE,
+        MediaFeatureActor,
+        encode_png,
+        synth_image,
+    )
+
+    configure_context()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_media = max(8, n_docs // 4)
+
+    def synth_pngs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("id")).astype(np.int64)
+        payloads = [encode_png(synth_image(int(i))) for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array([PNG_TYPE] * len(ids), pa.string()),
+            }
+        )
+
+    return (
+        rd.range(n_media)
+        .map_batches(synth_pngs, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            MediaFeatureActor,
+            fn_constructor_kwargs={"decode": "strict"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=num_partitions,
+        )
+    )
+
+
 def media_features(sf_dir: str, num_partitions: int = 4):
     """REAL multimodal decode under the driver (rows-only): a deterministic
     media corpus sized from the documents table (one media row per two docs;
