@@ -46,6 +46,7 @@ PPM_TYPE = "image/x-portable-pixmap"
 WAV_TYPE = "audio/wav"
 GIF_TYPE = "image/gif"
 PNG_TYPE = "image/png"
+AU_TYPE = "audio/basic"
 
 # ------------------------------------------------------- decoder registry
 #
@@ -425,6 +426,70 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+# ---------------------------------------------------------------- AU codec
+# Sun AU (.au) with G.711 mu-law encoding — the compressed-audio analog of
+# the image codecs above: both the container header and the companding
+# formula are pure public spec, no codec library involved.
+
+
+def _mulaw_decode_table() -> np.ndarray:
+    """256-entry mu-law byte -> int16 linear sample (G.711 decode rule)."""
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -sample, sample).astype(np.int16)
+
+
+_MULAW_TABLE = _mulaw_decode_table()
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU bytes (encoding 1 = 8-bit G.711 mu-law) -> (int16 samples,
+    sample_rate).  Multi-channel streams are mixed down by taking channel
+    0 (feature extraction is mono, as in the WAV path)."""
+    if payload[:4] != b".snd":
+        raise ValueError("not a Sun AU payload")
+    off = int.from_bytes(payload[4:8], "big")
+    size = int.from_bytes(payload[8:12], "big")
+    enc = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    channels = int.from_bytes(payload[20:24], "big")
+    if enc != 1:
+        raise ValueError(f"only mu-law AU (encoding 1) supported, got {enc}")
+    if channels < 1:
+        raise ValueError("AU channel count must be >= 1")
+    end = len(payload) if size == 0xFFFFFFFF else min(len(payload), off + size)
+    raw = np.frombuffer(payload, np.uint8, count=end - off, offset=off)
+    samples = _MULAW_TABLE[raw]
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels)[:, 0].copy()
+    return samples, rate
+
+
+def encode_au(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 samples -> mono mu-law Sun AU bytes (G.711 encode rule)."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = x < 0
+    mag = np.minimum(np.abs(x) + 0x84, 0x7FFF)
+    exponent = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    np.clip(exponent, 0, 7, out=exponent)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    u = (np.where(sign, 0x80, 0) | (exponent << 4) | mantissa) ^ 0xFF
+    data = u.astype(np.uint8).tobytes()
+    head = (
+        b".snd"
+        + (24).to_bytes(4, "big")
+        + len(data).to_bytes(4, "big")
+        + (1).to_bytes(4, "big")
+        + int(sample_rate).to_bytes(4, "big")
+        + (1).to_bytes(4, "big")
+    )
+    return head + data
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize: two integer index gathers, no Python loop."""
     h, w = img.shape[:2]
@@ -590,6 +655,9 @@ class MediaFeatureActor:
             return self._image_features_from_array(decode_png(payload))
         if media_type == WAV_TYPE:
             return self._audio_feature_vec(payload)
+        if media_type == AU_TYPE:
+            samples, rate = decode_au(payload)
+            return self._audio_features_from_samples(samples, rate)
         decoder = _DECODER_REGISTRY.get(media_type)
         if decoder is not None:
             kind, decoded = decoder(payload)
