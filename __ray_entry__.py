@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compress_ratio": c.doc_compress_ratio,  # rows-only (zlib not SQL-reproducible; law pytests)
         "media_gif_features": c.media_gif_features,  # rows-only (pure-spec GIF/LZW decode, real features)
         "media_png_features": c.media_png_features,  # rows-only (pure-spec PNG decode: zlib inflate + filters)
+        "media_video_neardup": c.media_video_neardup,  # rows-only (Y4M decode, temporal-SimHash pairs)
     }
 
 

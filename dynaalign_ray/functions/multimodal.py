@@ -490,6 +490,124 @@ def encode_au(samples: np.ndarray, sample_rate: int) -> bytes:
     return head + data
 
 
+# --------------------------------------------------------------- Y4M codec
+# YUV4MPEG2 (.y4m) — the standard UNCOMPRESSED video interchange format
+# (mjpegtools spec): plain-text stream header, per-frame FRAME markers,
+# raw planar YCbCr.  Pure spec end-to-end: parsing + the BT.601 matrix.
+# This makes video a REAL decoded modality (frame sampling + per-frame
+# dHash), not an opaque-plan stub; compressed containers (mp4 etc.) stay
+# behind the decoder registry.
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range YCbCr planes (uint8, same shape) -> HxWx3 uint8."""
+    yf = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * (255.0 / 224.0) * crf
+    g = yf - 0.344136 * (255.0 / 224.0) * cbf - 0.714136 * (255.0 / 224.0) * crf
+    b = yf + 1.772 * (255.0 / 224.0) * cbf
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 16.0 + (219.0 / 255.0) * (0.299 * r + 0.587 * g + 0.114 * b)
+    cb = 128.0 + (224.0 / 255.0) * (-0.168736 * r - 0.331264 * g + 0.5 * b) / 1.0
+    cr = 128.0 + (224.0 / 255.0) * (0.5 * r - 0.418688 * g - 0.081312 * b) / 1.0
+    to8 = lambda a: np.clip(np.rint(a), 0, 255).astype(np.uint8)
+    return to8(y), to8(cb), to8(cr)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """Y4M bytes -> (frames [T,H,W,3] uint8, fps).  C420 (2x2-subsampled,
+    nearest upsample) and C444 supported."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split(" ")
+    w = h = None
+    fps = 30.0
+    fmt = "420"
+    for tok in header[1:]:
+        if not tok:
+            continue
+        k, v = tok[0], tok[1:]
+        if k == "W":
+            w = int(v)
+        elif k == "H":
+            h = int(v)
+        elif k == "F":
+            num, den = v.split(":")
+            fps = int(num) / int(den)
+        elif k == "C":
+            fmt = "444" if v.startswith("444") else "420"
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if fmt == "420" and (w % 2 or h % 2):
+        raise ValueError("C420 needs even dimensions")
+    ysz = w * h
+    csz = ysz if fmt == "444" else (w // 2) * (h // 2)
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(payload, np.uint8, ysz, pos).reshape(h, w)
+        cb = np.frombuffer(payload, np.uint8, csz, pos + ysz)
+        cr = np.frombuffer(payload, np.uint8, csz, pos + ysz + csz)
+        pos += ysz + 2 * csz
+        if fmt == "420":
+            cb = cb.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+            cr = cr.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+        else:
+            cb = cb.reshape(h, w)
+            cr = cr.reshape(h, w)
+        frames.append(_ycbcr_to_rgb(y, cb, cr))
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return np.stack(frames), fps
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 30, fmt: str = "444") -> bytes:
+    """[T,H,W,3] uint8 -> Y4M bytes (C444 lossless-ish through the matrix,
+    or C420 with 2x2 chroma averaging)."""
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_y4m expects a [T,H,W,3] uint8 array")
+    t, h, w = frames.shape[:3]
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{int(fps)}:1 Ip A1:1 C{fmt}\n".encode()
+    )
+    for i in range(t):
+        y, cb, cr = _rgb_to_ycbcr(frames[i])
+        out += b"FRAME\n" + y.tobytes()
+        if fmt == "420":
+            for c in (cb, cr):
+                c4 = c.reshape(h // 2, 2, w // 2, 2).astype(np.uint16)
+                out += (c4.mean(axis=(1, 3)).astype(np.uint8)).tobytes()
+        else:
+            out += cb.tobytes() + cr.tobytes()
+    return bytes(out)
+
+
+def video_frame_hashes(
+    payload: bytes, every_n: int = 5
+) -> tuple[np.ndarray, int, float]:
+    """Y4M bytes -> (uint64 dHash per sampled frame, n_frames, fps) — the
+    video fingerprint: sample every ``every_n``-th frame, 64-bit dHash
+    each.  Video near-dup = set overlap over these hashes (same plan as
+    text MinHash: hashes -> buckets -> verify)."""
+    frames, fps = decode_y4m(payload)
+    sampled = frames[::every_n]
+    hashes = np.array(
+        [np.uint64(image_dhash(f)) for f in sampled], dtype=np.uint64
+    )
+    return hashes, len(frames), fps
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize: two integer index gathers, no Python loop."""
     h, w = img.shape[:2]
@@ -972,5 +1090,78 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
             "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+Y4M_TYPE = "video/x-yuv4mpeg"
+
+
+def synth_video_corpus(
+    n: int, seed: int = 42, n_frames: int = 12, w: int = 32, h: int = 24
+) -> pa.Table:
+    """Deterministic Y4M corpus with PLANTED near-dups: every 4th row is a
+    ±3-noise re-encode of the previous row's frames (same convention as
+    synth_image_corpus, ground truth = {(i-1, i) : i % 4 == 3}).  Each base
+    video is a moving gradient keyed by media_id."""
+    ids = np.arange(n, dtype=np.int64)
+    payloads = []
+    for i in range(n):
+        if i % 4 == 3:
+            base = _synth_video_frames(i - 1, n_frames, w, h)
+            rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+            frames = np.clip(
+                base.astype(np.int16) + rng.integers(-3, 4, base.shape), 0, 255
+            ).astype(np.uint8)
+        else:
+            frames = _synth_video_frames(i, n_frames, w, h)
+        payloads.append(encode_y4m(frames, fps=30, fmt="444"))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array([Y4M_TYPE] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+def _synth_video_frames(media_id: int, t: int, w: int, h: int) -> np.ndarray:
+    """Moving-gradient clip: the per-frame pattern is synth_image's gradient
+    family phase-shifted per frame, so consecutive frames differ but the
+    clip identity is stable."""
+    frames = np.empty((t, h, w, 3), np.uint8)
+    for f in range(t):
+        img = synth_image(media_id, width=w, height=h)
+        frames[f] = np.roll(img, shift=f * 2, axis=1)
+    return frames
+
+
+def video_hash_signature_batch(batch: pa.Table, *, every_n: int = 2) -> pa.Table:
+    """Y4M rows -> (doc_id, simhash, n_shingles): the video fingerprint is
+    the BITWISE MAJORITY over sampled frames' 64-bit dHashes (temporal
+    SimHash) — a few noisy frames cannot flip majority bits, so noisy
+    copies land within pigeonhole Hamming range of their source and the
+    text SimHash bucketer (stages/simhash_stage.simhash_edges) applies
+    unchanged."""
+    ids = np.asarray(batch.column("media_id")).astype(np.int64)
+    payloads = batch.column("payload").to_pylist()
+    types = batch.column("media_type").to_pylist()
+    keep, sigs = [], []
+    for i, (p, t) in enumerate(zip(payloads, types)):
+        if t != Y4M_TYPE:
+            continue
+        hashes, _n, _fps = video_frame_hashes(bytes(p), every_n=every_n)
+        bits = (
+            hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+        ) & np.uint64(1)
+        maj = (bits.sum(axis=0) * 2 > len(hashes)).astype(np.uint64)
+        keep.append(ids[i])
+        sigs.append(int((maj << np.arange(64, dtype=np.uint64)).sum()))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.array(keep, dtype=np.int64)),
+            "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+            "n_shingles": pa.array(np.ones(len(keep), dtype=np.int64)),
         }
     )

