@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_gif_features": c.media_gif_features,  # rows-only (pure-spec GIF/LZW decode, real features)
         "media_png_features": c.media_png_features,  # rows-only (pure-spec PNG decode: zlib inflate + filters)
         "media_video_neardup": c.media_video_neardup,  # rows-only (Y4M decode, temporal-SimHash pairs)
+        "media_image_in_video": c.media_image_in_video,  # rows-only (cross-modal: image == video frame)
     }
 
 

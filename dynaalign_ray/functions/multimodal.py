@@ -1165,3 +1165,29 @@ def video_hash_signature_batch(batch: pa.Table, *, every_n: int = 2) -> pa.Table
             "n_shingles": pa.array(np.ones(len(keep), dtype=np.int64)),
         }
     )
+
+
+def video_frame_signature_batch(batch: pa.Table, *, every_n: int = 2) -> pa.Table:
+    """Y4M rows -> ONE (doc_id, simhash, n_shingles) row PER SAMPLED FRAME
+    — the cross-modal form: an image matching any sampled frame shares
+    that frame's exact dHash, so image rows and frame rows meet in the
+    same pigeonhole buckets (emit_simhash_pairs_block verifies inline;
+    its per-(bucket, doc) dedup keeps one frame per bucket per video,
+    which is exactly one candidate representative)."""
+    ids = np.asarray(batch.column("media_id")).astype(np.int64)
+    payloads = batch.column("payload").to_pylist()
+    types = batch.column("media_type").to_pylist()
+    out_ids, out_sigs = [], []
+    for i, (p, t) in enumerate(zip(payloads, types)):
+        if t != Y4M_TYPE:
+            continue
+        hashes, _n, _fps = video_frame_hashes(bytes(p), every_n=every_n)
+        out_ids.extend([int(ids[i])] * len(hashes))
+        out_sigs.extend(int(x) for x in hashes)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.array(out_ids, dtype=np.int64)),
+            "simhash": pa.array(np.array(out_sigs, dtype=np.uint64)),
+            "n_shingles": pa.array(np.ones(len(out_ids), dtype=np.int64)),
+        }
+    )

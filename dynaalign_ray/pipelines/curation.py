@@ -1835,6 +1835,97 @@ def media_video_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int =
     )
 
 
+_IMG_ID_BASE = 1_000_000  # image ids live above video ids in the shared space
+
+
+def media_image_in_video(
+    sf_dir: str, num_partitions: int = 4, max_hamming: int = 3
+):
+    """CROSS-MODAL near-dup (rows-only): find still images that appear as
+    frames of videos (thumbnail / keyframe detection).  Video side emits
+    one dHash row PER SAMPLED FRAME (multimodal.video_frame_signature_batch),
+    image side one row each; both meet in the shared pigeonhole Hamming
+    bucketer — a planted frame-image shares the exact 64-bit dHash of its
+    source frame, so every chunk bucket collides.  Output: (video_id,
+    image_id, hamming) pairs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.functions.multimodal import (
+        PPM_TYPE,
+        dhash_signature_batch,
+        encode_ppm,
+        synth_image,
+        synth_video_corpus,
+        video_frame_signature_batch,
+    )
+    from dynaalign_ray.stages.simhash_stage import simhash_edges
+
+    configure_context()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n = max(n_docs // 4, 16)
+    videos = synth_video_corpus(n)
+
+    # image corpus: every 5th image (when its video is not a noisy copy) is
+    # EXACTLY frame 2 of video k (sampled by every_n=2); the rest unrelated
+    img_payloads, img_ids = [], []
+    for k in range(n):
+        if k % 5 == 0 and k % 4 != 3:
+            img = np.roll(synth_image(k, width=32, height=24), 2 * 2, axis=1)
+        else:
+            img = synth_image(k + 7777, width=32, height=24)
+        img_payloads.append(encode_ppm(img))
+        img_ids.append(_IMG_ID_BASE + k)
+    images = pa.table(
+        {
+            "media_id": pa.array(np.array(img_ids, dtype=np.int64)),
+            "media_type": pa.array([PPM_TYPE] * n, pa.string()),
+            "payload": pa.array(img_payloads, pa.binary()),
+        }
+    )
+
+    frame_sigs = (
+        rd.from_arrow(videos)
+        .repartition(num_blocks=num_partitions)
+        .map_batches(
+            video_frame_signature_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    img_sigs = (
+        rd.from_arrow(images)
+        .repartition(num_blocks=num_partitions)
+        .map_batches(
+            dhash_signature_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    edges = simhash_edges(
+        frame_sigs.union(img_sigs),
+        DedupConfig(),
+        num_partitions,
+        num_chunks=16,
+        max_hamming=max_hamming,
+    )
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a")).astype(np.int64)
+        bb = np.asarray(b.column("b")).astype(np.int64)
+        keep = (a < _IMG_ID_BASE) & (bb >= _IMG_ID_BASE)
+        return pa.table(
+            {
+                "video_id": pa.array(a[keep], type=pa.int64()),
+                "image_id": pa.array(bb[keep] - _IMG_ID_BASE, type=pa.int64()),
+                "hamming": pa.array(
+                    np.asarray(b.column("hamming")).astype(np.int64)[keep]
+                ),
+            }
+        )
+
+    return edges.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def media_audio_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int = 3):
     """Audio near-duplicate pairs (rows-only): REAL WAV decode -> 64-bit
     spectral signature (band-vs-mean bits) -> the text SimHash pigeonhole

@@ -76,3 +76,19 @@ class TestTemporalSimhash:
         )
         for a, b in got:
             assert bin(int(by[a]) ^ int(by[b])).count("1") <= 3, (a, b)
+
+
+class TestCrossModal:
+    def test_planted_frame_images_found(self, ray_session):
+        from dynaalign_ray.pipelines.curation import media_image_in_video
+
+        df = media_image_in_video("/root/testdata/sf0.001").to_pandas()
+        n = max(500 // 4, 16)
+        planted = {(k, k) for k in range(n) if k % 5 == 0 and k % 4 != 3}
+        got = set(zip(df["video_id"], df["image_id"]))
+        assert planted <= got  # recall 1.0 on planted frame-images
+        assert (df["hamming"] <= 3).all()
+        # note: reported hamming for a planted pair may exceed 0 — the
+        # per-(bucket, doc) dedup keeps ONE frame representative per
+        # bucket, which need not be the exactly-matching frame; the match
+        # itself is still found through the exact frame's buckets
