@@ -89,7 +89,9 @@ def _try_autoregister() -> None:
             img = Image.open(io.BytesIO(payload)).convert("RGB")
             return ("image", np.asarray(img, dtype=np.uint8))
 
-        for mt in ("image/jpeg", "image/webp"):  # png/gif decode natively
+        # png/gif decode natively; PIL stays the fallback for their
+        # outside-the-pure-spec-subset forms (16-bit, Adam7, ...)
+        for mt in ("image/jpeg", "image/webp", "image/png", "image/gif"):
             _DECODER_REGISTRY.setdefault(mt, _pil_decode)
     except ImportError:
         pass
@@ -163,8 +165,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: unterminated extension")
             pos += 1
             continue
         if block != 0x2C:
@@ -183,13 +187,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += 3 * n
         if table is None:
             raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: missing LZW minimum code size")
         min_code = payload[pos]
         pos += 1
         chunks = []
-        while payload[pos]:
+        while pos < len(payload) and payload[pos]:
             ln = payload[pos]
             chunks.append(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: unterminated image data")
         pos += 1
         idx = _lzw_decode(b"".join(chunks), min_code, w * h)
         if ipacked & 0x40:  # interlaced: spec pass order 0,8 / 4,8 / 2,4 / 1,2
@@ -231,12 +239,14 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
             continue
         if code == eoi:
             break
+        if code > len(table) or (prev is None and code >= len(table)):
+            raise ValueError(f"corrupt GIF LZW stream: code {code} out of range")
         if prev is None:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
             table.append(prev + entry[:1])
-        else:  # the KwKwK case
+        else:  # code == len(table): the KwKwK case (the ONLY legal gap)
             entry = prev + prev[:1]
             table.append(entry)
         seg = np.frombuffer(entry, np.uint8)
@@ -364,22 +374,28 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = line.reshape(w, channels)
             rec = np.cumsum(rec, axis=0)
             rec = rec.reshape(stride)
-        elif ftype == 3:  # Average — left-dependent, per-pixel scan
-            rec = np.empty(stride, np.int64)
+        elif ftype == 3:  # Average — left-dependent; plain-list scan (the
+            # per-element ndarray-indexing form measured ~10x slower)
+            ln_l = line.tolist()
+            pv_l = prev.tolist()
+            rl = [0] * stride
             for x in range(stride):
-                left = rec[x - channels] if x >= channels else 0
-                rec[x] = line[x] + ((left + int(prev[x])) >> 1)
-                rec[x] &= 0xFF
-        elif ftype == 4:  # Paeth — left-dependent, per-pixel scan
-            rec = np.empty(stride, np.int64)
+                left = rl[x - channels] if x >= channels else 0
+                rl[x] = (ln_l[x] + ((left + pv_l[x]) >> 1)) & 0xFF
+            rec = np.array(rl, np.int64)
+        elif ftype == 4:  # Paeth — left-dependent; plain-list scan
+            ln_l = line.tolist()
+            pv_l = prev.tolist()
+            rl = [0] * stride
             for x in range(stride):
-                a = rec[x - channels] if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
+                a = rl[x - channels] if x >= channels else 0
+                b = pv_l[x]
+                c = pv_l[x - channels] if x >= channels else 0
                 p = a + b - c
                 pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
-                rec[x] = (line[x] + pred) & 0xFF
+                rl[x] = (ln_l[x] + pred) & 0xFF
+            rec = np.array(rl, np.int64)
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
         prev = (rec & 0xFF).astype(np.uint8)
@@ -542,7 +558,12 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
             num, den = v.split(":")
             fps = int(num) / int(den)
         elif k == "C":
-            fmt = "444" if v.startswith("444") else "420"
+            if v in ("444",):
+                fmt = "444"
+            elif v.startswith("420"):  # 420 / 420jpeg / 420paldv / 420mpeg2
+                fmt = "420"
+            else:
+                raise ValueError(f"unsupported Y4M colorspace C{v}")
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
     if fmt == "420" and (w % 2 or h % 2):
@@ -767,10 +788,15 @@ class MediaFeatureActor:
             return self._fake_feature(payload)
         if media_type == PPM_TYPE:
             return self._image_features(payload)
-        if media_type == GIF_TYPE:
-            return self._image_features_from_array(decode_gif(payload))
-        if media_type == PNG_TYPE:
-            return self._image_features_from_array(decode_png(payload))
+        if media_type in (GIF_TYPE, PNG_TYPE):
+            native = decode_gif if media_type == GIF_TYPE else decode_png
+            try:
+                return self._image_features_from_array(native(payload))
+            except ValueError:
+                # outside the pure-spec subset (e.g. 16-bit or Adam7 PNG):
+                # fall through to a registered codec-library decoder
+                if media_type not in _DECODER_REGISTRY:
+                    raise
         if media_type == WAV_TYPE:
             return self._audio_feature_vec(payload)
         if media_type == AU_TYPE:
@@ -1131,8 +1157,8 @@ def _synth_video_frames(media_id: int, t: int, w: int, h: int) -> np.ndarray:
     family phase-shifted per frame, so consecutive frames differ but the
     clip identity is stable."""
     frames = np.empty((t, h, w, 3), np.uint8)
+    img = synth_image(media_id, width=w, height=h)  # deterministic per id
     for f in range(t):
-        img = synth_image(media_id, width=w, height=h)
         frames[f] = np.roll(img, shift=f * 2, axis=1)
     return frames
 

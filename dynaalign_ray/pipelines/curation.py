@@ -1600,93 +1600,36 @@ def _shingle_setop(sf_dir: str, src_a: str, src_b: str, num_partitions: int, op:
     )
 
 
-def media_gif_features(sf_dir: str, num_partitions: int = 4):
-    """GIF decode under the driver (rows-only): the synthetic image corpus
-    re-encoded as REAL GIF87a payloads (pure-spec LZW — see
-    functions/multimodal.decode_gif), pushed through the strict
-    MediaFeatureActor pool.  Proves the compressed-format path end-to-end
-    with no codec library: parse header + color table, LZW-decompress,
-    de-palette, extract the same image features as the PPM path."""
+def _media_codec_features(
+    sf_dir: str, num_partitions: int, media_type: str, encode_fn
+):
+    """Shared driver for the per-codec feature queries: synthesize the
+    deterministic image corpus re-encoded by ``encode_fn``, push it
+    through the strict MediaFeatureActor pool (real decode, no fakes)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     from dynaalign_ray.exec import configure_context
-    from dynaalign_ray.functions.multimodal import (
-        GIF_TYPE,
-        MediaFeatureActor,
-        encode_gif,
-        synth_image,
-    )
+    from dynaalign_ray.functions.multimodal import MediaFeatureActor, synth_image
 
     configure_context()
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     n_media = max(8, n_docs // 4)
 
-    def synth_gifs(batch: pa.Table) -> pa.Table:
+    def synth(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("id")).astype(np.int64)
-        payloads = [
-            # quantize the synthetic image to a small palette so the GIF
-            # 256-color constraint holds (posterize to 2 bits/channel:
-            # <= 64 distinct colors)
-            encode_gif((synth_image(int(i)) >> 6) << 6)
-            for i in ids
-        ]
+        payloads = [encode_fn(synth_image(int(i))) for i in ids]
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
                 "payload": pa.array(payloads, type=pa.binary()),
-                "media_type": pa.array([GIF_TYPE] * len(ids), pa.string()),
-            }
-        )
-
-    ds = (
-        rd.range(n_media)
-        .map_batches(synth_gifs, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(
-            MediaFeatureActor,
-            fn_constructor_kwargs={"decode": "strict"},
-            batch_format="pyarrow",
-            batch_size=64,
-            concurrency=num_partitions,
-        )
-    )
-    return ds
-
-
-def media_png_features(sf_dir: str, num_partitions: int = 4):
-    """PNG decode under the driver (rows-only): the synthetic image corpus
-    as REAL PNG payloads (stdlib-zlib DEFLATE + the five scanline filters
-    — functions/multimodal.decode_png), through the strict actor pool.
-    With GIF this makes BOTH dominant lossless web formats native."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    from dynaalign_ray.exec import configure_context
-    from dynaalign_ray.functions.multimodal import (
-        PNG_TYPE,
-        MediaFeatureActor,
-        encode_png,
-        synth_image,
-    )
-
-    configure_context()
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    n_media = max(8, n_docs // 4)
-
-    def synth_pngs(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("id")).astype(np.int64)
-        payloads = [encode_png(synth_image(int(i))) for i in ids]
-        return pa.table(
-            {
-                "media_id": pa.array(ids, type=pa.int64()),
-                "payload": pa.array(payloads, type=pa.binary()),
-                "media_type": pa.array([PNG_TYPE] * len(ids), pa.string()),
+                "media_type": pa.array([media_type] * len(ids), pa.string()),
             }
         )
 
     return (
         rd.range(n_media)
-        .map_batches(synth_pngs, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
             MediaFeatureActor,
             fn_constructor_kwargs={"decode": "strict"},
@@ -1695,6 +1638,30 @@ def media_png_features(sf_dir: str, num_partitions: int = 4):
             concurrency=num_partitions,
         )
     )
+
+
+def media_gif_features(sf_dir: str, num_partitions: int = 4):
+    """GIF decode under the driver (rows-only): the synthetic image corpus
+    as REAL GIF87a payloads (pure-spec LZW — functions/multimodal.decode_gif)
+    through the strict actor pool; images posterized to 2 bits/channel so
+    the 256-color constraint holds."""
+    from dynaalign_ray.functions.multimodal import GIF_TYPE, encode_gif
+
+    return _media_codec_features(
+        sf_dir,
+        num_partitions,
+        GIF_TYPE,
+        lambda img: encode_gif((img >> 6) << 6),
+    )
+
+
+def media_png_features(sf_dir: str, num_partitions: int = 4):
+    """PNG decode under the driver (rows-only): REAL PNG payloads
+    (stdlib-zlib DEFLATE + scanline filters — functions/multimodal.decode_png)
+    through the strict actor pool."""
+    from dynaalign_ray.functions.multimodal import PNG_TYPE, encode_png
+
+    return _media_codec_features(sf_dir, num_partitions, PNG_TYPE, encode_png)
 
 
 def media_features(sf_dir: str, num_partitions: int = 4):
@@ -1830,12 +1797,13 @@ def media_video_neardup(sf_dir: str, num_partitions: int = 4, max_hamming: int =
         sigs,
         DedupConfig(),
         num_partitions,
-        num_chunks=16,
+        num_chunks=4,  # 4x16-bit pigeonhole covers Hamming <= 3; 4-bit
+        # chunks (256 buckets) measured recall 0.66 past the pair cap at ~2k videos
         max_hamming=max_hamming,
     )
 
 
-_IMG_ID_BASE = 1_000_000  # image ids live above video ids in the shared space
+_IMG_ID_BASE = 1 << 50  # image ids live above video ids; guarded below
 
 
 def media_image_in_video(
@@ -1865,6 +1833,8 @@ def media_image_in_video(
     configure_context()
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     n = max(n_docs // 4, 16)
+    if n >= _IMG_ID_BASE:
+        raise ValueError("video id space would collide with image ids")
     videos = synth_video_corpus(n)
 
     # image corpus: every 5th image (when its video is not a noisy copy) is
@@ -1905,8 +1875,17 @@ def media_image_in_video(
         frame_sigs.union(img_sigs),
         DedupConfig(),
         num_partitions,
-        num_chunks=16,
+        num_chunks=4,  # same 4x16-bit pigeonhole as the video path
         max_hamming=max_hamming,
+    )
+
+    from ray.data.aggregate import Min
+
+    # deterministic hamming per pair: different frame representatives can
+    # find the same (video, image) pair at different distances — keep the
+    # MINIMUM, not an arrival-order survivor
+    edges = edges.groupby(["a", "b"], num_partitions=num_partitions).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
     def cross_only(b: pa.Table) -> pa.Table:
