@@ -356,7 +356,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt IDAT must hit the registry fallback,
+        # not crash the actor task (the fallback catches ValueError only)
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    raw = np.frombuffer(inflated, np.uint8)
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT size mismatch")
@@ -623,6 +628,20 @@ def video_frame_hashes(
     text MinHash: hashes -> buckets -> verify)."""
     frames, fps = decode_y4m(payload)
     sampled = frames[::every_n]
+    # dHash pools to 9x8; frames narrower than 9 px or shorter than 8 px
+    # would produce repeated reduceat edges (divide-by-zero -> NaN cells,
+    # degenerate hashes).  Upscale tiny frames first — nearest-neighbor
+    # keeps the hash deterministic and cheap, and 9x8+ frames pass through
+    # untouched.
+    if sampled.size and (sampled.shape[2] < 9 or sampled.shape[1] < 8):
+        sampled = np.stack(
+            [
+                resize_nearest(
+                    f, max(f.shape[1], 9), max(f.shape[0], 8)
+                )
+                for f in sampled
+            ]
+        )
     hashes = np.array(
         [np.uint64(image_dhash(f)) for f in sampled], dtype=np.uint64
     )

@@ -3014,27 +3014,37 @@ def doc_top_quartile(sf_dir: str, num_partitions: int = 8):
 
 def doc_decontam_fuzzy(sf_dir: str, tau: float = 0.7, num_partitions: int = 8):
     """FUZZY decontamination — the near-dup analog of doc_decontam: flag
-    every training doc that is NEAR-duplicate (exact Jaccard >= tau via the
-    flagship LSH + verify) to any held-out benchmark doc, catching the
-    paraphrased/partially-edited contamination exact n-gram matching misses.
-    The benchmark membership is a pure function of doc_id (doc_id % 10 == 7
-    plays the eval set), so the flag derivation is reshard-stable.
+    every training doc that is NEAR-duplicate (exact Jaccard >= tau) to any
+    held-out benchmark doc, catching the paraphrased/partially-edited
+    contamination exact n-gram matching misses.  The benchmark membership
+    is a pure function of doc_id (doc_id % 10 == 7 plays the eval set), so
+    the flag derivation is reshard-stable.
 
-    Plan: ONE flagship run over the union (benchmark docs are ordinary rows
-    — no second corpus pass), then the verified edge set is filtered to
-    CROSS-side edges only, distinct'd per keyed block, and left-joined back
-    onto the target docs.  Contamination is per-EDGE, deliberately not
-    transitive (a target near a target near a benchmark is clean) — the
-    standard decontamination rule."""
+    Edges come from the EXACT prefix-filtered SSJoin (recall 1.0 by the
+    prefix-filter theorem) — NOT the flagship LSH, whose banded recall is
+    probabilistic and whose hot-bucket pair_cap falls back to star edges
+    that preserve connectivity but can drop a direct target-benchmark edge
+    (connectivity is the wrong invariant here: contamination is per-EDGE,
+    deliberately not transitive — a target near a target near a benchmark
+    is clean, the standard decontamination rule).  Benchmark docs are
+    ordinary rows in ONE joint SSJoin pass (no second corpus pass); the
+    edge set is then filtered to CROSS-side edges only, distinct'd per
+    keyed block, and left-joined back onto the target docs."""
+    import functools
+
     from dynaalign_ray.joins import hash_join
-    from dynaalign_ray.pipelines.neardup import near_dedup
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
 
-    cfg = DedupConfig(shingle_k=3, tau=tau)
-    res = near_dedup(
-        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
-        cfg=cfg,
-        num_partitions=num_partitions,
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=3),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()  # consumed twice: prefix explode + verify joins
     )
+    exact_edges = prefix_jaccard_join(sets_ds, tau, num_partitions)
 
     flag_schema = pa.schema([("doc_id", pa.int64()), ("hit", pa.bool_())])
 
@@ -3066,7 +3076,7 @@ def doc_decontam_fuzzy(sf_dir: str, tau: float = 0.7, num_partitions: int = 8):
         )
 
     flagged = (
-        res.edges.map_batches(
+        exact_edges.map_batches(
             cross_targets, batch_format="pyarrow", zero_copy_batch=True
         )
         .repartition(num_blocks=num_partitions, keys=["doc_id"])

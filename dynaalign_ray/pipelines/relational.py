@@ -207,9 +207,12 @@ def events_hourly_anomaly(sf_dir: str, num_partitions: int = 8):
     ev = _read(sf_dir, "events", ["ts"])
 
     def win(batch: pa.Table) -> pa.Table:
-        us = batch.column("ts").cast(pa.int64())
-        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
-        return pa.table({"hour_us": hour})
+        # FLOOR division (numpy //), not Arrow's truncate-toward-zero
+        # divide: the oracle's date_trunc('hour', ts) floors, and the two
+        # diverge on pre-1970 (negative-epoch) timestamps.
+        us = np.asarray(batch.column("ts").cast(pa.int64()))
+        hour = (us // 3_600_000_000) * 3_600_000_000
+        return pa.table({"hour_us": pa.array(hour, type=pa.int64())})
 
     counts = (
         ev.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
@@ -275,11 +278,12 @@ def events_hourly(sf_dir: str, num_partitions: int = 8):
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def win(batch: pa.Table) -> pa.Table:
-        us = batch.column("ts").cast(pa.int64())
-        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        # FLOOR division (matches date_trunc for negative-epoch timestamps)
+        us = np.asarray(batch.column("ts").cast(pa.int64()))
+        hour = (us // 3_600_000_000) * 3_600_000_000
         return pa.table(
             {
-                "hour_us": hour,
+                "hour_us": pa.array(hour, type=pa.int64()),
                 "event_type": batch.column("event_type"),
                 "value": batch.column("value"),
             }

@@ -56,7 +56,12 @@ def emit_simhash_pairs_block(batch: pa.Table, *, pair_cap: int, max_hamming: int
     )
     if len(keys) == 0:
         return empty
-    order = np.lexsort((docs, keys))
+    # Sort sims too: with multi-row-per-doc inputs (e.g. per-frame video
+    # rows) the per-(bucket, doc) dedup must keep a DETERMINISTIC
+    # representative — the minimum simhash — not whichever row arrived
+    # first in block order, or the pair set passing max_hamming would vary
+    # run to run.
+    order = np.lexsort((sims, docs, keys))
     keys, docs, sims = keys[order], docs[order], sims[order]
     first = np.ones(len(keys), dtype=bool)
     first[1:] = (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])
