@@ -89,6 +89,43 @@ def ensure_schema(ds):
     return ds
 
 
+def partial_topk(ds, sort_keys: list[tuple[str, str]], k: int):
+    """Global top-k WITHOUT a global sort: per-block partial top-k (each
+    block emits <= k rows via one Arrow sort over rows it already holds),
+    then a tiny final ``sort().limit(k)`` over <= k x num_blocks survivors.
+    A ``Dataset.sort().limit(k)`` range-partition-shuffles every row to
+    keep k; this plan shuffles only the per-block winners — at 100 TB the
+    difference between a metadata-sized exchange and sorting the corpus.
+
+    EXACTNESS requires ``sort_keys`` to be a TOTAL order over the rows
+    (include a unique tiebreaker column, e.g. doc_id): the global top-k
+    set is then contained in the union of per-block top-k sets, and the
+    final sort reproduces the same first-k rows as the global sort —
+    identical hashes, including at tie boundaries (the tiebreaker decides
+    the boundary row deterministically on both plans).
+
+    ``sort_keys``: list of (column, "ascending"|"descending") pairs, the
+    pyarrow.compute.sort_indices form.
+    """
+    import pyarrow.compute as pc
+
+    def block_topk(b):
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(b, sort_keys=sort_keys)
+        return b.take(idx[:k])
+
+    cols = [c for c, _ in sort_keys]
+    desc = [d == "descending" for _, d in sort_keys]
+    return (
+        ds.map_batches(
+            block_topk, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .sort(cols, descending=desc)
+        .limit(k)
+    )
+
+
 def pick_num_partitions(approx_rows: int | None, rows_per_partition: int = 20_000) -> int:
     """Heuristic partition count for shuffles: ~rows_per_partition DOCS per
     partition (measured sweet spot on the flagship: ~20k docs ≈ 600k band

@@ -63,7 +63,11 @@ def top_df_tokens(docs_ds, top_w: int, num_partitions: int):
         .groupby("t", num_partitions=num_partitions)
         .aggregate(Sum("n", alias_name="n"))
     )
-    top = grouped.sort(["n", "t"], descending=[True, False]).limit(top_w)
+    from dynaalign_ray.exec import partial_topk
+
+    # per-block partial top-W over the distinct-token df table — no global
+    # sort; (n DESC, t ASC) is a total order after the groupby
+    top = partial_topk(grouped, [("n", "descending"), ("t", "ascending")], top_w)
     parts = [t for t in (ray.get(r) for r in top.to_arrow_refs()) if t.num_rows]
     toks: list[str] = []
     for t in parts:

@@ -142,7 +142,11 @@ def top_tokens(docs_ds, k: int = 10, w: int = 2000, num_partitions: int = 8):
         .groupby("token", num_partitions=num_partitions)
         .aggregate(Sum("n", alias_name="n"))
     )
-    return exact.sort(["n", "token"], descending=[True, False]).limit(k)
+    from dynaalign_ray.exec import partial_topk
+
+    # per-block partial top-k over the distinct-token aggregate — no
+    # global sort; (n DESC, token ASC) is total after the groupby
+    return partial_topk(exact, [("n", "descending"), ("token", "ascending")], k)
 
 
 def _exact_top_tokens(docs_ds, k: int, num_partitions: int):
@@ -170,4 +174,8 @@ def _exact_top_tokens(docs_ds, k: int, num_partitions: int):
         .groupby("token", num_partitions=num_partitions)
         .aggregate(Sum("n", alias_name="n"))
     )
-    return exact.sort(["n", "token"], descending=[True, False]).limit(k)
+    from dynaalign_ray.exec import partial_topk
+
+    # per-block partial top-k over the distinct-token aggregate — no
+    # global sort; (n DESC, token ASC) is total after the groupby
+    return partial_topk(exact, [("n", "descending"), ("token", "ascending")], k)

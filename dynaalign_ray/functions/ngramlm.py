@@ -92,7 +92,17 @@ def train_trigram_model(
     ).materialize()
     total_row = grouped.aggregate(Sum("n", alias_name="T"))
     T = int(total_row["T"] or 0)
-    top = grouped.sort(["n", "g_pack"], descending=[True, False]).limit(vocab)
+    # Top-V truncation via per-block partial top-V (no global sort over
+    # the distinct-trigram table).  Tie rule at the V boundary: (count
+    # DESC, g_pack ASC) — g_pack values are distinct after the groupby,
+    # so this is a TOTAL order and the truncated vocab is exactly the
+    # same set the global sort().limit(V) plan picks (SQL-reproducible:
+    # ORDER BY n DESC, g_pack ASC LIMIT V).
+    from dynaalign_ray.exec import partial_topk
+
+    top = partial_topk(
+        grouped, [("n", "descending"), ("g_pack", "ascending")], vocab
+    )
     parts = [t for t in (ray.get(r) for r in top.to_arrow_refs()) if t.num_rows]
     if not parts:  # corpus with no doc of >= 3 codepoints
         e = np.empty(0, dtype=np.int64)

@@ -81,10 +81,15 @@ def doc_lang_stats(sf_dir: str, num_partitions: int = 8):
 
 
 def doc_top_longest(sf_dir: str, k: int = 10):
-    return (
-        _docs(sf_dir, ["doc_id", "n_chars"])
-        .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(k)
+    """Global top-k by (n_chars DESC, doc_id ASC) via per-block partial
+    top-k (exec.partial_topk) — no global sort; doc_id makes the order
+    total, so the result is hash-identical to the sort().limit(k) plan."""
+    from dynaalign_ray.exec import partial_topk
+
+    return partial_topk(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        k,
     )
 
 

@@ -180,8 +180,8 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
 
 
 def top_customers(sf_dir: str, k: int = 10, num_partitions: int = 8):
-    """Per-customer revenue -> global top-k (sort + limit), deterministic
-    tie-break on custkey via a two-key sort."""
+    """Per-customer revenue -> global top-k via per-block partial top-k
+    (no global sort), deterministic tie-break on custkey."""
     from ray.data.aggregate import Count, Sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -189,7 +189,13 @@ def top_customers(sf_dir: str, k: int = 10, num_partitions: int = 8):
         Sum("o_totalprice", alias_name="revenue"),
         Count(alias_name="n_orders"),
     )
-    top = agg.sort(["revenue", "o_custkey"], descending=[True, False]).limit(k)
+    from dynaalign_ray.exec import partial_topk
+
+    # per-block partial top-k over the per-customer aggregate — no global
+    # sort; o_custkey is the unique tiebreaker
+    top = partial_topk(
+        agg, [("revenue", "descending"), ("o_custkey", "ascending")], k
+    )
     return _round_cols(top, ["revenue"])
 
 
@@ -382,13 +388,24 @@ def high_value_order_counts(sf_dir: str, threshold: float = 200_000.0, num_parti
 
 
 def lineitem_topk_price(sf_dir: str, k: int = 10):
+    """Top-k lineitems by price via per-block partial top-k
+    (exec.partial_topk) — no global sort; (orderkey, linenumber) is the
+    unique tiebreaker, so the order is total and the result is
+    hash-identical to the sort().limit(k) plan."""
+    from dynaalign_ray.exec import partial_topk
+
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
     )
-    return li.sort(
-        ["l_extendedprice", "l_orderkey", "l_linenumber"],
-        descending=[True, False, False],
-    ).limit(k)
+    return partial_topk(
+        li,
+        [
+            ("l_extendedprice", "descending"),
+            ("l_orderkey", "ascending"),
+            ("l_linenumber", "ascending"),
+        ],
+        k,
+    )
 
 
 def orders_customer_hashjoin(sf_dir: str, num_partitions: int = 8):
