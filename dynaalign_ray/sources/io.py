@@ -54,6 +54,98 @@ def write_partitioned(ds, out_dir: str, *, num_partitions: int, keys=None):
     return out_dir
 
 
+def _dir_id_stats(path: str, id_col: str) -> tuple[int, int]:
+    """Distributed (rows, id_xor) over one directory's parquet files: each
+    block emits a single two-int partial (count and xor are both
+    associative + commutative), the driver folds scalars only."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def _block_stats(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col)).astype(np.int64)
+        x = int(np.bitwise_xor.reduce(ids)) if len(ids) else 0
+        return pa.table(
+            {
+                "rows": pa.array([len(ids)], type=pa.int64()),
+                "id_xor": pa.array([x], type=pa.int64()),
+            }
+        )
+
+    part = (
+        rd.read_parquet(path, columns=[id_col])
+        .map_batches(_block_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    if not len(part):
+        return 0, 0
+    return (
+        int(part["rows"].sum()),
+        int(np.bitwise_xor.reduce(part["id_xor"].to_numpy(np.int64))),
+    )
+
+
+def compact_training_shards(
+    out_dir: str, *, target_bytes: int = 128 << 20
+) -> dict:
+    """Streaming compaction pass for the resumable shard sink: shard
+    directories whose file count exceeds ceil(bytes/target_bytes) (skewed
+    hash assignment, retried writers leave many small files) are rewritten
+    into that many files.
+
+    Safety contract:
+    - the new files are written to a hidden staging dir and VERIFIED
+      distributed (rows + id_xor vs the shard's manifest entry) before any
+      swap — a failed verify aborts with the original files untouched;
+    - the swap is rename-based (old dir -> .bak, staged -> live, drop
+      .bak), so a crash leaves either the old or the new complete file
+      set, never a mix;
+    - manifest keys and stats are unchanged by construction, so resume
+      continues to skip compacted shards exactly as before.
+
+    Returns {shard: n_files_after} for the shards it rewrote."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    id_col = manifest["id_col"]
+    compacted: dict[str, int] = {}
+    for k, st in manifest["shards"].items():
+        src = os.path.join(out_dir, f"shard={k}")
+        if not os.path.isdir(src):
+            continue
+        files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(src, f)) for f in files)
+        n_target = max(1, -(-nbytes // target_bytes))
+        if len(files) <= n_target:
+            continue
+        stage = os.path.join(out_dir, f".compact-shard={k}")
+        shutil.rmtree(stage, ignore_errors=True)
+        rd.read_parquet(src).repartition(int(n_target)).write_parquet(stage)
+        rows, id_xor = _dir_id_stats(stage, id_col)
+        if rows != st["rows"] or id_xor != st["id_xor"]:
+            shutil.rmtree(stage)
+            raise RuntimeError(
+                f"compaction verify failed for shard {k}: "
+                f"got (rows={rows}, id_xor={id_xor}), manifest has "
+                f"(rows={st['rows']}, id_xor={st['id_xor']}) — originals kept"
+            )
+        bak = os.path.join(out_dir, f".bak-shard={k}")
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(src, bak)
+        os.rename(stage, src)
+        shutil.rmtree(bak)
+        compacted[k] = len(
+            [f for f in os.listdir(src) if f.endswith(".parquet")]
+        )
+    return compacted
+
+
 def write_training_shards(
     ds,
     out_dir: str,
@@ -123,7 +215,10 @@ def write_training_shards(
     if pending.count() > 0:
         pending.write_parquet(out_dir, partition_cols=["shard"])
 
-    # write-verified stats: re-read ONLY the id column of the written files
+    # write-verified stats: re-read ONLY the id column of the written
+    # files, reduced DISTRIBUTED (_dir_id_stats) — the driver receives two
+    # scalars per block, never an id column (a billion-row shard must not
+    # become an 8 GB driver pull).
     shards: dict[str, dict] = dict(done)
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("shard="):
@@ -131,16 +226,8 @@ def write_training_shards(
         k = name.split("=", 1)[1]
         if k in done:
             continue
-        tbl = (
-            rd.read_parquet(os.path.join(out_dir, name), columns=[id_col])
-            .materialize()
-            .to_pandas()
-        )
-        ids = tbl[id_col].to_numpy(dtype=np.int64)
-        shards[k] = {
-            "rows": int(len(ids)),
-            "id_xor": int(np.bitwise_xor.reduce(ids)) if len(ids) else 0,
-        }
+        rows, id_xor = _dir_id_stats(os.path.join(out_dir, name), id_col)
+        shards[k] = {"rows": rows, "id_xor": id_xor}
     manifest = {"num_shards": num_shards, "id_col": id_col, "shards": shards}
     os.makedirs(out_dir, exist_ok=True)
     tmp = manifest_path + ".tmp"
