@@ -31,58 +31,94 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from dynaalign_ray.pipelines import curation as c
+    from dynaalign_ray.pipelines import peptide as p
     from dynaalign_ray.pipelines import relational as r
     from dynaalign_ray.pipelines import webpages as w
 
     # ORDER MATTERS: the driver's per-round correctness harness runs this
-    # dict in order and stops at a cap (CORRECTNESS_r02 recorded exactly the
-    # first 50 entries).  Entries the driver has NEVER checked come first,
-    # then previously-hash-exact entries (regression signal), rows-only
-    # entries last (weakest signal — drop first under the cap).
+    # dict in order and stops at a 50-query cap (observed r01-r03).
+    # Round-4 ordering (VERDICT r3 "Next round" #1): the FLAGSHIP first,
+    # then every oracle-backed entry the driver has never hash-checked,
+    # then this round's new entries, then the r3-hash-green set as the
+    # regression signal; previously-green and rows-only entries last.
     return {
-        # --- new in round 3 (never driver-checked)
-        "doc_dsir_weights": c.doc_dsir_weights,  # DSIR importance weights (target-vs-raw trigram LMs)
-        "doc_dsir_sample": c.doc_dsir_sample,  # DSIR selection: deterministic top-m by weight
-        "events_user_funnel": r.events_user_funnel,  # ordered funnel (view->click->purchase)
-        "events_cohort_retention": r.events_cohort_retention,  # first-event-hour cohort retention
-        "doc_jaccard_pairs_prefix": c.doc_jaccard_pairs_prefix,  # exact SSJoin (prefix filter, recall 1.0)
-        "events_value_ntile": r.events_value_ntile,  # NTILE(4) per user by value
-        "doc_cooccurrence": c.doc_cooccurrence,  # top-100-df token co-occurrence counts
-        "doc_hash_embedding": c.doc_hash_embedding,  # feature-hashed trigram embeddings (sparse rows)
-        "doc_neardup_exact": c.doc_neardup_exact,  # SSJoin-edged clustering (no probabilistic stage)
-        "pages_crawl_diff": w.pages_crawl_diff,  # latest-vs-previous snapshot diff per canonical URL
-        "doc_source_regression": c.doc_source_regression,  # per-source OLS fit (exact int sufficient stats)
-        "doc_containment_pairs_prefix": c.doc_containment_pairs_prefix,  # exact containment SSJoin
-        "doc_range_bucket": c.doc_range_bucket,  # range-shard assignment from exact quantile boundaries
-        "pages_intrahost_neardup": w.pages_intrahost_neardup,  # site-scoped near-dup (edge_filter hook)
-        "events_hourly_anomaly": r.events_hourly_anomaly,  # hourly-volume z-scores (monitoring)
-        "doc_lm_familiarity": c.doc_lm_familiarity,  # corpus-trained trigram-LM scoring (CCNet shape)
-        "doc_neardup_best_keep": c.doc_neardup_best_keep,  # quality-argmax keep rule per cluster
-        "pages_window_neardup": w.pages_window_neardup,  # crawl-time-window-scoped near-dup
-        "doc_lm_familiarity_ref": c.doc_lm_familiarity_ref,  # train on ref slice, score all (CCNet)
-        "doc_model_scores": c.doc_model_scores,  # batched linear-model inference (actor pool)
-        "doc_split_assign": c.doc_split_assign,  # deterministic train/val/test split
-        "doc_paragraph_neardup": c.doc_paragraph_neardup,  # fuzzy paragraph dedup + reassembly
-        "doc_neardup_histogram": c.doc_neardup_histogram,  # flagship cluster-size histogram
-        "doc_global_rank": c.doc_global_rank,  # total order via histogram prefix (no global sort)
-        "doc_top_quartile": c.doc_top_quartile,  # percentile-gated filter (Q3 threshold)
-        "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # near-dup cross-corpus decontamination
-        "doc_shard_assign": c.doc_shard_assign,  # deterministic training-shard assignment
-        "customer_segment_fullouter": r.customer_segment_fullouter,  # FULL OUTER join
-        "pages_blocklist_filter": w.pages_blocklist_filter,  # broadcast host blocklist pre-tier
-        # --- never driver-checked before round 3: relational surface
+        # --- 1. flagship (recursive-CTE CC oracle; never driver-reached
+        #        in r1-r3 because 29 new queries pushed it past the cap)
+        "doc_neardup_clusters": c.doc_neardup_clusters,
+        # --- 2. oracle-backed, never hash-checked by the driver
+        "doc_similarity_stats": c.doc_similarity_stats,  # oracle since r3
+        "doc_curation_funnel": c.doc_curation_funnel,  # tier-composed SQL
+        "doc_tiered_funnel": c.doc_tiered_funnel,  # five-tier composed SQL
+        "doc_substring_dedup": c.doc_substring_dedup,  # loser-window islands SQL
+        "doc_substring_pairs": c.doc_substring_pairs,  # LCS islands SQL
+        "doc_quality": c.doc_quality,  # RE2-count parity, bit-exact floats
+        "doc_langid_counts": c.doc_langid_counts,
+        "doc_fingerprints": c.doc_fingerprints,  # u64 modular SQL, bit-exact
+        "doc_decontam_ngram": c.doc_decontam_ngram,  # string==hash equality
+        "doc_neardup_incremental": c.doc_neardup_incremental,  # full-run CC restricted
+        "doc_novelty": c.doc_novelty,  # per-doc hapax-shingle fraction
+        "doc_source_mix": c.doc_source_mix,  # token-budget data mixing
+        "doc_pack_sequences": c.doc_pack_sequences,  # greedy sequence packing
+        "events_trailing_hour": r.events_trailing_hour,  # RANGE-interval window
+        "q3_shipping_priority": r.q3_shipping_priority,  # TPC-H Q3 composition
+        "lineitem_price_quantiles": r.lineitem_price_quantiles,  # exact float-money quantiles
+        "embedding_cosine_pairs": c.embedding_cosine_pairs,  # exact cosine pairs (gated plan)
+        "embedding_semdedup": c.embedding_semdedup,  # SemDeDup exact plan (CC oracle)
+        # --- 3. clusterbreak size controller (rows-only; labels engine-internal)
+        "doc_neardup_sized": c.doc_neardup_sized,
+        # --- 4. new in round 4: peptide-payload operators (SURVEY §2
+        #        #13-19; rows-only — sequence DP / community detection are
+        #        not SQL-expressible; pytest-oracled incl. ARI >= 0.9)
+        "peptide_nw_rescore": p.peptide_nw_rescore,  # BLOSUM62 affine-gap NW rescorer
+        "peptide_clusterbreak": p.peptide_clusterbreak,  # "round.cid" size controller
+        "peptide_consensus": p.peptide_consensus,  # center-star MSA consensus
+        "peptide_louvain": p.peptide_louvain,  # real Louvain backend via cluster_fn hook
+        # --- 5. r3 hash-green regression set (fills the 50-query window;
+        #        plans touched this round come first)
+        "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
+        "events_hourly_anomaly": r.events_hourly_anomaly,  # floor-div hour buckets (ADVICE r3)
+        "doc_cooccurrence": c.doc_cooccurrence,  # partial top-W df (this round)
+        "lineitem_topk_price": r.lineitem_topk_price,  # partial top-k (this round)
+        "top_customers": r.top_customers,  # partial top-k (this round)
+        "doc_lm_familiarity": c.doc_lm_familiarity,  # partial top-V vocab (this round)
+        "embedding_topk": c.embedding_topk,  # distributed reduce (this round)
+        "doc_dsir_weights": c.doc_dsir_weights,
+        "doc_dsir_sample": c.doc_dsir_sample,
+        "doc_jaccard_pairs_prefix": c.doc_jaccard_pairs_prefix,
+        "doc_containment_pairs_prefix": c.doc_containment_pairs_prefix,
+        "doc_neardup_exact": c.doc_neardup_exact,
+        "doc_neardup_best_keep": c.doc_neardup_best_keep,
+        "doc_neardup_histogram": c.doc_neardup_histogram,
+        "pages_intrahost_neardup": w.pages_intrahost_neardup,
+        "pages_window_neardup": w.pages_window_neardup,
+        "pages_crawl_diff": w.pages_crawl_diff,
+        "doc_paragraph_neardup": c.doc_paragraph_neardup,
+        "doc_lm_familiarity_ref": c.doc_lm_familiarity_ref,
+        "doc_model_scores": c.doc_model_scores,
+        "doc_hash_embedding": c.doc_hash_embedding,
+        "doc_global_rank": c.doc_global_rank,
+        "doc_top_quartile": c.doc_top_quartile,
+        "doc_split_assign": c.doc_split_assign,
+        "doc_shard_assign": c.doc_shard_assign,
+        "doc_range_bucket": c.doc_range_bucket,
+        "doc_source_regression": c.doc_source_regression,
+        # ---------------- driver cap (~50) usually lands here ----------------
+        "events_user_funnel": r.events_user_funnel,
+        "events_cohort_retention": r.events_cohort_retention,
+        "events_value_ntile": r.events_value_ntile,
+        "customer_segment_fullouter": r.customer_segment_fullouter,
+        "pages_blocklist_filter": w.pages_blocklist_filter,
+        # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
         "revenue_by_region": r.revenue_by_region,
-        "top_customers": r.top_customers,
         "events_hourly": r.events_hourly,
         "part_type_stats": r.part_type_stats,
         "supplier_volume": r.supplier_volume,
         "high_value_order_counts": r.high_value_order_counts,
-        "lineitem_topk_price": r.lineitem_topk_price,
         "orders_customer_hashjoin": r.orders_customer_hashjoin,
         "events_order_asof": r.events_order_asof,
-        "supplier_ship_window_counts": r.supplier_ship_window_counts,  # range join (new r3)
+        "supplier_ship_window_counts": r.supplier_ship_window_counts,
         "events_type_users": r.events_type_users,
         "customers_no_big_orders": r.customers_no_big_orders,
         "events_user_deltas": r.events_user_deltas,
@@ -92,41 +128,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": r.orders_cube,
         "customer_order_counts": r.customer_order_counts,
         "events_value_stats": r.events_value_stats,
-        "events_trailing_hour": r.events_trailing_hour,
-        "q3_shipping_priority": r.q3_shipping_priority,
-        "lineitem_price_quantiles": r.lineitem_price_quantiles,
-        # --- never driver-checked before round 3: similarity / windows
-        "embedding_topk": c.embedding_topk,
-        "embedding_cosine_pairs": c.embedding_cosine_pairs,
-        "embedding_semdedup": c.embedding_semdedup,
-        "embedding_semdedup_kmeans": c.embedding_semdedup_kmeans,  # rows-only (SemDeDup scale path; recall pytest-gated)
+        # --- similarity / windows (oracle-backed, green in r2 or builder)
         "embedding_label_norms": c.embedding_label_norms,
         "events_user_sessions": c.events_user_sessions,
         "events_sliding_counts": c.events_sliding_counts,
-        "events_type_users_approx": r.events_type_users_approx,  # rows-only (grouped HLL)
-        "embedding_cosine_pairs_lsh": c.embedding_cosine_pairs_lsh,  # rows-only (ANN scale path)
-        "embedding_topk_lsh": c.embedding_topk_lsh,  # rows-only (ANN)
-        "embedding_topk_ivf": c.embedding_topk_ivf,  # rows-only (ANN, IVF index)
-        "embedding_pq_topk": c.embedding_pq_topk,  # rows-only (ANN, product-quantized codes)
-        "doc_similarity_stats": c.doc_similarity_stats,  # oracle since r3
-        # --- flagship (oracle-checked since round 3: recursive-CTE CC)
-        "doc_neardup_clusters": c.doc_neardup_clusters,
-        # --- web-page / URL layer (input_hint page shape; derived view)
+        # --- web-page / URL layer (r2 green)
         "pages_url_canonical": w.pages_url_canonical,
         "pages_latest_snapshot": w.pages_latest_snapshot,
         "pages_host_stats": w.pages_host_stats,
-        # --- dedup family (SURVEY.md §2.5 set-ops/dedup; engine additions)
+        # --- dedup family (r2 green)
         "doc_exact_dedup": c.doc_exact_dedup,
         "doc_norm_dedup": c.doc_norm_dedup,
         "doc_chunk_stats": c.doc_chunk_stats,
         "doc_chunk_dedup": c.doc_chunk_dedup,
-        # --- text analysis (hash-exact in r02)
+        # --- text analysis (r2 green)
         "doc_token_counts": c.doc_token_counts,
         "doc_shingle_counts": c.doc_shingle_counts,
         "doc_jaccard_pairs": c.doc_jaccard_pairs,
         "doc_containment_pairs": c.doc_containment_pairs,
         "doc_lang_stats": c.doc_lang_stats,
-        "doc_top_longest": c.doc_top_longest,
+        "doc_top_longest": c.doc_top_longest,  # partial top-k (this round)
         "doc_top_by_source": c.doc_top_by_source,
         "doc_source_stats": c.doc_source_stats,
         "doc_char_classes": c.doc_char_classes,
@@ -146,33 +167,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": c.doc_length_quantiles,
         "doc_length_quantiles_cont": c.doc_length_quantiles_cont,
         "doc_source_quantiles": c.doc_source_quantiles,
-        "doc_novelty": c.doc_novelty,  # per-doc unique-shingle fraction (df==1)
-        "doc_source_mix": c.doc_source_mix,  # token-budget data mixing per source
-        "doc_pack_sequences": c.doc_pack_sequences,  # greedy sequence packing per source
         # --- rows-only entries (pytest-oracle-covered; weakest driver signal)
-        "doc_neardup_sized": c.doc_neardup_sized,  # rows-only (clusterbreak size controller)
-        "doc_neardup_incremental": c.doc_neardup_incremental,  # oracle since r3 (full-run CC restricted)
-        "doc_curation_funnel": c.doc_curation_funnel,  # oracle since r3 (tier-composed SQL)
-        "doc_tiered_funnel": c.doc_tiered_funnel,  # oracle since r3 (five-tier composed SQL)
-        "doc_minhash_signatures": c.doc_minhash_signatures,  # rows-only
-        "doc_simhash_pairs": c.doc_simhash_pairs,  # rows-only
-        "doc_substring_pairs": c.doc_substring_pairs,  # oracle since r3 (LCS islands SQL)
-        "doc_substring_dedup": c.doc_substring_dedup,  # oracle since r3 (loser-window islands SQL)
-        "doc_quality": c.doc_quality,  # oracle since r3 (RE2-count parity)
-        "doc_langid_counts": c.doc_langid_counts,  # oracle since r3
-        "doc_fingerprints": c.doc_fingerprints,  # oracle since r3 (u64 modular SQL, bit-exact)
-        "doc_decontam_ngram": c.doc_decontam_ngram,  # oracle since r3 (string==hash equality)
-        "doc_decontam_bloom": c.doc_decontam_bloom,  # rows-only (Bloom cheap-filter stage)
-        "media_features": c.media_features,  # rows-only (real PPM/WAV decode)
-        "media_image_neardup": c.media_image_neardup,  # rows-only (dHash+pigeonhole)
-        "media_audio_neardup": c.media_audio_neardup,  # rows-only (spectral hash)
-        "doc_corpus_stats": c.doc_corpus_stats,  # rows-only (HLL sketch)
-        "doc_token_cms": c.doc_token_cms,  # rows-only (count-min sketch; pytest-gated bounds)
-        "doc_compress_ratio": c.doc_compress_ratio,  # rows-only (zlib not SQL-reproducible; law pytests)
-        "media_gif_features": c.media_gif_features,  # rows-only (pure-spec GIF/LZW decode, real features)
-        "media_png_features": c.media_png_features,  # rows-only (pure-spec PNG decode: zlib inflate + filters)
-        "media_video_neardup": c.media_video_neardup,  # rows-only (Y4M decode, temporal-SimHash pairs)
-        "media_image_in_video": c.media_image_in_video,  # rows-only (cross-modal: image == video frame)
+        "embedding_semdedup_kmeans": c.embedding_semdedup_kmeans,  # SemDeDup scale path
+        "events_type_users_approx": r.events_type_users_approx,  # grouped HLL
+        "embedding_cosine_pairs_lsh": c.embedding_cosine_pairs_lsh,  # ANN scale path
+        "embedding_topk_lsh": c.embedding_topk_lsh,  # ANN
+        "embedding_topk_ivf": c.embedding_topk_ivf,  # ANN, IVF index
+        "embedding_pq_topk": c.embedding_pq_topk,  # ANN, PQ codes
+        "doc_minhash_signatures": c.doc_minhash_signatures,  # SipHash not SQL-reproducible
+        "doc_simhash_pairs": c.doc_simhash_pairs,
+        "doc_decontam_bloom": c.doc_decontam_bloom,  # Bloom cheap-filter stage
+        "media_features": c.media_features,  # real PPM/WAV decode
+        "media_image_neardup": c.media_image_neardup,  # dHash+pigeonhole
+        "media_audio_neardup": c.media_audio_neardup,  # spectral hash
+        "doc_corpus_stats": c.doc_corpus_stats,  # HLL sketch
+        "doc_token_cms": c.doc_token_cms,  # count-min sketch; pytest-gated bounds
+        "doc_compress_ratio": c.doc_compress_ratio,  # zlib not SQL-reproducible
+        "media_gif_features": c.media_gif_features,  # pure-spec GIF/LZW decode
+        "media_png_features": c.media_png_features,  # pure-spec PNG decode
+        "media_video_neardup": c.media_video_neardup,  # Y4M temporal-SimHash pairs
+        "media_image_in_video": c.media_image_in_video,  # cross-modal frame match
     }
 
 
