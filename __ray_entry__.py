@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compress_ratio": c.doc_compress_ratio,  # zlib not SQL-reproducible
         "media_gif_features": c.media_gif_features,  # pure-spec GIF/LZW decode
         "media_png_features": c.media_png_features,  # pure-spec PNG decode
+        "media_jpeg_features": c.media_jpeg_features,  # pure-spec baseline JPEG decode
         "media_video_neardup": c.media_video_neardup,  # Y4M temporal-SimHash pairs
         "media_image_in_video": c.media_image_in_video,  # cross-modal frame match
     }

@@ -10,9 +10,11 @@ header + raw samples, parseable with ``struct``/numpy:
 
 So decode, resize, perceptual hashing (dHash) and audio feature extraction
 are REAL for ``image/x-portable-pixmap`` and ``audio/wav`` payloads;
-compressed types (jpeg/mp4/...) stay honestly stubbed behind
-NotImplementedError (``decode="strict"``) or a deterministic hash-derived
-fake (``decode="fake"``) so pipeline plumbing tests still run end-to-end.
+GIF, PNG, baseline JPEG (``functions/jpeg.py``), AU and Y4M also decode
+natively from their public specs.  Remaining compressed types (webp/mp4/...)
+stay honestly stubbed behind NotImplementedError (``decode="strict"``) or a
+deterministic hash-derived fake (``decode="fake"``) so pipeline plumbing
+tests still run end-to-end.
 
 Batch-size guidance: with payloads of B bytes, pick
 ``batch_size <= target_worker_bytes / B`` — these stages default to small
@@ -47,6 +49,7 @@ WAV_TYPE = "audio/wav"
 GIF_TYPE = "image/gif"
 PNG_TYPE = "image/png"
 AU_TYPE = "audio/basic"
+JPEG_TYPE = "image/jpeg"
 
 # ------------------------------------------------------- decoder registry
 #
@@ -89,8 +92,8 @@ def _try_autoregister() -> None:
             img = Image.open(io.BytesIO(payload)).convert("RGB")
             return ("image", np.asarray(img, dtype=np.uint8))
 
-        # png/gif decode natively; PIL stays the fallback for their
-        # outside-the-pure-spec-subset forms (16-bit, Adam7, ...)
+        # png/gif/jpeg decode natively; PIL stays the fallback for their
+        # outside-the-pure-spec-subset forms (16-bit, Adam7, progressive)
         for mt in ("image/jpeg", "image/webp", "image/png", "image/gif"):
             _DECODER_REGISTRY.setdefault(mt, _pil_decode)
     except ImportError:
@@ -807,13 +810,20 @@ class MediaFeatureActor:
             return self._fake_feature(payload)
         if media_type == PPM_TYPE:
             return self._image_features(payload)
-        if media_type in (GIF_TYPE, PNG_TYPE):
-            native = decode_gif if media_type == GIF_TYPE else decode_png
+        if media_type in (GIF_TYPE, PNG_TYPE, JPEG_TYPE):
+            if media_type == GIF_TYPE:
+                native = decode_gif
+            elif media_type == PNG_TYPE:
+                native = decode_png
+            else:
+                from dynaalign_ray.functions.jpeg import decode_jpeg
+
+                native = decode_jpeg
             try:
                 return self._image_features_from_array(native(payload))
             except ValueError:
-                # outside the pure-spec subset (e.g. 16-bit or Adam7 PNG):
-                # fall through to a registered codec-library decoder
+                # outside the pure-spec subset (e.g. 16-bit or Adam7 PNG,
+                # progressive JPEG): fall through to a registered decoder
                 if media_type not in _DECODER_REGISTRY:
                     raise
         if media_type == WAV_TYPE:

@@ -61,8 +61,12 @@ class CurationFilter:
             np.asarray(q.column("quality_score")) >= self.min_quality
         ) & (np.asarray(q.column("n_tokens")) >= self.min_tokens)
         if self.allowed is not None:
-            langs = self.langid(batch).column("pred_lang").to_pylist()
-            keep &= np.array([l in self.allowed for l in langs], dtype=bool)
+            import pyarrow.compute as pc
+
+            langs = self.langid(batch).column("pred_lang")
+            keep &= np.asarray(
+                pc.is_in(langs, value_set=pa.array(sorted(self.allowed)))
+            )
         return batch.filter(pa.array(keep))
 
 

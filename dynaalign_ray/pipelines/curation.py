@@ -1669,6 +1669,26 @@ def media_png_features(sf_dir: str, num_partitions: int = 4):
     return _media_codec_features(sf_dir, num_partitions, PNG_TYPE, encode_png)
 
 
+def media_jpeg_features(sf_dir: str, num_partitions: int = 4):
+    """Baseline JPEG decode under the driver (rows-only): REAL JFIF
+    payloads (pure-spec Huffman + IDCT + YCbCr — functions/jpeg.decode_jpeg)
+    through the strict actor pool; 4:2:0 subsampling and restart markers
+    exercised by alternating encoder settings per media row."""
+    from dynaalign_ray.functions.jpeg import JPEG_TYPE, encode_jpeg
+
+    def encode(img):
+        # alternate the encoder's hard paths so the query exercises
+        # 4:4:4, 4:2:0 and restart-interval decode in one corpus
+        mode = int(img[0, 0, 0]) % 3
+        if mode == 0:
+            return encode_jpeg(img, quality=90)
+        if mode == 1:
+            return encode_jpeg(img, quality=85, subsample=True)
+        return encode_jpeg(img, quality=80, restart_interval=2)
+
+    return _media_codec_features(sf_dir, num_partitions, JPEG_TYPE, encode)
+
+
 def media_features(sf_dir: str, num_partitions: int = 4):
     """REAL multimodal decode under the driver (rows-only): a deterministic
     media corpus sized from the documents table (one media row per two docs;
