@@ -314,11 +314,17 @@ def _approx_quantile(ds, col: str, q: float) -> float:
     return bin_idx / nb
 
 
-def write_run_report(res: NearDupResult, path: str) -> dict:
+def write_run_report(res: NearDupResult, path: str, svg_dir: str | None = None) -> dict:
     """Driver-side run report — the scalable stand-in for the reference's
     plotting outputs (consensusplot / plot_similarity_matrix,
     R/clusterbreak.R:379-399, R/plotting.R:14-29): cluster-size histogram,
-    edge-weight stats, per-stage counters.  Small aggregates only."""
+    edge-weight stats, per-stage counters.  Small aggregates only.
+
+    ``svg_dir``: also render the actual figures as SVG
+    (functions/svgplot.py) — a similarity heatmap over the largest
+    clusters' edge weights.  Figure inputs are capped driver-side
+    (top clusters only), so this stays a small artifact at any corpus
+    size."""
     import json
 
     from ray.data.aggregate import Count
@@ -345,9 +351,83 @@ def write_run_report(res: NearDupResult, path: str) -> dict:
         "edge_stats": dedup_stats(res.edges),
         "stages": res.stats,
     }
+    if svg_dir is not None:
+        report["figures"] = _render_report_figures(res, svg_dir)
     with open(path, "w") as f:
         json.dump(report, f, indent=2, default=str)
     return report
+
+
+_FIGURE_MAX_DOCS = 40  # heatmap over at most this many members of the top cluster
+
+
+def _render_report_figures(res: NearDupResult, svg_dir: str) -> dict:
+    """The actual figure files (heatmap of the largest cluster's verified
+    edge weights) — inputs bounded to _FIGURE_MAX_DOCS docs via partial
+    top-1 on cluster size + limit(), so the figure is a driver-side
+    constant regardless of corpus size."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.exec import partial_topk
+    from dynaalign_ray.functions.svgplot import similarity_heatmap_svg
+
+    os.makedirs(svg_dir, exist_ok=True)
+    sizes = res.clusters.groupby("cluster_id", num_partitions=8).aggregate(
+        Count(alias_name="n")
+    )
+    top = partial_topk(
+        sizes, [("n", "descending"), ("cluster_id", "ascending")], 1
+    ).take_all()
+    if not top:
+        return {}
+    top_cid = int(top[0]["cluster_id"])
+
+    def in_top(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("cluster_id"), top_cid))
+
+    members = (
+        res.clusters.map_batches(in_top, batch_format="pyarrow", zero_copy_batch=True)
+        .limit(_FIGURE_MAX_DOCS)
+        .take_all()
+    )
+    ids = sorted(int(r["doc_id"]) for r in members)
+    idset = set(ids)
+    pos = {d: i for i, d in enumerate(ids)}
+    mat = np.eye(len(ids))
+
+    def member_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vs = pa.array(ids, type=batch.column("a").type)
+        keep = pc.and_(
+            pc.is_in(batch.column("a"), value_set=vs),
+            pc.is_in(batch.column("b"), value_set=vs),
+        )
+        return batch.filter(keep)
+
+    for ref in (
+        res.edges.map_batches(
+            member_edges, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        for a, b, j in zip(
+            np.asarray(t.column("a")), np.asarray(t.column("b")), np.asarray(t.column("jaccard"))
+        ):
+            if int(a) in idset and int(b) in idset:
+                mat[pos[int(a)], pos[int(b)]] = mat[pos[int(b)], pos[int(a)]] = float(j)
+
+    heatmap_path = os.path.join(svg_dir, "top_cluster_heatmap.svg")
+    with open(heatmap_path, "w") as f:
+        f.write(similarity_heatmap_svg(mat, labels=[str(d) for d in ids]))
+    return {"top_cluster_heatmap": heatmap_path, "cluster_id": top_cid, "n_members": len(ids)}
 
 
 def dedup_stats(edges_ds) -> dict:

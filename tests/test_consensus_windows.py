@@ -182,6 +182,24 @@ class TestBackends:
         assert report["n_clusters"] < report["n_docs"]
         assert (tmp_path / "report.json").exists()
 
+    def test_run_report_figures(self, rd, small_corpus, tmp_path):
+        import xml.etree.ElementTree as ET
+
+        from dynaalign_ray.pipelines.neardup import near_dedup, write_run_report
+
+        pages, _ = small_corpus
+        res = near_dedup(
+            pages_ds=rd.from_arrow(pages), cfg=DedupConfig(), num_partitions=4
+        )
+        report = write_run_report(
+            res, str(tmp_path / "report.json"), svg_dir=str(tmp_path / "figs")
+        )
+        figs = report["figures"]
+        assert figs["n_members"] >= 2  # the fixture plants duplicate groups
+        root = ET.parse(figs["top_cluster_heatmap"]).getroot()
+        rects = root.findall("{http://www.w3.org/2000/svg}rect")
+        assert len(rects) == figs["n_members"] ** 2
+
 
 class TestQuantileThreshold:
     def test_tau_quantile_mode(self, rd, small_corpus):
