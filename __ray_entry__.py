@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peptide_nw_rescore": p.peptide_nw_rescore,  # BLOSUM62 affine-gap NW rescorer
         "peptide_clusterbreak": p.peptide_clusterbreak,  # "round.cid" size controller
         "peptide_consensus": p.peptide_consensus,  # center-star MSA consensus
+        "peptide_consensus_msa": p.peptide_consensus_msa,  # full progressive MSA
         "peptide_louvain": p.peptide_louvain,  # real Louvain backend via cluster_fn hook
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)

@@ -211,6 +211,36 @@ def peptide_consensus(sf_dir: str, num_partitions: int = 4):
     )
 
 
+def peptide_consensus_msa(sf_dir: str, num_partitions: int = 4):
+    """Operator #19, full-MSA form: the same clusterbreak -> consensus
+    pipeline as peptide_consensus but with the REAL progressive aligner
+    (stages/msa.progressive_msa: UPGMA guide tree + profile-profile
+    affine-gap NW — the faithful analog of DECIPHER::AlignSeqs ->
+    ConsensusSequence, R/clusterbreak.R:313-318; insertions relative to
+    any single member ARE representable, unlike center-star)."""
+    from dynaalign_ray.pipelines.clusterbreak import cluster_break
+    from dynaalign_ray.stages.consensus import cluster_consensus
+    from dynaalign_ray.stages.msa import make_progressive_msa_consensus
+
+    docs, _ = _isolate_docs(num_partitions)
+    res = cluster_break(
+        docs_ds=docs,
+        cfg=DedupConfig(**_CFG),
+        size_max=40,
+        size_min=2,
+        thresh_p=0.8,
+        max_rounds=5,
+        num_partitions=num_partitions,
+    )
+    return cluster_consensus(
+        res.clustered.select_columns(["doc_id", "cluster_id"]),
+        docs,
+        num_partitions,
+        consensus_fn=make_progressive_msa_consensus(matrix_name="BLOSUM62"),
+        min_members=2,
+    )
+
+
 def peptide_louvain(sf_dir: str, num_partitions: int = 4):
     """Operators #16-17 (louvain_mod / netcluster): the flagship pipeline
     with the REAL Louvain community-detection backend injected through the

@@ -54,16 +54,18 @@ def _encode(seq: str, index: dict[str, int]) -> np.ndarray:
         raise ValueError(f"invalid character {e.args[0]!r} in sequence") from None
 
 
-def _dp_matrices(x: np.ndarray, y: np.ndarray, sub: np.ndarray, gap_open: int, gap_ext: int):
-    """Three-matrix affine-gap DP, vectorized over the j axis per row."""
-    n, m = len(x), len(y)
-    M = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)
-    Ix = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)  # gap in y (up moves)
-    Iy = np.full((n + 1, m + 1), _NEG_INF, dtype=np.int64)  # gap in x (left moves)
+def _dp_from_scores(scores: np.ndarray, gap_open, gap_ext):
+    """Three-matrix affine-gap DP over an arbitrary (n, m) position-score
+    matrix, vectorized over the j axis per row.  Also serves the
+    profile-profile alignment in stages/msa.py (float scores)."""
+    n, m = scores.shape
+    dtype = scores.dtype
+    M = np.full((n + 1, m + 1), _NEG_INF, dtype=dtype)
+    Ix = np.full((n + 1, m + 1), _NEG_INF, dtype=dtype)  # gap in y (up moves)
+    Iy = np.full((n + 1, m + 1), _NEG_INF, dtype=dtype)  # gap in x (left moves)
     M[0, 0] = 0
-    Ix[1:, 0] = -gap_open - gap_ext * np.arange(n, dtype=np.int64)
-    Iy[0, 1:] = -gap_open - gap_ext * np.arange(m, dtype=np.int64)
-    scores = sub[x][:, y].astype(np.int64)  # (n, m)
+    Ix[1:, 0] = -gap_open - gap_ext * np.arange(n, dtype=dtype)
+    Iy[0, 1:] = -gap_open - gap_ext * np.arange(m, dtype=dtype)
     # Iy's intra-row dependency iy[j] = max(M[i,j-1] - gap_open,
     # iy[j-1] - gap_ext) is a prefix max after the affine substitution
     # c[j] = M[i,j-1] - gap_open + gap_ext*j:
@@ -71,7 +73,7 @@ def _dp_matrices(x: np.ndarray, y: np.ndarray, sub: np.ndarray, gap_open: int, g
     #         = maximum.accumulate(c)[j] - gap_ext*j
     # — no Python inner loop (the reference's scalar C++ scan,
     # pairwiseSeqAlign.cpp:262-266, vectorized).
-    jj = np.arange(1, m + 1, dtype=np.int64) * gap_ext
+    jj = np.arange(1, m + 1, dtype=dtype) * gap_ext
     for i in range(1, n + 1):
         prev_best = np.maximum(np.maximum(M[i - 1], Ix[i - 1]), Iy[i - 1])
         M[i, 1:] = prev_best[:-1] + scores[i - 1]
@@ -80,6 +82,11 @@ def _dp_matrices(x: np.ndarray, y: np.ndarray, sub: np.ndarray, gap_open: int, g
         c = M[i, :-1] - gap_open + jj
         Iy[i, 1:] = np.maximum.accumulate(c) - jj
     return M, Ix, Iy
+
+
+def _dp_matrices(x: np.ndarray, y: np.ndarray, sub: np.ndarray, gap_open: int, gap_ext: int):
+    """Three-matrix affine-gap DP for two encoded sequences."""
+    return _dp_from_scores(sub[x][:, y].astype(np.int64), gap_open, gap_ext)
 
 
 def _traceback(x, y, M, Ix, Iy, gap_open, gap_ext, pairs_out=None):
