@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
+        "pages_host_cap": w.pages_host_cap,  # per-host quota (new in round 4)
         "events_hourly_anomaly": r.events_hourly_anomaly,  # floor-div hour buckets (ADVICE r3)
         "doc_cooccurrence": c.doc_cooccurrence,  # partial top-W df (this round)
         "lineitem_topk_price": r.lineitem_topk_price,  # partial top-k (this round)
@@ -1328,6 +1329,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM canon GROUP BY host
+        """,
+        "pages_host_cap": _PAGES_CTE
+        + """
+            , ranked AS (
+                SELECT host, doc_id, CAST(warc_us AS BIGINT) AS warc_us,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY warc_us DESC, doc_id ASC
+                       ) AS host_rank
+                FROM canon
+            )
+            SELECT host, doc_id, warc_us, CAST(host_rank AS BIGINT) AS host_rank
+            FROM ranked WHERE host_rank <= 5
         """,
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups

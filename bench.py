@@ -424,6 +424,33 @@ def run_plans() -> dict:
     n_pf = cur.doc_jaccard_pairs_prefix(SF_DIR).count()
     out["allpairs_prefix_sec"] = round(time.time() - t0, 3)
     out["allpairs_prefix_pairs_match"] = bool(n_pf == n_bc)
+
+    # top-k plans (VERDICT r3 #1/#2): partial per-block top-k vs the global
+    # range-partition sort it replaced — identical rows required
+    from dynaalign_ray.exec import partial_topk
+
+    docs_pq = f"{SF_DIR}/documents.parquet"
+    keys = [("n_chars", "descending"), ("doc_id", "ascending")]
+
+    def _rows(ds):
+        return [
+            (r["doc_id"], r["n_chars"])
+            for r in ds.select_columns(["doc_id", "n_chars"]).take_all()
+        ]
+
+    t0 = time.time()
+    part = partial_topk(rd.read_parquet(docs_pq, columns=["doc_id", "n_chars"]), keys, 100)
+    rows_part = _rows(part)
+    out["topk_partial_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    glob = (
+        rd.read_parquet(docs_pq, columns=["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(100)
+    )
+    rows_glob = _rows(glob)
+    out["topk_globalsort_sec"] = round(time.time() - t0, 3)
+    out["topk_rows_match"] = bool(rows_part == rows_glob)
     ray.shutdown()
     return out
 

@@ -265,6 +265,79 @@ def pages_host_stats(sf_dir: str, num_partitions: int = 8):
     )
 
 
+def pages_host_cap(sf_dir: str, cap: int = 5, num_partitions: int = 8):
+    """Per-host page quota — the standard crawl-curation guard against a
+    single host dominating the corpus: keep the newest ``cap`` pages per
+    host (order warc_us DESC, doc_id ASC — a total order, so the kept set
+    is deterministic and SQL-reproducible).
+
+    Plan: derive (doc_id, host, warc_us) in the map stage (3 narrow
+    columns shuffle, never text/html), keyed repartition by hash(host) so
+    every host's rows land in exactly one block, then per block ONE Arrow
+    sort + a vectorized within-segment rank; block-local ranks ARE global
+    ranks because hosts never span blocks.  Output rows are bounded by
+    cap x #hosts regardless of corpus size.
+    """
+    out_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("doc_id", pa.int64()),
+            ("warc_us", pa.int64()),
+            ("host_rank", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pages = derive_pages(batch)
+        _, host = canonicalize(pages.column("url"))
+        t = pa.table(
+            {
+                "doc_id": pages.column("doc_id"),
+                "host": host,
+                "warc_us": pages.column("warc_us"),
+            }
+        )
+        return _add_route(t, key="host")
+
+    def cap_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        hosts = b.column("host").combine_chunks()
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.chunk(0)
+        # grouping key only (within-host order is what matters; the output
+        # compare is order-insensitive), so dictionary codes beat string sort
+        host = np.asarray(hosts.dictionary_encode().indices, dtype=np.int64)
+        us = np.asarray(b.column("warc_us")).astype(np.int64)
+        did = np.asarray(b.column("doc_id")).astype(np.int64)
+        order = np.lexsort((did, -us, host))
+        hs = host[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        rank = np.arange(len(hs)) - np.repeat(
+            starts, np.diff(np.append(starts, len(hs)))
+        )
+        keep = rank < cap
+        kept = b.take(pa.array(order[keep]))
+        return pa.table(
+            {
+                "host": kept.column("host"),
+                "doc_id": kept.column("doc_id"),
+                "warc_us": pc.cast(kept.column("warc_us"), pa.int64()),
+                "host_rank": pa.array(rank[keep] + 1, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["route"])
+        .map_batches(
+            cap_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
 def latest_snapshot_pages(
     pages_ds,
     num_partitions: int = 8,

@@ -149,7 +149,12 @@ class TestDecoderRegistry:
         from dynaalign_ray.functions.multimodal import MediaFeatureActor
 
         actor = MediaFeatureActor(decode="strict")
+        # webp has no native codec: actionable NotImplementedError
         with pytest.raises(NotImplementedError, match="register_decoder"):
+            actor._decode_payload(b"RIFFxxxxWEBP", "image/webp")
+        # jpeg decodes natively now; a corrupt payload raises ValueError
+        # (falls through to the registry, which is empty here)
+        with pytest.raises(ValueError, match="JPEG"):
             actor._decode_payload(b"\xff\xd8jpegbytes", "image/jpeg")
 
     def test_registered_image_decoder_activates_strict_path(self):
@@ -177,7 +182,9 @@ class TestDecoderRegistry:
             assert np.allclose(via_registry, native)
         finally:
             unregister_decoder("image/jpeg")
-        with pytest.raises(NotImplementedError):
+        # post-unregister: native jpeg decode rejects the junk payload and
+        # there is no registry fallback left
+        with pytest.raises(ValueError):
             MediaFeatureActor(decode="strict")._decode_payload(b"x", "image/jpeg")
 
     def test_registered_audio_decoder(self):
