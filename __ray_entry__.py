@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": c.doc_quality,  # RE2-count parity, bit-exact floats
         "doc_langid_counts": c.doc_langid_counts,
         "doc_fingerprints": c.doc_fingerprints,  # u64 modular SQL, bit-exact
+        "doc_winnow_fingerprints": c.doc_winnow_fingerprints,  # MOSS winnowing set (round 4)
         "doc_decontam_ngram": c.doc_decontam_ngram,  # string==hash equality
         "doc_neardup_incremental": c.doc_neardup_incremental,  # full-run CC restricted
         "doc_novelty": c.doc_novelty,  # per-doc hapax-shingle fraction
@@ -574,22 +575,22 @@ _JACCARD_EDGES_CTE = """
 """
 
 
-def _fingerprint_oracle() -> str:
-    """SQL that reproduces the engine's rolling-hash document fingerprint
-    (functions/textstats.fingerprint_batch) bit-exactly: per doc, the
-    16-char-window polynomial hash g_i = sum_j byte_{i+j} * P^j mod 2^64
-    (P = FNV prime, powers precomputed mod 2^64), splitmix64-finalized
-    (hashing.mix64), then to_id63(min) = min >> 1.  All u64 arithmetic runs
-    in HUGEINT with explicit mod-2^64 reduction; the two 64x64-bit
-    multiplies are split at 32 bits so intermediates fit signed 128-bit.
-    Valid because every synthetic doc is ASCII (byte == codepoint) and
-    >= 16 chars (the content-hash fallback branch never fires)."""
+def _rolling_hash_ctes(kgram: int = 16) -> str:
+    """Shared CTE pipeline reproducing the engine's rolling k-gram hashes
+    (stages/substring._gram_hashes + hashing.mix64) bit-exactly: per doc,
+    the kgram-char-window polynomial hash g_i = sum_j byte_{i+j} * P^j
+    mod 2^64 (P = FNV prime, powers precomputed mod 2^64),
+    splitmix64-finalized.  All u64 arithmetic runs in HUGEINT with
+    explicit mod-2^64 reduction; the two 64x64-bit multiplies are split
+    at 32 bits so intermediates fit signed 128-bit.  Valid because every
+    synthetic doc is ASCII (byte == codepoint) and >= kgram chars (the
+    fallback branches never fire).  g5.h is the per-doc hash list."""
     m64 = 1 << 64
-    pows = [pow(0x100000001B3, j, m64) for j in range(16)]  # hashing._P
+    pows = [pow(0x100000001B3, j, m64) for j in range(kgram)]  # hashing._P
     c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB  # hashing._SPLITMIX_C{1,2}
     poly = " + ".join(
         f"CAST(ascii(substr(text, i + {j + 1}, 1)) AS HUGEINT) * {pows[j]}::HUGEINT"
-        for j in range(16)
+        for j in range(kgram)
     )
 
     def mulmod(c: int) -> str:
@@ -602,7 +603,7 @@ def _fingerprint_oracle() -> str:
     return f"""
             WITH g0 AS (
                 SELECT doc_id,
-                       list_transform(range(0, length(text) - 15),
+                       list_transform(range(0, length(text) - {kgram - 1}),
                            i -> ({poly}) % {m64}::HUGEINT) AS h
                 FROM documents
             ), g1 AS (
@@ -616,8 +617,41 @@ def _fingerprint_oracle() -> str:
             ), g5 AS (
                 SELECT doc_id, list_transform(h, x -> xor(x, x // 2147483648)) AS h FROM g4
             )
+        """
+
+
+def _fingerprint_oracle() -> str:
+    """Engine's single document fingerprint (functions/textstats
+    .fingerprint_batch): to_id63(min gram hash) = min >> 1."""
+    return (
+        _rolling_hash_ctes(16)
+        + """
             SELECT doc_id, CAST(list_min(h) // 2 AS BIGINT) AS fingerprint FROM g5
         """
+    )
+
+
+def _winnow_fingerprint_oracle(window: int = 8) -> str:
+    """Engine's winnowing fingerprint SET (pipelines/curation
+    .doc_winnow_fingerprints = stages/substring._winnow): distinct minima
+    over every ``window`` consecutive gram hashes (one whole-list window
+    when a doc has fewer than ``window`` grams — DuckDB's clamped list
+    slice mirrors the engine's short-doc branch), each >> 1."""
+    return (
+        _rolling_hash_ctes(16)
+        + f"""
+            , winnowed AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, greatest(len(h) - {window - 1}, 1)),
+                           i -> list_min(h[(i + 1):(i + {window})])
+                       )) AS fps
+                FROM g5
+            )
+            SELECT doc_id, CAST(unnest(fps) // 2 AS BIGINT) AS fingerprint
+            FROM winnowed
+        """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -626,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_textstats_oracles(),
         "doc_fingerprints": _fingerprint_oracle(),
+        "doc_winnow_fingerprints": _winnow_fingerprint_oracle(),
         # Linear-model inference: regexes + weights generated from the SAME
         # constants the engine actor uses (functions/modelscore.py); class
         # scores are fixed left-assoc double sums, bit-exact per row.

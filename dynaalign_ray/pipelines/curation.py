@@ -754,6 +754,45 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
+def doc_winnow_fingerprints(sf_dir: str, kgram: int = 16, window: int = 8):
+    """MOSS-style winnowing fingerprint SET per doc (Schleimer et al. 2003):
+    the distinct minima over every ``window`` consecutive kgram rolling
+    hashes — the guarantee-based robust fingerprint (any shared substring
+    of length >= kgram + window - 1 shares at least one selected
+    fingerprint).  Reuses the substring-dedup winnower
+    (stages/substring._winnow) and the SQL-reproducible rolling hash;
+    output rows (doc_id, fingerprint), several per doc."""
+
+    def winnow_block(batch: pa.Table) -> pa.Table:
+        from dynaalign_ray.hashing import to_id63
+        from dynaalign_ray.stages.substring import _gram_hashes, _winnow
+
+        doc_ids = np.asarray(batch.column("doc_id")).astype(np.int64)
+        out_doc, out_fp = [], []
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            fps = _winnow(_gram_hashes(text, kgram), window)
+            if len(fps):
+                out_fp.append(to_id63(fps))
+                out_doc.append(np.full(len(fps), doc_ids[i], dtype=np.int64))
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "fingerprint": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+                "fingerprint": pa.array(np.concatenate(out_fp), type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def doc_neardup_clusters(sf_dir: str, num_partitions: int = 8):
     """Flagship MinHash-LSH pipeline over the documents table
     (k=3 word shingles for the short synthetic docs)."""
