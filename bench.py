@@ -429,27 +429,54 @@ def run_plans() -> dict:
     # range-partition sort it replaced — identical rows required
     from dynaalign_ray.exec import partial_topk
 
-    docs_pq = f"{SF_DIR}/documents.parquet"
-    keys = [("n_chars", "descending"), ("doc_id", "ascending")]
+    li_pq = f"{SF_DIR}/lineitem.parquet"
+    li_cols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    keys = [
+        ("l_extendedprice", "descending"),
+        ("l_orderkey", "ascending"),
+        ("l_linenumber", "ascending"),
+    ]
+
+    def _src():
+        # production block layout: the operators run after a keyed
+        # repartition, not on read-splinter micro-blocks
+        return rd.read_parquet(li_pq, columns=li_cols).repartition(num_blocks=P)
 
     def _rows(ds):
         return [
-            (r["doc_id"], r["n_chars"])
-            for r in ds.select_columns(["doc_id", "n_chars"]).take_all()
+            (r["l_orderkey"], r["l_linenumber"], r["l_extendedprice"])
+            for r in ds.select_columns(li_cols).take_all()
         ]
 
     t0 = time.time()
-    part = partial_topk(rd.read_parquet(docs_pq, columns=["doc_id", "n_chars"]), keys, 100)
-    rows_part = _rows(part)
+    rows_part = _rows(partial_topk(_src(), keys, 100))
     out["topk_partial_sec"] = round(time.time() - t0, 3)
+    # the shrink the plan buys: rows entering the final (range-partition)
+    # sort — the partial plan feeds <= k x blocks winners where the global
+    # sort range-partitions the whole table
+    import pyarrow.compute as _pc
+
+    def _block_topk(b):
+        idx = _pc.sort_indices(b, sort_keys=keys)
+        return b.take(idx[:100])
+
+    out["topk_sort_input_rows_partial"] = (
+        _src()
+        .map_batches(_block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .count()
+    )
     t0 = time.time()
     glob = (
-        rd.read_parquet(docs_pq, columns=["doc_id", "n_chars"])
-        .sort(["n_chars", "doc_id"], descending=[True, False])
+        _src()
+        .sort(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            descending=[True, False, False],
+        )
         .limit(100)
     )
     rows_glob = _rows(glob)
     out["topk_globalsort_sec"] = round(time.time() - t0, 3)
+    out["topk_sort_input_rows_global"] = _src().count()
     out["topk_rows_match"] = bool(rows_part == rows_glob)
     ray.shutdown()
     return out
