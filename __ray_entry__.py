@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_mix": c.doc_source_mix,  # token-budget data mixing
         "doc_pack_sequences": c.doc_pack_sequences,  # greedy sequence packing
         "events_trailing_hour": r.events_trailing_hour,  # RANGE-interval window
+        "events_user_median_gap": r.events_user_median_gap,  # per-group exact median (round 4)
         "q3_shipping_priority": r.q3_shipping_priority,  # TPC-H Q3 composition
         "lineitem_price_quantiles": r.lineitem_price_quantiles,  # exact float-money quantiles
         "embedding_cosine_pairs": c.embedding_cosine_pairs,  # exact cosine pairs (gated plan)
@@ -2016,6 +2017,19 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(l_extendedprice,
                                         [0.25, 0.5, 0.75, 0.9, 0.99])) AS price
             FROM lineitem
+        """,
+        "events_user_median_gap": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS delta
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(median(delta) AS DOUBLE) AS median_gap_us,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM d WHERE delta IS NOT NULL GROUP BY user_id
         """,
         "events_trailing_hour": """
             SELECT event_id, user_id,

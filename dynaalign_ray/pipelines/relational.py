@@ -498,6 +498,15 @@ def events_user_deltas(sf_dir: str, num_partitions: int = 8):
     return user_lag_deltas(ev, num_partitions)
 
 
+def events_user_median_gap(sf_dir: str, num_partitions: int = 8):
+    """Exact per-user median inter-event gap — the per-group exact-quantile
+    window shape (see stages/windows.median_gap_block)."""
+    from dynaalign_ray.stages.windows import user_median_gaps
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return user_median_gaps(ev, num_partitions)
+
+
 def events_user_funnel(sf_dir: str, num_partitions: int = 8):
     """Ordered-funnel analysis (view -> click -> purchase): per user, the
     stage reached and per-stage earliest completion timestamps, with the

@@ -122,6 +122,47 @@ def lag_delta_block(batch):
     )
 
 
+def median_gap_block(batch):
+    """Exact per-user MEDIAN inter-event gap (the per-group exact-quantile
+    plan shape): deltas within user runs, one re-lexsort by (user, delta),
+    then the two middle elements per segment gathered vectorized — DuckDB
+    median semantics (even counts interpolate).  Users with a single event
+    contribute no gaps and are absent from the output, like the SQL's
+    ``WHERE delta IS NOT NULL``."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("median_gap_us", pa.float64()),
+            ("n_gaps", pa.int64()),
+        ]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid, ts, _eid, _ = _user_order_block(batch, ())
+    same_user = ~_segment_starts(uid)[1:]
+    du = uid[1:][same_user]
+    dv = (ts[1:] - ts[:-1])[same_user]
+    if len(du) == 0:
+        return out_schema.empty_table()
+    order = np.lexsort((dv, du))
+    du, dv = du[order], dv[order]
+    starts = np.flatnonzero(_segment_starts(du))
+    counts = np.diff(np.append(starts, len(du)))
+    lo = starts + (counts - 1) // 2
+    hi = starts + counts // 2
+    med = (dv[lo].astype(np.float64) + dv[hi].astype(np.float64)) / 2.0
+    return pa.table(
+        {
+            "user_id": pa.array(du[starts], type=pa.int64()),
+            "median_gap_us": pa.array(med, type=pa.float64()),
+            "n_gaps": pa.array(counts, type=pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
 def running_totals_block(batch):
     """Running window aggregate (SUM ... ROWS UNBOUNDED PRECEDING analog):
     per event, the user's cumulative value-in-cents and running row number.
@@ -168,6 +209,23 @@ def user_lag_deltas(events_ds, num_partitions: int):
         .repartition(num_blocks=num_partitions, keys=["user_id"])
         .map_batches(
             lag_delta_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def user_median_gaps(events_ds, num_partitions: int):
+    """events(event_id, user_id, ts) -> per-user exact median inter-event
+    gap (same one-keyed-repartition plan as user_lag_deltas; correctness
+    needs each user whole in one block, which the keyed repartition
+    guarantees)."""
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            median_gap_block,
             batch_size=None,
             batch_format="pyarrow",
             zero_copy_batch=True,

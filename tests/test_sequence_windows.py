@@ -58,6 +58,49 @@ class TestLagDeltaBlock:
         assert out.schema.names == ["event_id", "user_id", "ts_us", "delta_us"]
 
 
+class TestMedianGapBlock:
+    def test_known_answer_interpolation_and_singletons(self):
+        from dynaalign_ray.stages.windows import median_gap_block
+
+        t = _ev_table(
+            [
+                # user 1: ts 100, 200, 500, 600 -> gaps 100, 300, 100;
+                # odd count -> middle = 100
+                (1, 1, 100, 0.0),
+                (2, 1, 200, 0.0),
+                (3, 1, 500, 0.0),
+                (4, 1, 600, 0.0),
+                # user 2: ts 0, 10, 40 -> gaps 10, 30; even -> (10+30)/2
+                (5, 2, 0, 0.0),
+                (6, 2, 10, 0.0),
+                (7, 2, 40, 0.0),
+                # user 3: single event -> no gaps, absent from output
+                (8, 3, 999, 0.0),
+            ]
+        )
+        out = median_gap_block(t.select(["event_id", "user_id", "ts"]))
+        rows = {
+            r["user_id"]: (r["median_gap_us"], r["n_gaps"])
+            for r in out.to_pylist()
+        }
+        assert rows == {1: (100.0, 3), 2: (20.0, 2)}
+
+    def test_empty(self):
+        from dynaalign_ray.stages.windows import median_gap_block
+
+        out = median_gap_block(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
+        assert out.num_rows == 0
+        assert out.schema.names == ["user_id", "median_gap_us", "n_gaps"]
+
+
 class TestRunningTotalsBlock:
     def test_known_answer_and_segment_reset(self):
         from dynaalign_ray.stages.windows import running_totals_block
