@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_median_gap": r.events_user_median_gap,  # per-group exact median (round 4)
         "q3_shipping_priority": r.q3_shipping_priority,  # TPC-H Q3 composition
         "lineitem_price_quantiles": r.lineitem_price_quantiles,  # exact float-money quantiles
+        "lineitem_returnflag_mad": r.lineitem_returnflag_mad,  # per-group median+MAD (round 4)
         "embedding_cosine_pairs": c.embedding_cosine_pairs,  # exact cosine pairs (gated plan)
         "embedding_semdedup": c.embedding_semdedup,  # SemDeDup exact plan (CC oracle)
         # --- 3. clusterbreak size controller (rows-only; labels engine-internal)
@@ -2011,6 +2012,13 @@ def oracle_sql() -> dict[str, str]:
                    unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS q,
                    unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9])) AS n_chars
             FROM documents GROUP BY source
+        """,
+        "lineitem_returnflag_mad": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(median(l_extendedprice) AS DOUBLE) AS median_price,
+                   CAST(mad(l_extendedprice) AS DOUBLE) AS mad_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "lineitem_price_quantiles": """
             SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,

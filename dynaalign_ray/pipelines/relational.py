@@ -1029,6 +1029,63 @@ def revenue_by_region(sf_dir: str, num_partitions: int = 8):
     return _round_cols(agg, ["revenue"])
 
 
+def lineitem_returnflag_mad(sf_dir: str, num_partitions: int = 8):
+    """Per-group robust dispersion: exact MEDIAN and MAD (median absolute
+    deviation) of l_extendedprice per l_returnflag — the robust-outlier
+    analog of events_value_stats.  Plan: keyed repartition on the group
+    key (each group whole in one block), then ONE kernel per block doing
+    two vectorized median passes (values, then |value - group median|)
+    via the same lexsort + two-middle-element gather as
+    stages/windows.median_gap_block.  DuckDB interpolation semantics on
+    both medians, so the oracle compare is bit-exact (selection +
+    interpolation only — no accumulation-order float hazards)."""
+    out_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("n_items", pa.int64()),
+            ("median_price", pa.float64()),
+            ("mad_price", pa.float64()),
+        ]
+    )
+
+    def mad_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        modes = b.column("l_returnflag").combine_chunks()
+        if isinstance(modes, pa.ChunkedArray):
+            modes = modes.chunk(0)
+        code = np.asarray(modes.dictionary_encode().indices, dtype=np.int64)
+        price = np.asarray(b.column("l_extendedprice")).astype(np.float64)
+
+        def seg_median(keys, vals):
+            order = np.lexsort((vals, keys))
+            ks, vs = keys[order], vals[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            counts = np.diff(np.append(starts, len(ks)))
+            lo = starts + (counts - 1) // 2
+            hi = starts + counts // 2
+            med = (vs[lo] + vs[hi]) / 2.0
+            return ks[starts], counts, med, order[starts]
+
+        gkeys, counts, med, first_pos = seg_median(code, price)
+        med_per_row = med[np.searchsorted(gkeys, code)]
+        _, _, mad, _ = seg_median(code, np.abs(price - med_per_row))
+        return pa.table(
+            {
+                "l_returnflag": modes.take(pa.array(first_pos)),
+                "n_items": pa.array(counts, type=pa.int64()),
+                "median_price": pa.array(med, type=pa.float64()),
+                "mad_price": pa.array(mad, type=pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return li.repartition(num_blocks=num_partitions, keys=["l_returnflag"]).map_batches(
+        mad_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def lineitem_price_quantiles(sf_dir: str, num_partitions: int = 8):
     """EXACT quantiles over a float money column (l_extendedprice): prices
     map losslessly to integer cents (2-decimal doubles roundtrip exactly
