@@ -114,6 +114,105 @@ def train_trigram_model(
     return broadcast_put((keys[order], cnts[order], T))
 
 
+def dual_trigram_counts_block(
+    batch: pa.Table, *, target_source: str, col: str = "text"
+) -> pa.Table:
+    """Per-block PARTIAL counts for BOTH the raw corpus and its
+    target-source slice in one pass: (g_pack, n, n_tgt)."""
+    import pyarrow.compute as pc
+
+    texts = batch.column(col).to_pylist()
+    is_tgt = np.asarray(
+        pc.equal(batch.column("source"), pa.scalar(target_source))
+    ).astype(bool)
+    flat_all, _ = pack_trigram_windows(texts)
+    flat_tgt, _ = pack_trigram_windows([t for t, m in zip(texts, is_tgt) if m])
+    keys, n = np.unique(flat_all, return_counts=True)
+    n_tgt = np.zeros(len(keys), dtype=np.int64)
+    if len(flat_tgt):
+        kt, ct = np.unique(flat_tgt, return_counts=True)
+        n_tgt[np.searchsorted(keys, kt)] = ct  # target trigrams ⊆ all trigrams
+    return pa.table(
+        {
+            "g_pack": pa.array(keys, type=pa.int64()),
+            "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            "n_tgt": pa.array(n_tgt, type=pa.int64()),
+        }
+    )
+
+
+def train_dual_trigram_models(
+    docs_with_source_ds,
+    target_source: str,
+    vocab: int = _DEFAULT_VOCAB,
+    num_partitions: int = 8,
+):
+    """One corpus pass + one shuffle training BOTH DSIR models: the raw LM
+    over every doc and the target LM over the ``target_source`` slice.
+    Output is bit-identical to two ``train_trigram_model`` calls (the
+    target slice's trigram counts ARE the n_tgt lane; same (count DESC,
+    g_pack ASC) top-V tie rule, same pre-truncation totals) — but the
+    corpus is read and the distinct-trigram table shuffled ONCE instead
+    of twice, which at 100 TB is a whole saved read+shuffle.
+
+    Returns (target_ref, raw_ref); raises if the target slice has no
+    trigrams (the caller's fail-loudly contract)."""
+    import functools
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.exec import broadcast_put, partial_topk
+
+    grouped = (
+        docs_with_source_ds.map_batches(
+            functools.partial(
+                dual_trigram_counts_block, target_source=target_source
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("g_pack", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"), Sum("n_tgt", alias_name="n_tgt"))
+    ).materialize()
+    totals = grouped.aggregate(
+        Sum("n", alias_name="T"), Sum("n_tgt", alias_name="T_tgt")
+    )
+    T_raw = int(totals["T"] or 0)
+    T_tgt = int(totals["T_tgt"] or 0)
+    if T_tgt == 0:
+        raise ValueError(
+            f"DSIR target slice source={target_source!r} has no trigrams "
+            "(empty slice or all docs shorter than 3 codepoints)"
+        )
+
+    def model_ref(count_col: str, T: int):
+        src = grouped
+        if count_col == "n_tgt":
+            import pyarrow.compute as pc
+
+            def nonzero(b: pa.Table) -> pa.Table:
+                return b.filter(pc.greater(b.column("n_tgt"), 0))
+
+            src = grouped.map_batches(
+                nonzero, batch_format="pyarrow", zero_copy_batch=True
+            )
+        top = partial_topk(
+            src, [(count_col, "descending"), ("g_pack", "ascending")], vocab
+        )
+        parts = [t for t in (ray.get(r) for r in top.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            e = np.empty(0, dtype=np.int64)
+            return broadcast_put((e, e, 0))
+        mt = pa.concat_tables(parts)
+        keys = np.asarray(mt.column("g_pack")).astype(np.int64)
+        cnts = np.asarray(mt.column(count_col)).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        return broadcast_put((keys[order], cnts[order], T))
+
+    return model_ref("n_tgt", T_tgt), model_ref("n", T_raw)
+
+
 def familiarity_score_block(
     batch: pa.Table, *, model_ref, col: str = "text"
 ) -> pa.Table:

@@ -2520,35 +2520,20 @@ def doc_dsir_weights(
     IEEE mul/mul/div tree."""
     import functools
 
-    import pyarrow.compute as pc
-
     from dynaalign_ray.functions.ngramlm import (
         dsir_weight_block,
-        train_trigram_model,
+        train_dual_trigram_models,
     )
 
-    def tgt_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.equal(batch.column("source"), pa.scalar(target_source))
-        ).select(["doc_id", "text"])
-
-    import ray
-
-    with_src = _docs(sf_dir, ["doc_id", "text", "source"])
-    target_ref = train_trigram_model(
-        with_src.map_batches(tgt_only, batch_format="pyarrow", zero_copy_batch=True),
+    # one corpus pass + one shuffle trains BOTH models (bit-identical to
+    # two train_trigram_model calls; raises on an empty target slice)
+    target_ref, raw_ref = train_dual_trigram_models(
+        _docs(sf_dir, ["doc_id", "text", "source"]),
+        target_source=target_source,
         vocab=vocab,
         num_partitions=num_partitions,
     )
-    if ray.get(target_ref)[2] == 0:  # fail loudly, never emit inf weights
-        raise ValueError(
-            f"DSIR target slice source={target_source!r} has no trigrams "
-            "(empty slice or all docs shorter than 3 codepoints)"
-        )
     docs = _docs(sf_dir, ["doc_id", "text"])
-    raw_ref = train_trigram_model(
-        docs, vocab=vocab, num_partitions=num_partitions
-    )
     return docs.map_batches(
         functools.partial(
             dsir_weight_block, target_ref=target_ref, raw_ref=raw_ref

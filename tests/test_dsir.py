@@ -127,6 +127,46 @@ class TestDsirBlock:
         assert w[0] > w[1]
 
 
+class TestDualTrainer:
+    def test_bit_identical_to_two_single_trainers(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from dynaalign_ray.exec import configure_context
+        from dynaalign_ray.functions.ngramlm import train_dual_trigram_models
+
+        configure_context()
+        rng = np.random.default_rng(7)
+        texts = [
+            "".join(rng.choice(list("abcdef "), size=40)) for _ in range(60)
+        ]
+        srcs = ["src0" if i % 3 == 0 else "srcX" for i in range(60)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(60), pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(srcs),
+            }
+        )
+        tgt_ref, raw_ref = train_dual_trigram_models(
+            rd.from_arrow(t), target_source="src0", vocab=64, num_partitions=2
+        )
+        tgt_single = train_trigram_model(
+            rd.from_arrow(t.filter(pa.compute.equal(t.column("source"), "src0"))),
+            vocab=64,
+            num_partitions=2,
+        )
+        raw_single = train_trigram_model(
+            rd.from_arrow(t), vocab=64, num_partitions=2
+        )
+        for dual, single in ((tgt_ref, tgt_single), (raw_ref, raw_single)):
+            dk, dc, dT = ray.get(dual)
+            sk, sc, sT = ray.get(single)
+            assert dT == sT
+            assert np.array_equal(dk, sk)
+            assert np.array_equal(dc, sc)
+
+
 class TestDsirQueries:
     def test_weights_on_testdata(self, ray_session):
         from dynaalign_ray.pipelines.curation import doc_dsir_weights
