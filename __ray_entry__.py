@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": c.doc_dsir_weights,
         "doc_dsir_sample": c.doc_dsir_sample,
         "doc_jaccard_pairs_prefix": c.doc_jaccard_pairs_prefix,
+        "doc_jaccard_degrees": c.doc_jaccard_degrees,  # dedup-graph degrees (round 4)
         "doc_containment_pairs_prefix": c.doc_containment_pairs_prefix,
         "doc_neardup_exact": c.doc_neardup_exact,
         "doc_neardup_best_keep": c.doc_neardup_best_keep,
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_funnel": r.events_user_funnel,
         "events_cohort_retention": r.events_cohort_retention,
         "events_value_ntile": r.events_value_ntile,
+        "events_value_percent_rank": r.events_value_percent_rank,  # round 4
         "customer_segment_fullouter": r.customer_segment_fullouter,
         "pages_blocklist_filter": w.pages_blocklist_filter,
         # --- relational surface (r3 green)
@@ -777,6 +779,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # NTILE per user: SQL's remainder-to-the-first-tiles rule, ORDER BY
         # (value, event_id) so ties never depend on input order.
+        "events_value_percent_rank": """
+            SELECT event_id, user_id,
+                   CAST(percent_rank() OVER (
+                       PARTITION BY user_id ORDER BY value, event_id
+                   ) AS DOUBLE) AS pr
+            FROM events
+        """,
         "events_value_ntile": """
             SELECT event_id, user_id,
                    CAST(NTILE(4) OVER (
@@ -1659,6 +1668,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.doc_id = a
             JOIN c cb ON cb.doc_id = b
             WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        """,
+        "doc_jaccard_degrees": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            ),
+            deg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS doc_id FROM edges
+                    UNION ALL SELECT b AS doc_id FROM edges
+                ) GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree
+            FROM documents d LEFT JOIN deg USING (doc_id)
         """,
         "doc_containment_pairs": """
             WITH t AS (

@@ -539,6 +539,67 @@ def doc_jaccard_pairs_prefix(
     return edges.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def doc_jaccard_degrees(
+    sf_dir: str, k: int = 3, threshold: float = 0.5, num_partitions: int = 8
+):
+    """Per-doc DEGREE in the exact tau-Jaccard similarity graph (the dedup
+    graph's degree distribution — the skew signal that decides salting):
+    exact SSJoin edges -> each edge votes for both endpoints -> groupby
+    count -> LEFT OUTER hash join back onto the docs table so 0-degree
+    docs appear (degree tables can be corpus-sized, so this is a join,
+    never a broadcast)."""
+    import functools
+
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    edges = prefix_jaccard_join(sets_ds, threshold, num_partitions, order="value")
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a")).astype(np.int64)
+        bb = np.asarray(b.column("b")).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, bb]), pa.int64())})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="degree"))
+    )
+    joined = hash_join(
+        _docs(sf_dir, ["doc_id"]),
+        deg,
+        left_on="doc_id",
+        right_on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("degree", pa.int64())]),
+        num_partitions=num_partitions,
+        how="left outer",
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "degree": pc.fill_null(b.column("degree"), 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_containment_pairs(
     sf_dir: str, k: int = 3, threshold: float = 0.8, plan: str = "auto"
 ):

@@ -541,6 +541,15 @@ def events_value_ntile(sf_dir: str, num_partitions: int = 8, n_tiles: int = 4):
     return user_value_ntiles(ev, num_partitions, n_tiles)
 
 
+def events_value_percent_rank(sf_dir: str, num_partitions: int = 8):
+    """percent_rank window analog within each user's value order (see
+    stages/windows.percent_rank_block)."""
+    from dynaalign_ray.stages.windows import user_value_percent_rank
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return user_value_percent_rank(ev, num_partitions)
+
+
 def events_user_running(sf_dir: str, num_partitions: int = 8):
     """Running SUM/COUNT window analog over each user's event sequence
     (see stages/windows.running_totals_block; exact integer cents keep the

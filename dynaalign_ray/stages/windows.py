@@ -464,6 +464,54 @@ def ntile_block(batch, *, n_tiles: int):
     )
 
 
+def percent_rank_block(batch):
+    """percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id):
+    (rank - 1) / (n - 1), 0.0 for singleton partitions — the tiebreaker
+    makes the order total, so rank == in-group position + 1 exactly as the
+    SQL computes it."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("pr", pa.float64()),
+        ]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid = np.asarray(batch.column("user_id")).astype(np.int64)
+    eid = np.asarray(batch.column("event_id")).astype(np.int64)
+    val = np.asarray(batch.column("value"), dtype=np.float64)
+    order = np.lexsort((eid, val, uid))
+    uid, eid = uid[order], eid[order]
+    new = _segment_starts(uid)
+    starts = np.flatnonzero(new)
+    gidx = np.cumsum(new) - 1
+    g = np.diff(np.append(starts, len(uid)))
+    pos = np.arange(len(uid), dtype=np.int64) - starts[gidx]
+    denom = np.maximum(g[gidx] - 1, 1).astype(np.float64)
+    pr = pos.astype(np.float64) / denom  # singleton: pos 0 -> 0.0
+    return pa.table(
+        {"event_id": eid, "user_id": uid, "pr": pa.array(pr, pa.float64())},
+        schema=out_schema,
+    )
+
+
+def user_value_percent_rank(events_ds, num_partitions: int):
+    """Same one-keyed-repartition plan as the other per-user windows."""
+    return (
+        events_ds.select_columns(["event_id", "user_id", "value"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            percent_rank_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
 def user_value_ntiles(events_ds, num_partitions: int, n_tiles: int = 4):
     """events(event_id, user_id, value) -> per-event NTILE bucket within
     the user's value order.  Same ONE-keyed-repartition plan as the other
