@@ -92,10 +92,12 @@ def ensure_schema(ds):
 def partial_topk(ds, sort_keys: list[tuple[str, str]], k: int):
     """Global top-k WITHOUT a global sort: per-block partial top-k (each
     block emits <= k rows via one Arrow sort over rows it already holds),
-    then a tiny final ``sort().limit(k)`` over <= k x num_blocks survivors.
-    A ``Dataset.sort().limit(k)`` range-partition-shuffles every row to
-    keep k; this plan shuffles only the per-block winners — at 100 TB the
-    difference between a metadata-sized exchange and sorting the corpus.
+    then ONE driver-side Arrow sort over the <= k x num_blocks survivors
+    (a bounded, metadata-sized table at any corpus size — the same
+    driver-fold decision as the embedding top-k reduce; a Dataset.sort of
+    the survivors would still pay a whole range-partition stage to order
+    a few hundred rows, and a global ``sort().limit(k)`` of the input
+    would range-partition-shuffle the entire corpus to keep k).
 
     EXACTNESS requires ``sort_keys`` to be a TOTAL order over the rows
     (include a unique tiebreaker column, e.g. doc_id): the global top-k
@@ -105,9 +107,13 @@ def partial_topk(ds, sort_keys: list[tuple[str, str]], k: int):
     the boundary row deterministically on both plans).
 
     ``sort_keys``: list of (column, "ascending"|"descending") pairs, the
-    pyarrow.compute.sort_indices form.
+    pyarrow.compute.sort_indices form.  Returns a one-block Dataset so
+    callers can keep composing transforms.
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
 
     def block_topk(b):
         if b.num_rows <= k:
@@ -115,15 +121,13 @@ def partial_topk(ds, sort_keys: list[tuple[str, str]], k: int):
         idx = pc.sort_indices(b, sort_keys=sort_keys)
         return b.take(idx[:k])
 
-    cols = [c for c, _ in sort_keys]
-    desc = [d == "descending" for _, d in sort_keys]
-    return (
-        ds.map_batches(
-            block_topk, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .sort(cols, descending=desc)
-        .limit(k)
-    )
+    pruned = ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [t for t in (ray.get(r) for r in pruned.materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pruned  # empty, schema preserved
+    allc = pa.concat_tables(parts).combine_chunks()
+    idx = pc.sort_indices(allc, sort_keys=sort_keys)
+    return rd.from_arrow(allc.take(idx[: min(k, len(idx))]))
 
 
 def pick_num_partitions(approx_rows: int | None, rows_per_partition: int = 20_000) -> int:

@@ -68,7 +68,7 @@ def top_df_tokens(docs_ds, top_w: int, num_partitions: int):
     # per-block partial top-W over the distinct-token df table — no global
     # sort; (n DESC, t ASC) is a total order after the groupby
     top = partial_topk(grouped, [("n", "descending"), ("t", "ascending")], top_w)
-    parts = [t for t in (ray.get(r) for r in top.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in (ray.get(r) for r in top.materialize().to_arrow_refs()) if t.num_rows]
     toks: list[str] = []
     for t in parts:
         toks.extend(t.column("t").to_pylist())

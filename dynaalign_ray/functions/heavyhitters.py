@@ -78,7 +78,7 @@ def top_tokens(docs_ds, k: int = 10, w: int = 2000, num_partitions: int = 8):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    parts = [t for t in (ray.get(r) for r in summaries.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in (ray.get(r) for r in summaries.materialize().to_arrow_refs()) if t.num_rows]
     out_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
     if not parts:
         import ray.data as rd

@@ -103,7 +103,7 @@ def train_trigram_model(
     top = partial_topk(
         grouped, [("n", "descending"), ("g_pack", "ascending")], vocab
     )
-    parts = [t for t in (ray.get(r) for r in top.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in (ray.get(r) for r in top.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:  # corpus with no doc of >= 3 codepoints
         e = np.empty(0, dtype=np.int64)
         return broadcast_put((e, e, 0))
@@ -200,7 +200,7 @@ def train_dual_trigram_models(
         top = partial_topk(
             src, [(count_col, "descending"), ("g_pack", "ascending")], vocab
         )
-        parts = [t for t in (ray.get(r) for r in top.to_arrow_refs()) if t.num_rows]
+        parts = [t for t in (ray.get(r) for r in top.materialize().to_arrow_refs()) if t.num_rows]
         if not parts:
             e = np.empty(0, dtype=np.int64)
             return broadcast_put((e, e, 0))

@@ -73,7 +73,7 @@ def train_pq(
             ray.get(r)
             for r in embeddings_ds.map_batches(
                 sample_block, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows and col in t.column_names
     ]
@@ -233,7 +233,7 @@ def pq_topk(
                 batch_size=4096,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]

@@ -116,7 +116,7 @@ def brute_force_topk(
     state_q = np.empty(0, np.int64)
     state_v = np.empty(0, np.int64)
     state_s = np.empty(0, np.float64)
-    for block_ref in candidates.to_arrow_refs():
+    for block_ref in candidates.materialize().to_arrow_refs():
         t = ray.get(block_ref)
         if t.num_rows == 0:
             continue
@@ -232,7 +232,7 @@ def cosine_neardup_pairs(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).to_arrow_refs()
+    ).materialize().to_arrow_refs()
     parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
     full = pa.concat_tables(parts).combine_chunks()
     all_ids = np.asarray(full.column("vec_id")).astype(np.int64)
@@ -285,7 +285,7 @@ def _cosine_pairs_striped(
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
-    refs = proj.to_arrow_refs()
+    refs = proj.materialize().to_arrow_refs()
     if not refs:
         return rd.from_arrow(empty)
     total = max(int(proj.size_bytes() or 0), 1)
@@ -760,7 +760,7 @@ def _topk_reduce(candidates_ds, k: int) -> pa.Table:
     query, never the corpus.  Rank ties break on vec_id (deterministic)."""
     import ray
 
-    parts = [ray.get(r) for r in candidates_ds.to_arrow_refs()]
+    parts = [ray.get(r) for r in candidates_ds.materialize().to_arrow_refs()]
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
         return pa.table(
@@ -831,7 +831,7 @@ def train_centroids(
             ray.get(r)
             for r in embeddings_ds.map_batches(
                 sample_block, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -1033,7 +1033,7 @@ def lsh_bucket_topk(
     candidates = embeddings_ds.map_batches(
         local, batch_format="pyarrow", zero_copy_batch=True
     )
-    parts = [_ray.get(r) for r in candidates.to_arrow_refs()]
+    parts = [_ray.get(r) for r in candidates.materialize().to_arrow_refs()]
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
         return pa.table(

@@ -93,7 +93,7 @@ def approx_distinct_strings(
         .map_batches(
             max_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
-        .to_arrow_refs()
+        .materialize().to_arrow_refs()
     )
     sketches = []
     for ref in parts:
@@ -211,7 +211,7 @@ def _int_value_histogram(values_ds, col: str, num_partitions: int):
             merge_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
-    parts = [t for t in (ray.get(r) for r in hist.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in (ray.get(r) for r in hist.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return None, None
     tbl = pa.concat_tables(parts)
@@ -370,7 +370,7 @@ def approx_float_quantiles(
         .map_batches(
             merge_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
-        .to_arrow_refs()
+        .materialize().to_arrow_refs()
     )
     merged: KLL | None = None
     for ref in parts:
@@ -579,7 +579,7 @@ def approx_token_counts(
         .map_batches(
             sum_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
-        .to_arrow_refs()
+        .materialize().to_arrow_refs()
     )
     sketches = []
     for ref in parts:

@@ -189,7 +189,7 @@ def collect_arrow(ds) -> pa.Table:
     rebuild (``take_all`` materializes Python dicts row by row)."""
     import ray
 
-    refs = ds.to_arrow_refs()
+    refs = ds.materialize().to_arrow_refs()
     parts = [ray.get(r) for r in refs]
     nonempty = [p for p in parts if p.num_rows]
     if nonempty:

@@ -83,7 +83,7 @@ def _keep_only(ds, ids_ds, num_partitions: int, approx_ids: int | None):
 
         parts = [
             np.asarray(t.column(0)).astype(np.int64)
-            for t in (ray.get(r) for r in ids_ds.to_arrow_refs())
+            for t in (ray.get(r) for r in ids_ds.materialize().to_arrow_refs())
             if t.num_rows
         ]
         ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)

@@ -356,7 +356,7 @@ def _allpairs_striped(sets_ds, threshold: float, score: str, score_col: str):
             score_col: pa.array([], pa.float64()),
         }
     )
-    refs = sets_ds.to_arrow_refs()
+    refs = sets_ds.materialize().to_arrow_refs()
     if not refs:
         return rd.from_arrow(empty)
     total = max(int(sets_ds.size_bytes() or 0), 1)
@@ -444,7 +444,7 @@ def doc_jaccard_pairs(
     ).materialize()
     if _allpairs_plan(sets_ds, plan) == "striped":
         return _allpairs_striped(sets_ds, threshold, "jaccard", "jaccard")
-    parts = [t for t in (ray.get(r) for r in sets_ds.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in (ray.get(r) for r in sets_ds.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         import ray.data as rd
 
@@ -634,7 +634,7 @@ def doc_containment_pairs(
     ).materialize()
     if _allpairs_plan(sets_ds, plan) == "striped":
         return _allpairs_striped(sets_ds, threshold, "containment", "containment")
-    parts = [t for t in (ray.get(r) for r in sets_ds.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in (ray.get(r) for r in sets_ds.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         import ray.data as rd
 

@@ -190,7 +190,7 @@ def _endpoint_label_map(edges_ds, clusters_ds) -> tuple[np.ndarray, np.ndarray]:
         np.asarray(t.column(c)).astype(np.int64)
         for t in (
             ray.get(r)
-            for r in edges_ds.select_columns(["a", "b"]).to_arrow_refs()
+            for r in edges_ds.select_columns(["a", "b"]).materialize().to_arrow_refs()
         )
         for c in ("a", "b")
         if t.num_rows
@@ -224,7 +224,7 @@ def _endpoint_label_map(edges_ds, clusters_ds) -> tuple[np.ndarray, np.ndarray]:
             ray.get(r)
             for r in clusters_ds.map_batches(
                 probe, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -510,7 +510,7 @@ def incremental_dedup(
             ray.get(r)
             for r in clusters_ds.select_columns(["cluster_id"])
             .map_batches(member_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .to_arrow_refs()
+            .materialize().to_arrow_refs()
         )
         if t.num_rows
     ]

@@ -292,7 +292,7 @@ def _approx_quantile(ds, col: str, q: float) -> float:
             .map_batches(
                 block_hist, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
             )
-            .to_arrow_refs()
+            .materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -415,7 +415,7 @@ def _render_report_figures(res: NearDupResult, svg_dir: str) -> dict:
     for ref in (
         res.edges.map_batches(
             member_edges, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()
+        ).materialize().to_arrow_refs()
     ):
         t = ray.get(ref)
         for a, b, j in zip(
@@ -471,7 +471,7 @@ def dedup_stats(edges_ds) -> dict:
                 batch_size=None,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]

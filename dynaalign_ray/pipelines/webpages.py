@@ -399,7 +399,7 @@ def latest_snapshot_pages(
             block_max, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
-    parts = [t for t in (ray.get(r) for r in winners.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in (ray.get(r) for r in winners.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return pages_ds
     wt = pa.concat_tables(parts)

@@ -141,7 +141,7 @@ def find_hot_band_keys(
 
         refs = bands_ds.map_batches(
             partial_counts, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()
+        ).materialize().to_arrow_refs()
         tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
         if not tables:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)

@@ -197,7 +197,7 @@ def cms_df_order_ref(sets_ds, d: int = 4, w: int = 1 << 15, merge_fanin: int = 8
         .map_batches(
             sum_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
-        .to_arrow_refs()
+        .materialize().to_arrow_refs()
     )
     sketches = []
     for ref in parts:

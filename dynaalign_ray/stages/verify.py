@@ -192,7 +192,7 @@ def verified_edges(
 
         refs = pairs_ds.select_columns(["a", "b"]).map_batches(
             block_ids, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()
+        ).materialize().to_arrow_refs()
         parts = [
             np.asarray(t.column("doc_id")).astype(np.int64)
             for t in (ray.get(r) for r in refs)
@@ -285,7 +285,7 @@ def _broadcast_verify(pairs_ds, sigs_ds, cfg: DedupConfig, pair_doc_ref, pair_do
 
     refs = sigs_ds.map_batches(
         project_filtered, batch_format="pyarrow", zero_copy_batch=True
-    ).to_arrow_refs()
+    ).materialize().to_arrow_refs()
     parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
     sk_ref = broadcast_put(build_sketch_csr(parts))
 
