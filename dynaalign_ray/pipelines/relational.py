@@ -754,7 +754,7 @@ def customer_order_counts(sf_dir: str, num_partitions: int = 8):
     null-fill.  LEFT JOIN analog of `orders_customer_hashjoin`."""
     from ray.data.aggregate import Count, Sum
 
-    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.joins import dim_join
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -776,13 +776,17 @@ def customer_order_counts(sf_dir: str, num_partitions: int = 8):
         )
     )
     customer = _read(sf_dir, "customer", ["c_custkey"])
-    j = hash_join(
+    # the aggregated side is one row per customer-with-orders: size-gated
+    # broadcast (avoids the join's second shuffle stage) with the
+    # hash-join fallback once it outgrows the gate at scale
+    per_cust = per_cust.materialize()
+    j = dim_join(
         customer,
         per_cust,
         left_on="c_custkey",
         right_on="o_custkey",
-        left_schema=pa.schema([("c_custkey", pa.int64())]),
-        right_schema=pa.schema(
+        fact_schema=pa.schema([("c_custkey", pa.int64())]),
+        dim_schema=pa.schema(
             [
                 ("o_custkey", pa.int64()),
                 ("n_orders", pa.int64()),
@@ -791,6 +795,7 @@ def customer_order_counts(sf_dir: str, num_partitions: int = 8):
         ),
         num_partitions=num_partitions,
         how="left outer",
+        approx_dim_rows=per_cust.count(),
     )
 
     def fill(batch: pa.Table) -> pa.Table:
