@@ -1043,6 +1043,21 @@ def revenue_by_region(sf_dir: str, num_partitions: int = 8):
     return _round_cols(agg, ["revenue"])
 
 
+def _seg_median(keys, vals):
+    """Per-segment exact median with DuckDB interpolation semantics
+    (even counts average the two middle elements): one lexsort, then the
+    two middle elements per segment gathered vectorized.  Returns
+    (segment_keys, counts, medians, position-of-first-row-per-segment)."""
+    order = np.lexsort((vals, keys))
+    ks, vs = keys[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    counts = np.diff(np.append(starts, len(ks)))
+    lo = starts + (counts - 1) // 2
+    hi = starts + counts // 2
+    med = (vs[lo] + vs[hi]) / 2.0
+    return ks[starts], counts, med, order[starts]
+
+
 def lineitem_returnflag_mad(sf_dir: str, num_partitions: int = 8):
     """Per-group robust dispersion: exact MEDIAN and MAD (median absolute
     deviation) of l_extendedprice per l_returnflag — the robust-outlier
@@ -1070,20 +1085,9 @@ def lineitem_returnflag_mad(sf_dir: str, num_partitions: int = 8):
             modes = modes.chunk(0)
         code = np.asarray(modes.dictionary_encode().indices, dtype=np.int64)
         price = np.asarray(b.column("l_extendedprice")).astype(np.float64)
-
-        def seg_median(keys, vals):
-            order = np.lexsort((vals, keys))
-            ks, vs = keys[order], vals[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-            counts = np.diff(np.append(starts, len(ks)))
-            lo = starts + (counts - 1) // 2
-            hi = starts + counts // 2
-            med = (vs[lo] + vs[hi]) / 2.0
-            return ks[starts], counts, med, order[starts]
-
-        gkeys, counts, med, first_pos = seg_median(code, price)
+        gkeys, counts, med, first_pos = _seg_median(code, price)
         med_per_row = med[np.searchsorted(gkeys, code)]
-        _, _, mad, _ = seg_median(code, np.abs(price - med_per_row))
+        _, _, mad, _ = _seg_median(code, np.abs(price - med_per_row))
         return pa.table(
             {
                 "l_returnflag": modes.take(pa.array(first_pos)),
