@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": r.orders_rollup,
         "orders_cube": r.orders_cube,
         "customer_order_counts": r.customer_order_counts,
+        "orders_above_cust_avg": r.orders_above_cust_avg,  # correlated-subquery shape (round 4)
         "events_value_stats": r.events_value_stats,
         # --- similarity / windows (oracle-backed, green in r2 or builder)
         "embedding_label_norms": c.embedding_label_norms,
@@ -2164,6 +2165,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "orders_above_cust_avg": """
+            WITH per AS (
+                SELECT o_custkey,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o JOIN per USING (o_custkey)
+            WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * per.n > per.s
         """,
         "customer_order_counts": """
             SELECT c_custkey,

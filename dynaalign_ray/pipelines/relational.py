@@ -811,6 +811,75 @@ def customer_order_counts(sf_dir: str, num_partitions: int = 8):
     return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def orders_above_cust_avg(sf_dir: str, num_partitions: int = 8):
+    """Correlated-subquery shape: orders strictly above their own
+    customer's average order value.  The comparison runs in EXACT integer
+    cents — ``cents * n > sum_cents`` instead of ``price > avg`` — so no
+    float-summation-order hazard exists at the boundary (the repo's
+    money-column convention).  Plan: per-customer (n, sum_cents)
+    pre-aggregate, size-gated dim join back onto orders, one vectorized
+    filter."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import dim_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("o_totalprice"), dtype=np.float64) * 100.0
+        c = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    with_cents = orders.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_cust = (
+        with_cents.select_columns(["o_custkey", "cents"])
+        .groupby("o_custkey", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="s"))
+        .materialize()
+    )
+    j = dim_join(
+        with_cents,
+        per_cust,
+        left_on="o_custkey",
+        right_on="o_custkey",
+        fact_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("cents", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("n", pa.int64()), ("s", pa.int64())]
+        ),
+        num_partitions=num_partitions,
+        approx_dim_rows=per_cust.count(),
+    )
+
+    def above(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cents")).astype(np.int64)
+        n = np.asarray(b.column("n")).astype(np.int64)
+        s = np.asarray(b.column("s")).astype(np.int64)
+        keep = c * n > s
+        kept = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": kept.column("o_orderkey"),
+                "o_custkey": kept.column("o_custkey"),
+            }
+        )
+
+    return j.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def events_value_stats(sf_dir: str, num_partitions: int = 8):
     """EXACT distributed population stddev per event type.
 
