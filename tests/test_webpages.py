@@ -127,6 +127,41 @@ class TestHostStats:
         assert all(p >= u for p, u, _ in got.values())
 
 
+class TestHostCap:
+    def test_matches_duckdb_across_blocks(self, rd, ray_session):
+        """Hosts span many input blocks; the keyed repartition must make
+        block-local ranks global — checked vs ROW_NUMBER over the same
+        derived view, including 0 < cap boundary and full-quota hosts."""
+        from dynaalign_ray.pipelines.webpages import pages_host_cap
+
+        got = {
+            (r["host"], r["doc_id"]): (r["warc_us"], r["host_rank"])
+            for r in pages_host_cap(SF, cap=3, num_partitions=4).take_all()
+        }
+        want_rows = duckdb.sql(
+            _PAGES_SQL.format(sf=SF)
+            + """
+            , ranked AS (
+                SELECT host, doc_id, warc_us,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY warc_us DESC, doc_id ASC
+                       ) AS rk
+                FROM canon
+            )
+            SELECT host, doc_id, warc_us, rk FROM ranked WHERE rk <= 3
+            """
+        ).fetchall()
+        want = {(h, d): (u, rk) for h, d, u, rk in want_rows}
+        assert got == want
+        # every host emits at most cap rows with contiguous ranks from 1
+        by_host: dict[str, list[int]] = {}
+        for (h, _d), (_u, rk) in got.items():
+            by_host.setdefault(h, []).append(rk)
+        for ranks in by_host.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 3
+
+
 class TestLatestSnapshotPages:
     def test_revisits_collapse_to_newest(self, rd, ray_session):
         """Duplicate a third of the fixture pages with bumped warc_ts; the
