@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_ship_window_counts": r.supplier_ship_window_counts,
         "events_type_users": r.events_type_users,
         "customers_no_big_orders": r.customers_no_big_orders,
+        "customers_with_returns": r.customers_with_returns,  # multi-hop EXISTS (round 4)
         "events_user_deltas": r.events_user_deltas,
         "events_user_running": r.events_user_running,
         "lineitem_order_share": r.lineitem_order_share,
@@ -2125,6 +2126,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "customers_with_returns": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+            )
+            GROUP BY c_mktsegment
         """,
         "customers_no_big_orders": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers

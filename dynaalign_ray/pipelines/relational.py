@@ -721,6 +721,53 @@ def customers_no_big_orders(sf_dir: str, threshold: float = 400_000.0, num_parti
     )
 
 
+def customers_with_returns(sf_dir: str, num_partitions: int = 8):
+    """Multi-hop EXISTS chain: customers with at least one order containing
+    a returned lineitem, counted per market segment.  Two broadcast-keyset
+    semi joins (lineitem -> distinct returned orderkeys -> orders ->
+    distinct custkeys -> customer), each keyset reduced per block after a
+    keyed repartition so the driver concat sees one row per distinct key;
+    same gate rationale as customers_no_big_orders (hash semi-join once a
+    keyset outgrows a worker heap)."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import broadcast_semi_join, collect_arrow
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def returned_orderkeys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), pa.scalar("R")))
+        return b.select(["l_orderkey"]).group_by(["l_orderkey"]).aggregate([])
+
+    okeys = collect_arrow(
+        li.repartition(num_blocks=num_partitions, keys=["l_orderkey"]).map_batches(
+            returned_orderkeys,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    orders_r = broadcast_semi_join(orders, okeys, left_on="o_orderkey")
+
+    def distinct_cust(b: pa.Table) -> pa.Table:
+        return b.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
+
+    ckeys = collect_arrow(
+        orders_r.repartition(num_blocks=num_partitions, keys=["o_custkey"]).map_batches(
+            distinct_cust,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    matched = broadcast_semi_join(customer, ckeys, left_on="c_custkey")
+    return matched.groupby("c_mktsegment", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_customers")
+    )
+
+
 def events_type_users(sf_dir: str, num_partitions: int = 8):
     """EXACT distinct-count aggregate: distinct users per event type.  Plan:
     project (event_type, user_id), keyed repartition by user_id + one local
