@@ -77,6 +77,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peptide_consensus": p.peptide_consensus,  # center-star MSA consensus
         "peptide_consensus_msa": p.peptide_consensus_msa,  # full progressive MSA
         "peptide_louvain": p.peptide_louvain,  # real Louvain backend via cluster_fn hook
+        # --- 4b. new in round 4 session 3: deep join-tree / decorrelated
+        #         EXISTS / conditional-aggregate shapes (all oracle-backed)
+        "orders_late_shipments": r.orders_late_shipments,  # Q4 shape: decorrelated EXISTS
+        "promo_revenue_share": r.promo_revenue_share,  # Q14 shape: conditional aggregate
+        "local_supplier_revenue": r.local_supplier_revenue,  # Q5 shape: deepest join tree
+        "parts_disjunctive_revenue": r.parts_disjunctive_revenue,  # Q19 shape: OR-groups
+        "brand_supplier_counts": r.brand_supplier_counts,  # Q16 shape: anti-join + COUNT(DISTINCT)
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -2396,6 +2403,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY o_custkey
             ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10
+        """,
+        # Q4 shape: the engine decorrelates the EXISTS into a per-order
+        # MAX(l_shipdate) pre-aggregate + 1:1 join; max > threshold iff
+        # any lineitem is, so the EXISTS form is equivalent.
+        "orders_late_shipments": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        # Q14 shape: the share is derived from the two ROUNDED sums on
+        # both sides (identical doubles), so last-ulp summation order
+        # cannot flip the 4-decimal result.
+        "promo_revenue_share": """
+            WITH s AS (
+                SELECT
+                    round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END) * 10000) / 10000 AS promo_revenue,
+                    round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
+                        AS total_revenue
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+            )
+            SELECT promo_revenue, total_revenue,
+                   round((100.0 * promo_revenue / total_revenue) * 10000) / 10000
+                       AS promo_share
+            FROM s
+        """,
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "parts_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 11 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 21 AND 30
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "brand_supplier_counts": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#19'
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+            GROUP BY p_brand, p_size
         """,
         # Hourly anomaly z-scores: exact int sufficient stats over the
         # small hour table; mean/var/std/z mirror the engine's float tree

@@ -1306,3 +1306,412 @@ def customer_segment_fullouter(sf_dir: str, num_partitions: int = 8):
         )
 
     return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def orders_late_shipments(sf_dir: str, num_partitions: int = 8):
+    """EXISTS with a cross-table condition (TPC-H Q4 shape, adapted to this
+    schema): count orders per priority that have at least one lineitem
+    shipped more than 60 days after the order date.  The correlated
+    EXISTS is decorrelated into a per-order MAX pre-aggregate — the only
+    rows entering the orderkey join are one (orderkey, max_shipdate) row
+    per order, never raw lineitems — then a 1:1 hash join with orders and
+    a vectorized date comparison (``max(l_shipdate) > o_orderdate + 60d``
+    is equivalent to EXISTS because max exceeds the threshold iff any
+    lineitem does)."""
+    from ray.data.aggregate import Count, Max
+
+    from dynaalign_ray.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ship_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "ship_us": batch.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+
+    max_ship = (
+        li.map_batches(ship_us, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey", num_partitions=num_partitions)
+        .aggregate(Max("ship_us", alias_name="max_ship_us"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "orderdate_us": batch.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    j = hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        max_ship,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("orderdate_us", pa.int64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("max_ship_us", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    sixty_days_us = 60 * 86_400 * 1_000_000
+
+    def late(b: pa.Table) -> pa.Table:
+        mask = pc.greater(
+            b.column("max_ship_us"),
+            pc.add(b.column("orderdate_us"), pa.scalar(sixty_days_us, type=pa.int64())),
+        )
+        return b.filter(mask).select(["o_orderpriority"])
+
+    from ray.data.aggregate import Count
+
+    return (
+        j.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_late"))
+    )
+
+
+def promo_revenue_share(sf_dir: str, num_partitions: int = 8):
+    """Conditional-aggregate join (TPC-H Q14 shape): the share of one
+    month's discounted revenue that came from PROMO-type parts.  Part is a
+    size-gated dim join; the promo flag becomes a vectorized 0/1
+    multiplier so ONE global (promo_sum, total_sum) aggregate finishes the
+    query; the share is derived from the two ROUNDED sums (identical
+    doubles on both sides) so last-ulp summation order can't flip the
+    comparison."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.joins import dim_join
+
+    configure_context()
+    lo = np.datetime64("1997-09-01", "us")
+    hi = np.datetime64("1997-10-01", "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = dim_join(
+        li,
+        part,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        fact_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+        dim_schema=pa.schema([("p_partkey", pa.int64()), ("p_type", pa.string())]),
+        num_partitions=num_partitions,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(b.column("l_discount"), dtype=np.float64)
+        dp = price * (1.0 - disc)
+        promo = np.asarray(pc.equal(b.column("p_type"), pa.scalar("PROMO"))).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "disc_price": pa.array(dp, type=pa.float64()),
+                "promo_price": pa.array(dp * promo, type=pa.float64()),
+            }
+        )
+
+    agg = j.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("promo_price", alias_name="promo_revenue"),
+        Sum("disc_price", alias_name="total_revenue"),
+    )
+    # scalar-dict result -> one-row table with the derived share
+    promo = round4(pa.array([agg["promo_revenue"]], type=pa.float64()))
+    total = round4(pa.array([agg["total_revenue"]], type=pa.float64()))
+    share = round4(
+        pa.array(
+            [100.0 * np.asarray(promo)[0] / np.asarray(total)[0]], type=pa.float64()
+        )
+    )
+    return pa.table(
+        {"promo_revenue": promo, "total_revenue": total, "promo_share": share}
+    )
+
+
+def local_supplier_revenue(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q5 shape — the deepest join tree in the relational surface:
+    lineitem ⋈ orders (fact-fact hash join on orderkey, date filter pushed
+    to the parquet read) ⋈ customer ⋈ supplier (both size-gated dim joins)
+    with the LOCAL-supplier correlation filter c_nationkey == s_nationkey
+    applied as a vectorized batch compare, then nation for the display
+    name and a per-nation revenue aggregate.  Only the orderkey join
+    shuffles; every dimension side rides the broadcast plan until it
+    outgrows the gate."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.joins import dim_join, hash_join
+
+    configure_context()
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).select_columns(["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(b.column("l_discount"), dtype=np.float64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "disc_price": pa.array(price * (1.0 - disc), type=pa.float64()),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("disc_price", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "cust_nation": b.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    j2 = dim_join(
+        j,
+        customer.map_batches(cust_prep, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        fact_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("disc_price", pa.float64()),
+                ("o_custkey", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema([("c_custkey", pa.int64()), ("cust_nation", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def supp_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "supp_nation": b.column("s_nationkey").cast(pa.int64()),
+            }
+        )
+
+    j3 = dim_join(
+        j2,
+        supplier.map_batches(supp_prep, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        fact_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("disc_price", pa.float64()),
+                ("o_custkey", pa.int64()),
+                ("cust_nation", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema([("s_suppkey", pa.int64()), ("supp_nation", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    def local_only(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b.column("cust_nation"), b.column("supp_nation"))
+        return b.filter(mask).select(["supp_nation", "disc_price"])
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def nat_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_nationkey": b.column("n_nationkey").cast(pa.int64()),
+                "n_name": b.column("n_name"),
+            }
+        )
+
+    j4 = dim_join(
+        j3.map_batches(local_only, batch_format="pyarrow", zero_copy_batch=True),
+        nation.map_batches(nat_prep, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="supp_nation",
+        right_on="n_nationkey",
+        fact_schema=pa.schema([("supp_nation", pa.int64()), ("disc_price", pa.float64())]),
+        dim_schema=pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string())]),
+        num_partitions=num_partitions,
+    )
+    agg = j4.groupby("n_name", num_partitions=num_partitions).aggregate(
+        Sum("disc_price", alias_name="revenue"),
+        Count(alias_name="n_items"),
+    )
+    return _round_cols(agg, ["revenue"])
+
+
+def parts_disjunctive_revenue(sf_dir: str, num_partitions: int = 8):
+    """Disjunctive multi-attribute predicate (TPC-H Q19 shape): revenue
+    from three OR-ed (brand, size-range, quantity-range) conjunction
+    groups.  Part is a size-gated dim join; the disjunction is one
+    vectorized boolean expression over the joined batch — no row loop, no
+    per-branch pass."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import dim_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    j = dim_join(
+        li,
+        part,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        fact_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        ),
+        dim_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_brand", pa.string()), ("p_size", pa.int32())]
+        ),
+        num_partitions=num_partitions,
+    )
+    branches = [
+        ("Brand#11", 1, 10, 1.0, 11.0),
+        ("Brand#23", 11, 20, 10.0, 20.0),
+        ("Brand#14", 21, 30, 20.0, 30.0),
+    ]
+
+    def filt(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand")
+        size = np.asarray(b.column("p_size").cast(pa.int64()))
+        qty = np.asarray(b.column("l_quantity"), dtype=np.float64)
+        mask = np.zeros(b.num_rows, dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in branches:
+            m = np.asarray(pc.equal(brand, pa.scalar(br))).astype(bool)
+            m &= (size >= s_lo) & (size <= s_hi) & (qty >= q_lo) & (qty <= q_hi)
+            mask |= m
+        t = b.filter(pa.array(mask))
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        return pa.table({"disc_price": pa.array(price * (1.0 - disc), type=pa.float64())})
+
+    agg = j.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("disc_price", alias_name="revenue"),
+        Count(alias_name="n_items"),
+    )
+    return pa.table(
+        {
+            "revenue": round4(pa.array([agg["revenue"]], type=pa.float64())),
+            "n_items": pa.array([agg["n_items"]], type=pa.int64()),
+        }
+    )
+
+
+def brand_supplier_counts(sf_dir: str, num_partitions: int = 8):
+    """Anti-join + exact grouped COUNT(DISTINCT) (TPC-H Q16 shape): per
+    (brand, size) the number of distinct suppliers that shipped the part,
+    excluding one brand and all low-balance suppliers.  The excluded
+    supplier keyset is a broadcast anti semi-join (no shuffle of
+    lineitem); the distinct triple is made global by ONE keyed
+    repartition on suppkey + a local Arrow distinct (every
+    (supp, brand, size) triple lands wholly in one block), then a tiny
+    groupby-count over deduped triples."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import broadcast_semi_join, collect_arrow, dim_join
+
+    bad_suppliers = collect_arrow(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+        .filter(expr="s_acctbal < 1000.0")
+        .select_columns(["s_suppkey"])
+    )
+    li = broadcast_semi_join(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        bad_suppliers,
+        left_on="l_suppkey",
+        anti=True,
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).filter(
+        expr="p_brand != 'Brand#19'"
+    )
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "p_brand": b.column("p_brand"),
+                "p_size": b.column("p_size").cast(pa.int64()),
+            }
+        )
+
+    j = dim_join(
+        li,
+        part.map_batches(part_prep, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        fact_schema=pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        dim_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_brand", pa.string()), ("p_size", pa.int64())]
+        ),
+        num_partitions=num_partitions,
+    )
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["l_suppkey", "p_brand", "p_size"])
+            .group_by(["l_suppkey", "p_brand", "p_size"])
+            .aggregate([])
+        )
+
+    triples = j.repartition(num_blocks=num_partitions, keys=["l_suppkey"]).map_batches(
+        distinct_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return triples.groupby(["p_brand", "p_size"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="supplier_cnt")
+    )
