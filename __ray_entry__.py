@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": r.local_supplier_revenue,  # Q5 shape: deepest join tree
         "parts_disjunctive_revenue": r.parts_disjunctive_revenue,  # Q19 shape: OR-groups
         "brand_supplier_counts": r.brand_supplier_counts,  # Q16 shape: anti-join + COUNT(DISTINCT)
+        "doc_triangle_counts": c.doc_triangle_counts,  # dedup-graph triangles (degree orientation)
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -1710,6 +1711,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree
             FROM documents d LEFT JOIN deg USING (doc_id)
+        """,
+        # Triangles over the same exact tau=0.5 Jaccard edge set: with the
+        # canonical a < b edge form, each triangle x < y < z appears
+        # exactly once as e1=(x,y), e2=(y,z), e3=(x,z); every triangle
+        # credits all three vertices.
+        "doc_triangle_counts": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM edges e1
+                JOIN edges e2 ON e2.a = e1.b
+                JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            cnt AS (
+                SELECT doc_id, count(*) AS n FROM (
+                    SELECT x AS doc_id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+            FROM documents d LEFT JOIN cnt USING (doc_id)
         """,
         "doc_containment_pairs": """
             WITH t AS (

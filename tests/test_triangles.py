@@ -1,0 +1,76 @@
+"""Degree-orientation triangle counting (pipelines.curation
+triangle_counts_from_edges): known-answer graphs + a seeded random graph
+vs a brute-force adjacency count.  The full doc_triangle_counts query is
+additionally oracle-checked against DuckDB's three-way self-join by the
+correctness harness."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _run(edges, doc_ids, num_partitions=4):
+    import ray.data as rd
+
+    from dynaalign_ray.pipelines.curation import triangle_counts_from_edges
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    edges_ds = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    docs_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.array(doc_ids, dtype=np.int64), pa.int64())})
+    )
+    out = triangle_counts_from_edges(edges_ds, docs_ds, num_partitions)
+    return {r["doc_id"]: r["n_triangles"] for r in out.take_all()}
+
+
+def _brute(edges, doc_ids):
+    adj = {d: set() for d in doc_ids}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = dict.fromkeys(doc_ids, 0)
+    for x, y, z in itertools.combinations(sorted(doc_ids), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            counts[x] += 1
+            counts[y] += 1
+            counts[z] += 1
+    return counts
+
+
+def test_clique_star_path_isolated(ray_session):
+    # 4-clique: C(4,3)=4 triangles, each vertex in C(3,2)=3 of them.
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # star: high degree, zero triangles (the boilerplate-hub signature).
+    star = [(10, 11), (10, 12), (10, 13)]
+    # path: two edges, no closure.
+    path = [(20, 21), (21, 22)]
+    edges = clique + star + path
+    ids = [1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 22, 30]
+    got = _run(edges, ids)
+    assert got == {
+        1: 3, 2: 3, 3: 3, 4: 3,
+        10: 0, 11: 0, 12: 0, 13: 0,
+        20: 0, 21: 0, 22: 0, 30: 0,
+    }
+
+
+def test_random_graph_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    ids = list(range(100, 140))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if rng.random() < 0.15
+    ]
+    assert len(edges) > 50  # non-trivial graph
+    assert _run(edges, ids) == _brute(edges, ids)
+
+
+def test_empty_edges(ray_session):
+    got = _run([(1, 2)], [1, 2, 3])  # one edge, no wedge at all
+    assert got == {1: 0, 2: 0, 3: 0}
