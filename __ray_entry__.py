@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_disjunctive_revenue": r.parts_disjunctive_revenue,  # Q19 shape: OR-groups
         "brand_supplier_counts": r.brand_supplier_counts,  # Q16 shape: anti-join + COUNT(DISTINCT)
         "doc_triangle_counts": c.doc_triangle_counts,  # dedup-graph triangles (degree orientation)
+        "doc_clustering_coeff": c.doc_clustering_coeff,  # local clustering coefficient
+        "idle_rich_customers": r.idle_rich_customers,  # Q22 shape: exact-cents threshold + anti join
+        "nation_revenue_share": r.nation_revenue_share,  # Q11 shape: HAVING vs global total
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -1756,6 +1759,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
             FROM documents d LEFT JOIN cnt USING (doc_id)
         """,
+        # Local clustering coefficient 2T/(d(d-1)) for degree >= 2 docs:
+        # both operands are exact integers, so the IEEE division (and the
+        # 4-decimal rounding of it) is bit-identical on both engines.
+        "doc_clustering_coeff": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            ),
+            deg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS doc_id FROM edges
+                    UNION ALL SELECT b AS doc_id FROM edges
+                ) GROUP BY doc_id
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM edges e1
+                JOIN edges e2 ON e2.a = e1.b
+                JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            cnt AS (
+                SELECT doc_id, count(*) AS n FROM (
+                    SELECT x AS doc_id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY doc_id
+            )
+            SELECT deg.doc_id, deg.degree,
+                   CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles,
+                   round(((2.0 * coalesce(cnt.n, 0))
+                          / (deg.degree * (deg.degree - 1))) * 10000) / 10000
+                       AS coeff
+            FROM deg LEFT JOIN cnt USING (doc_id)
+            WHERE deg.degree >= 2
+        """,
         "doc_containment_pairs": """
             WITH t AS (
                 SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
@@ -2508,6 +2565,53 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#14' AND p_size BETWEEN 21 AND 30
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # Q22 shape: the above-average test is the exact integer-cents
+        # cross-multiplication cents * n > total_cents on both sides —
+        # no float division can flip a boundary customer.
+        "idle_rich_customers": """
+            WITH pos AS (
+                SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer WHERE c_acctbal > 0.0
+            ),
+            tot AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM pos
+            )
+            SELECT nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+                   round((CAST(sum(cents) AS BIGINT) / 100.0) * 10000) / 10000
+                       AS total_acctbal
+            FROM pos, tot
+            WHERE cents * n > total_cents
+              AND c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+            GROUP BY nationkey
+        """,
+        # Q11 shape: HAVING vs the global total as the exact integer test
+        # 25 * nation_cents > total_cents; revenue and share divide exact
+        # int64s, bit-identical doubles on both engines.
+        "nation_revenue_share": """
+            WITH pn AS (
+                SELECT n_name,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS cents,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                GROUP BY n_name
+            ),
+            tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM pn)
+            SELECT n_name,
+                   round((cents / 100.0) * 10000) / 10000 AS revenue,
+                   round((CAST(cents AS DOUBLE) / CAST(total AS DOUBLE)) * 10000)
+                       / 10000 AS share,
+                   n_orders
+            FROM pn, tot
+            WHERE 25 * cents > total
         """,
         "brand_supplier_counts": """
             SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,

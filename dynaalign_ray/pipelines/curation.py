@@ -651,6 +651,84 @@ def doc_triangle_counts(
     return triangle_counts_from_edges(edges, _docs(sf_dir, ["doc_id"]), num_partitions)
 
 
+def doc_clustering_coeff(
+    sf_dir: str, k: int = 3, threshold: float = 0.5, num_partitions: int = 8
+):
+    """Per-doc LOCAL CLUSTERING COEFFICIENT ``2T / (d(d-1))`` over the
+    exact tau-Jaccard graph, for docs with degree >= 2 — the clique-vs-star
+    discriminator built from the triangle and degree kernels.  The edge
+    set is built ONCE (materialized, bounded by dedup-graph sparsity) and
+    feeds both aggregates; the coefficient divides two EXACT int64s
+    (2T and d(d-1)), so the IEEE-division result is bit-identical to the
+    SQL oracle's."""
+    import functools
+
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    raw = prefix_jaccard_join(sets_ds, threshold, num_partitions, order="value")
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(b.column("a")).astype(np.int64)),
+                "b": pa.array(np.asarray(b.column("b")).astype(np.int64)),
+            }
+        )
+
+    edges = raw.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    tri = triangle_counts_from_edges(edges, _docs(sf_dir, ["doc_id"]), num_partitions)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, bb]), pa.int64())})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="degree"))
+    )
+    joined = hash_join(
+        deg,
+        tri,
+        left_on="doc_id",
+        right_on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("degree", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_triangles", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    def coeff(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("degree"), pa.scalar(2)))
+        d = np.asarray(t.column("degree"), dtype=np.int64)
+        n = np.asarray(t.column("n_triangles"), dtype=np.int64)
+        from dynaalign_ray.pipelines.relational import round4
+
+        c = round4((2.0 * n.astype(np.float64)) / (d * (d - 1)).astype(np.float64))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "degree": t.column("degree"),
+                "n_triangles": t.column("n_triangles"),
+                "coeff": c,
+            }
+        )
+
+    return joined.map_batches(coeff, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def triangle_counts_from_edges(edges, docs_ds, num_partitions: int = 8):
     """Degree-orientation triangle counting over a canonical (a < b) int64
     edge Dataset — steps 2-6 of :func:`doc_triangle_counts` (split out so

@@ -1715,3 +1715,167 @@ def brand_supplier_counts(sf_dir: str, num_partitions: int = 8):
     return triples.groupby(["p_brand", "p_size"], num_partitions=num_partitions).aggregate(
         Count(alias_name="supplier_cnt")
     )
+
+
+def idle_rich_customers(sf_dir: str, num_partitions: int = 8):
+    """Global-scalar threshold + anti join (TPC-H Q22 shape): per nation,
+    customers whose balance is above the positive-balance average AND who
+    placed no order in the final crawl year (the "idle" predicate — every
+    synthetic customer has SOME order, so the classic no-order-ever form
+    is degenerate here).  The average threshold is applied as an EXACT
+    integer-cents cross-multiplication (``cents * n > total_cents``) so no
+    float division can flip a boundary row between engines; the recent-
+    order side is a broadcast distinct-keyset anti join with the date
+    filter pushed to the parquet read."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import broadcast_semi_join, collect_arrow
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents_block(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("c_acctbal"), pa.scalar(0.0)))
+        bal = np.asarray(b.column("c_acctbal"), dtype=np.float64)
+        cents = np.rint(bal * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "nationkey": b.column("c_nationkey").cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    pos = cust.map_batches(
+        cents_block, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    tot = pos.aggregate(Sum("cents", alias_name="total_cents"), Count(alias_name="n"))
+    total_cents, n = int(tot["total_cents"]), int(tot["n"])
+
+    def above_avg(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b.column("cents"), dtype=np.int64)
+        return b.filter(pa.array(cents * n > total_cents))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") >= np.datetime64("2000-08-01", "us"),
+    ).select_columns(["o_custkey"])
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        return b.group_by(["o_custkey"]).aggregate([])
+
+    okeys = collect_arrow(
+        orders.repartition(num_blocks=num_partitions, keys=["o_custkey"]).map_batches(
+            distinct_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    idle = broadcast_semi_join(
+        pos.map_batches(above_avg, batch_format="pyarrow", zero_copy_batch=True),
+        okeys,
+        left_on="c_custkey",
+        anti=True,
+    )
+    agg = idle.groupby("nationkey", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_customers"),
+        Sum("cents", alias_name="cents"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b.column("cents"), dtype=np.int64)
+        return pa.table(
+            {
+                "nationkey": b.column("nationkey"),
+                "n_customers": b.column("n_customers"),
+                "total_acctbal": round4(cents / 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nation_revenue_share(sf_dir: str, num_partitions: int = 8):
+    """Grouped HAVING against a global total (TPC-H Q11 shape): nations
+    whose order revenue exceeds 1/25 of global revenue, with their share.
+    Revenue is aggregated in EXACT integer cents, the HAVING test is the
+    integer cross-multiplication ``25 * nation_cents > total_cents``
+    (never a float threshold), and the reported share divides two exact
+    int64s — bit-identical doubles on both engines.  The per-nation table
+    is nation-count-sized, so the global total and filter finish
+    driver-side on a handful of rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import collect_arrow, dim_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents_block(b: pa.Table) -> pa.Table:
+        price = np.asarray(b.column("o_totalprice"), dtype=np.float64)
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": pa.array(np.rint(price * 100.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    j = dim_join(
+        orders.map_batches(cents_block, batch_format="pyarrow", zero_copy_batch=True),
+        customer.map_batches(cust_prep, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        fact_schema=pa.schema([("o_custkey", pa.int64()), ("cents", pa.int64())]),
+        dim_schema=pa.schema([("c_custkey", pa.int64()), ("nationkey", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def nat_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_nationkey": b.column("n_nationkey").cast(pa.int64()),
+                "n_name": b.column("n_name"),
+            }
+        )
+
+    j2 = dim_join(
+        j,
+        nation.map_batches(nat_prep, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="nationkey",
+        right_on="n_nationkey",
+        fact_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("cents", pa.int64()), ("nationkey", pa.int64())]
+        ),
+        dim_schema=pa.schema([("n_nationkey", pa.int64()), ("n_name", pa.string())]),
+        num_partitions=num_partitions,
+    )
+    per_nation = collect_arrow(
+        j2.groupby("n_name", num_partitions=num_partitions).aggregate(
+            Sum("cents", alias_name="cents"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    cents = np.asarray(per_nation.column("cents"), dtype=np.int64)
+    total = int(cents.sum())
+    keep = 25 * cents > total
+    kept = per_nation.filter(pa.array(keep))
+    kc = np.asarray(kept.column("cents"), dtype=np.int64)
+    return pa.table(
+        {
+            "n_name": kept.column("n_name"),
+            "revenue": round4(kc / 100.0),
+            "share": round4(kc.astype(np.float64) / np.float64(total)),
+            "n_orders": kept.column("n_orders"),
+        }
+    )
