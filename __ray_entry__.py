@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_clustering_coeff": c.doc_clustering_coeff,  # local clustering coefficient
         "idle_rich_customers": r.idle_rich_customers,  # Q22 shape: exact-cents threshold + anti join
         "nation_revenue_share": r.nation_revenue_share,  # Q11 shape: HAVING vs global total
+        "doc_cluster_density": c.doc_cluster_density,  # per-cluster 2E/(n(n-1)) audit
+        "events_user_first_last": r.events_user_first_last,  # FIRST/LAST_VALUE window
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -1045,6 +1047,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
             FROM sizes GROUP BY cluster_size
+        """,
+        # Per-cluster density 2E/(n(n-1)) over the flagship tau=0.7 CC:
+        # the inner join to edge counts restricts output to multi-doc
+        # clusters; density divides two exact integers.
+        "doc_cluster_density": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            ),
+            cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+            sizes AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+                FROM cc GROUP BY cluster_id
+            ),
+            ec AS (
+                SELECT cc.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+                FROM e JOIN cc ON cc.node = e.a
+                GROUP BY cc.cluster_id
+            )
+            SELECT sizes.cluster_id, sizes.n_docs, ec.n_edges,
+                   round(((2.0 * ec.n_edges)
+                          / (sizes.n_docs * (sizes.n_docs - 1))) * 10000) / 10000
+                       AS density
+            FROM sizes JOIN ec USING (cluster_id)
+        """,
+        "events_user_first_last": """
+            WITH ranked AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            )
+            SELECT f.user_id,
+                   f.event_type AS first_type, f.value AS first_value,
+                   l.event_type AS last_type, l.value AS last_value,
+                   CAST(f.n AS BIGINT) AS n_events
+            FROM ranked f
+            JOIN ranked l ON l.user_id = f.user_id AND l.rn = l.n
+            WHERE f.rn = 1
         """,
         # FULL OUTER join: segment membership marker vs order counts.
         "customer_segment_fullouter": """

@@ -1215,6 +1215,97 @@ def doc_neardup_exact(
     return clusters.select_columns(["doc_id", "cluster_id", "keep"])
 
 
+def doc_cluster_density(
+    sf_dir: str, k: int = 3, tau: float = 0.7, num_partitions: int = 8
+):
+    """Per-cluster DENSITY audit ``2E / (n(n-1))`` over the exact near-dup
+    clustering — the quality signal separating true duplicate cliques
+    (density 1.0) from chains the transitive closure glued together
+    (density -> 2/n).  Exact SSJoin edges + the flagship CC; each edge is
+    attributed to its cluster through ONE narrow hash join on the a
+    endpoint (both endpoints share a cluster by construction); density
+    divides two exact int64s, bit-identical to the oracle."""
+    import functools
+
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.stages.cluster import assign_clusters, connected_components
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    edges = prefix_jaccard_join(sets_ds, tau, num_partitions, order="df").materialize()
+    cfg = DedupConfig()
+    labels, info = connected_components(
+        edges, num_partitions, cfg.max_cc_rounds, cfg.small_cc_limit
+    )
+    clusters = assign_clusters(
+        _docs(sf_dir, ["doc_id"]),
+        labels,
+        num_partitions,
+        labels_table=info.get("labels_table"),
+    ).select_columns(["doc_id", "cluster_id"])
+
+    sizes = clusters.groupby("cluster_id", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_docs")
+    )
+
+    def edge_a(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": pa.array(np.asarray(b.column("a")).astype(np.int64), pa.int64())}
+        )
+
+    ec = (
+        hash_join(
+            edges.map_batches(edge_a, batch_format="pyarrow", zero_copy_batch=True),
+            clusters,
+            left_on="a",
+            right_on="doc_id",
+            left_schema=pa.schema([("a", pa.int64())]),
+            right_schema=pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+            num_partitions=num_partitions,
+        )
+        .groupby("cluster_id", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_edges"))
+    )
+    joined = hash_join(
+        sizes,
+        ec,
+        left_on="cluster_id",
+        right_on="cluster_id",
+        left_schema=pa.schema([("cluster_id", pa.int64()), ("n_docs", pa.int64())]),
+        right_schema=pa.schema([("cluster_id", pa.int64()), ("n_edges", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    def density(b: pa.Table) -> pa.Table:
+        from dynaalign_ray.pipelines.relational import round4
+
+        n = np.asarray(b.column("n_docs"), dtype=np.int64)
+        e = np.asarray(b.column("n_edges"), dtype=np.int64)
+        d = round4((2.0 * e.astype(np.float64)) / (n * (n - 1)).astype(np.float64))
+        return pa.table(
+            {
+                "cluster_id": b.column("cluster_id"),
+                "n_docs": b.column("n_docs"),
+                "n_edges": b.column("n_edges"),
+                "density": d,
+            }
+        )
+
+    # the inner join already restricts to clusters with >= 1 edge, i.e.
+    # exactly the multi-doc clusters (singletons have no edges)
+    return joined.map_batches(density, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_neardup_best_keep(sf_dir: str, num_partitions: int = 8):
     """Flagship clustering + the production keep rule: within each
     near-dup cluster keep the HIGHEST-QUALITY doc (argmax by

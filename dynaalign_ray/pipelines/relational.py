@@ -1879,3 +1879,49 @@ def nation_revenue_share(sf_dir: str, num_partitions: int = 8):
             "n_orders": kept.column("n_orders"),
         }
     )
+
+
+def events_user_first_last(sf_dir: str, num_partitions: int = 8):
+    """FIRST_VALUE / LAST_VALUE window analog: per user, the type and
+    value of their first and last event under the deterministic
+    (ts, event_id) order, plus the event count.  ONE keyed repartition by
+    user co-locates each user's rows; per block one lexsort + boundary
+    gather — no per-row loop, no global sort."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def first_last(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("first_type", pa.string()),
+                    ("first_value", pa.float64()),
+                    ("last_type", pa.string()),
+                    ("last_value", pa.float64()),
+                    ("n_events", pa.int64()),
+                ]
+            ).empty_table()
+        uid = np.asarray(b.column("user_id"), dtype=np.int64)
+        ts = np.asarray(b.column("ts").cast(pa.int64()))
+        eid = np.asarray(b.column("event_id"), dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(uid))[0] + 1])
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        types = b.column("event_type").take(pa.array(order))
+        vals = np.asarray(b.column("value"), dtype=np.float64)[order]
+        first_idx, last_idx = starts, ends - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first_idx], pa.int64()),
+                "first_type": types.take(pa.array(first_idx)),
+                "first_value": pa.array(vals[first_idx], pa.float64()),
+                "last_type": types.take(pa.array(last_idx)),
+                "last_value": pa.array(vals[last_idx], pa.float64()),
+                "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        first_last, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
