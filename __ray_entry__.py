@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": r.nation_revenue_share,  # Q11 shape: HAVING vs global total
         "doc_cluster_density": c.doc_cluster_density,  # per-cluster 2E/(n(n-1)) audit
         "events_user_first_last": r.events_user_first_last,  # FIRST/LAST_VALUE window
+        "doc_kcore": c.doc_kcore,  # dedup-graph 2-core (iterative distributed peel)
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -673,6 +674,72 @@ def _winnow_fingerprint_oracle(window: int = 8) -> str:
     )
 
 
+def _kcore_oracle(rounds: int = 12, k_core: int = 2) -> str:
+    """Engine's iterative k-core peel (pipelines/curation.kcore_from_edges)
+    unrolled ``rounds`` times: e_{i+1} keeps edges whose BOTH endpoints
+    have degree >= k_core in e_i.  Exact as long as the peel converges
+    within ``rounds`` — the engine raises past the same bound, so the two
+    sides can never silently diverge."""
+    parts = [
+        """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e0 AS MATERIALIZED (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            )
+        """
+    ]
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, which makes the unrolled chain exponential in rounds
+    for r in range(rounds):
+        parts.append(
+            f"""
+            , d{r} AS MATERIALIZED (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e{r}
+                    UNION ALL SELECT b AS node FROM e{r}
+                ) GROUP BY node
+            ),
+            e{r + 1} AS MATERIALIZED (
+                SELECT a, b FROM e{r}
+                WHERE a IN (SELECT node FROM d{r} WHERE deg >= {k_core})
+                  AND b IN (SELECT node FROM d{r} WHERE deg >= {k_core})
+            )
+        """
+        )
+    parts.append(
+        f"""
+            , dfin AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e{rounds}
+                    UNION ALL SELECT b AS node FROM e{rounds}
+                ) GROUP BY node
+            )
+            SELECT node AS doc_id, CAST(deg AS BIGINT) AS core_degree
+            FROM dfin WHERE deg >= {k_core}
+        """
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     from dynaalign_ray.functions.modelscore import model_score_sql
 
@@ -1096,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
                        AS density
             FROM sizes JOIN ec USING (cluster_id)
         """,
+        "doc_kcore": _kcore_oracle(rounds=12, k_core=2),
         "events_user_first_last": """
             WITH ranked AS (
                 SELECT user_id, event_type, value,

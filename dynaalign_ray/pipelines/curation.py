@@ -729,6 +729,107 @@ def doc_clustering_coeff(
     return joined.map_batches(coeff, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def doc_kcore(
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    k_core: int = 2,
+    max_rounds: int = 12,
+    num_partitions: int = 8,
+):
+    """K-CORE of the exact tau-Jaccard graph: the maximal subgraph where
+    every doc keeps >= k_core similarity neighbours — the dense-duplicate
+    backbone that survives when degree-1 appendages and chains are peeled
+    away.  Returns (doc_id, core_degree) for core members.  Iterative
+    distributed peeling (see :func:`kcore_from_edges`); the oracle unrolls
+    the same peel a fixed number of rounds, and the engine RAISES if the
+    fixpoint needs more than ``max_rounds`` so a non-converged run can
+    never silently diverge from the oracle."""
+    import functools
+
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    raw = prefix_jaccard_join(sets_ds, threshold, num_partitions, order="value")
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(b.column("a")).astype(np.int64)),
+                "b": pa.array(np.asarray(b.column("b")).astype(np.int64)),
+            }
+        )
+
+    edges = raw.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return kcore_from_edges(edges, k_core, max_rounds, num_partitions)
+
+
+def kcore_from_edges(edges, k_core: int, max_rounds: int, num_partitions: int = 8):
+    """Iterative k-core peeling over a canonical (a < b) int64 edge
+    Dataset: each round computes degrees with one groupby-count, collects
+    the BELOW-k peel set (bounded by the shrinking sub-k frontier; at
+    10^9+ peeled nodes per round the keyset filter flips to the
+    partitioned hash anti-join exactly as customers_no_big_orders
+    documents), and drops their edges with a broadcast anti semi-join on
+    both endpoints.  Terminates when no node is below k (raises past
+    ``max_rounds`` — the SQL oracle unrolls exactly that many rounds, so
+    a non-converged run must fail loudly, not diverge silently)."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import broadcast_semi_join, collect_arrow
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("core_degree", pa.int64())])
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, bb]), pa.int64())})
+
+    for _ in range(max_rounds + 1):
+        deg = (
+            edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("doc_id", num_partitions=num_partitions)
+            .aggregate(Count(alias_name="core_degree"))
+            .materialize()
+        )
+        if deg.count() == 0:
+            return out_schema.empty_table()
+        # only the sub-k FRONTIER reaches the driver, never the full
+        # degree table (the frontier shrinks every round by definition)
+        bad = collect_arrow(
+            deg.filter(expr=f"core_degree < {int(k_core)}").select_columns(["doc_id"])
+        )
+        if bad.num_rows == 0:
+            def pin(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "doc_id": b.column("doc_id").cast(pa.int64()),
+                        "core_degree": b.column("core_degree").cast(pa.int64()),
+                    },
+                    schema=out_schema,
+                )
+
+            return deg.map_batches(pin, batch_format="pyarrow", zero_copy_batch=True)
+        edges = broadcast_semi_join(
+            broadcast_semi_join(edges, bad, left_on="a", anti=True),
+            bad,
+            left_on="b",
+            anti=True,
+        ).materialize()
+    raise ValueError(
+        f"k-core peel did not converge within {max_rounds} rounds; raise "
+        "max_rounds (and regenerate the unrolled SQL oracle to match)"
+    )
+
+
 def triangle_counts_from_edges(edges, docs_ds, num_partitions: int = 8):
     """Degree-orientation triangle counting over a canonical (a < b) int64
     edge Dataset — steps 2-6 of :func:`doc_triangle_counts` (split out so

@@ -74,3 +74,67 @@ def test_random_graph_matches_bruteforce(ray_session):
 def test_empty_edges(ray_session):
     got = _run([(1, 2)], [1, 2, 3])  # one edge, no wedge at all
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+def _run_kcore(edges, k_core, num_partitions=4, max_rounds=12):
+    import ray.data as rd
+
+    from dynaalign_ray.pipelines.curation import kcore_from_edges
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    edges_ds = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    out = kcore_from_edges(edges_ds, k_core, max_rounds, num_partitions)
+    if isinstance(out, pa.Table):
+        return {r["doc_id"]: r["core_degree"] for r in out.to_pylist()}
+    return {r["doc_id"]: r["core_degree"] for r in out.take_all()}
+
+
+def _brute_kcore(edges, k_core):
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k_core:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_clique_with_tail(ray_session):
+    # 4-clique survives the 2-core; the pendant chain 4-50-51 peels away
+    # (51 first, then 50 — a two-round peel).
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 50), (50, 51)]
+    got = _run_kcore(edges, 2)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_forest(ray_session):
+    # a tree has no 2-core at all
+    edges = [(1, 2), (2, 3), (2, 4), (4, 5)]
+    assert _run_kcore(edges, 2) == {}
+
+
+def test_kcore_random_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    ids = list(range(200, 235))
+    edges = [
+        (a, b) for a, b in itertools.combinations(ids, 2) if rng.random() < 0.12
+    ]
+    for k_core in (2, 3):
+        assert _run_kcore(edges, k_core, max_rounds=40) == _brute_kcore(edges, k_core)
+
+
+def test_kcore_raises_past_max_rounds(ray_session):
+    # a long chain peels one node per round from each end; 3 rounds are
+    # not enough for a 12-node path's full collapse
+    edges = [(i, i + 1) for i in range(300, 312)]
+    with pytest.raises(ValueError, match="did not converge"):
+        _run_kcore(edges, 2, max_rounds=3)
