@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_density": c.doc_cluster_density,  # per-cluster 2E/(n(n-1)) audit
         "events_user_first_last": r.events_user_first_last,  # FIRST/LAST_VALUE window
         "doc_kcore": c.doc_kcore,  # dedup-graph 2-core (iterative distributed peel)
+        "doc_degree_assortativity": c.doc_degree_assortativity,  # Newman's r, exact int stats
+        "events_user_mode_type": r.events_user_mode_type,  # grouped mode w/ tie rule
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -1164,6 +1166,73 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes JOIN ec USING (cluster_id)
         """,
         "doc_kcore": _kcore_oracle(rounds=12, k_core=2),
+        # Newman's degree assortativity over the tau=0.5 edge set: the
+        # symmetric edge-pair form reduces to four exact integer sums;
+        # ONE double division at the end, CASE-guarded for regular
+        # graphs (zero variance) exactly like the engine.
+        "doc_degree_assortativity": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            ),
+            deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+                ) GROUP BY node
+            ),
+            pairs AS (
+                SELECT da.deg AS x, db.deg AS y
+                FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+            ),
+            st AS (
+                SELECT CAST(2 * count(*) AS HUGEINT) AS n,
+                       CAST(coalesce(sum(x + y), 0) AS HUGEINT) AS sx,
+                       CAST(coalesce(sum(x*x + y*y), 0) AS HUGEINT) AS sxx,
+                       CAST(coalesce(sum(2 * x * y), 0) AS HUGEINT) AS sxy
+                FROM pairs
+            )
+            SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE round((CAST(n * sxy - sx * sx AS DOUBLE)
+                                    / CAST(n * sxx - sx * sx AS DOUBLE)) * 10000)
+                             / 10000
+                   END AS assortativity
+            FROM st
+        """,
+        "events_user_mode_type": """
+            WITH cnt AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY user_id, event_type
+            ),
+            rk AS (
+                SELECT user_id, event_type, n_events,
+                       row_number() OVER
+                           (PARTITION BY user_id
+                            ORDER BY n_events DESC, event_type) AS rn
+                FROM cnt
+            )
+            SELECT user_id, event_type AS mode_type, n_events
+            FROM rk WHERE rn = 1
+        """,
         "events_user_first_last": """
             WITH ranked AS (
                 SELECT user_id, event_type, value,

@@ -830,6 +830,119 @@ def kcore_from_edges(edges, k_core: int, max_rounds: int, num_partitions: int = 
     )
 
 
+def doc_degree_assortativity(
+    sf_dir: str, k: int = 3, threshold: float = 0.5, num_partitions: int = 8
+):
+    """Degree ASSORTATIVITY of the exact tau-Jaccard graph (Newman's r):
+    do high-degree docs attach to other high-degree docs (template farms)
+    or to low-degree ones (hub-and-spoke boilerplate)?  Each edge
+    contributes its endpoint-degree pair symmetrically, so the Pearson
+    correlation reduces to r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) over FOUR
+    exact integer sums (n, Sx, Sxx, Sxy) — per-block int64 partials, one
+    tiny global reduce, Python-int exact on the driver, ONE double
+    division at the end (int64-exact to ~10^6-degree graphs; the same
+    sufficient-statistic discipline as doc_source_regression)."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.joins import hash_join
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    raw = prefix_jaccard_join(sets_ds, threshold, num_partitions, order="value")
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(b.column("a")).astype(np.int64)),
+                "b": pa.array(np.asarray(b.column("b")).astype(np.int64)),
+            }
+        )
+
+    edges = raw.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    from ray.data.aggregate import Count
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, bb]), pa.int64())})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="degree"))
+    )
+
+    def rename_deg(name):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b.column("doc_id"), name: b.column("degree")})
+
+        return f
+
+    j1 = hash_join(
+        edges,
+        deg.map_batches(rename_deg("deg_a"), batch_format="pyarrow", zero_copy_batch=True),
+        left_on="a",
+        right_on="doc_id",
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("deg_a", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    j2 = hash_join(
+        j1,
+        deg.map_batches(rename_deg("deg_b"), batch_format="pyarrow", zero_copy_batch=True),
+        left_on="b",
+        right_on="doc_id",
+        left_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("deg_a", pa.int64())]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("deg_b", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        da = np.asarray(b.column("deg_a"), dtype=np.int64)
+        db = np.asarray(b.column("deg_b"), dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([2 * len(da)], pa.int64()),
+                "sx": pa.array([int((da + db).sum())], pa.int64()),
+                "sxx": pa.array([int((da * da + db * db).sum())], pa.int64()),
+                "sxy": pa.array([int(2 * (da * db).sum())], pa.int64()),
+            }
+        )
+
+    agg = j2.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("sxy", alias_name="sxy"),
+    )
+    n, sx = int(agg["n"]), int(agg["sx"])
+    sxx, sxy = int(agg["sxx"]), int(agg["sxy"])
+    from dynaalign_ray.pipelines.relational import round4
+
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = float(num) / float(den) if den != 0 else 0.0
+    return pa.table(
+        {
+            "n_edges": pa.array([n // 2], pa.int64()),
+            "assortativity": round4(pa.array([r], pa.float64())),
+        }
+    )
+
+
 def triangle_counts_from_edges(edges, docs_ds, num_partitions: int = 8):
     """Degree-orientation triangle counting over a canonical (a < b) int64
     edge Dataset — steps 2-6 of :func:`doc_triangle_counts` (split out so

@@ -1925,3 +1925,50 @@ def events_user_first_last(sf_dir: str, num_partitions: int = 8):
     return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
         first_last, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def events_user_mode_type(sf_dir: str, num_partitions: int = 8):
+    """Grouped MODE with a deterministic tie rule: each user's most
+    frequent event type (count DESC, type ASC).  One groupby-count over
+    (user, type) bounds everything downstream at one row per distinct
+    pair; the per-user argmax is ONE keyed repartition + an Arrow
+    multi-key sort + vectorized first-of-group gather."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    cnt = ev.groupby(["user_id", "event_type"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_events")
+    )
+
+    def argmax_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("mode_type", pa.string()),
+                    ("n_events", pa.int64()),
+                ]
+            ).empty_table()
+        order = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("n_events", "descending"),
+                ("event_type", "ascending"),
+            ],
+        )
+        t = b.take(order)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        first = np.concatenate([[0], np.nonzero(np.diff(uid))[0] + 1])
+        sel = pa.array(first)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").take(sel),
+                "mode_type": t.column("event_type").take(sel),
+                "n_events": t.column("n_events").take(sel),
+            }
+        )
+
+    return cnt.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        argmax_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
