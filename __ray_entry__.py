@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_first_last": r.events_user_first_last,  # FIRST/LAST_VALUE window
         "doc_kcore": c.doc_kcore,  # dedup-graph 2-core (iterative distributed peel)
         "doc_degree_assortativity": c.doc_degree_assortativity,  # Newman's r, exact int stats
+        "doc_pagerank": c.doc_pagerank,  # exact-integer PageRank (fixed rounds)
         "events_user_mode_type": r.events_user_mode_type,  # grouped mode w/ tie rule
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
@@ -676,6 +677,79 @@ def _winnow_fingerprint_oracle(window: int = 8) -> str:
     )
 
 
+def _pagerank_oracle(rounds: int = 10) -> str:
+    """Engine's fixed-round scaled-integer PageRank (pipelines/curation
+    .pagerank_from_edges) unrolled: mass 10^12 micro-units, damping
+    85/100, floor division everywhere — all-integer, so the oracle is
+    bit-exact with no float tree to mirror.  MATERIALIZED CTEs for the
+    same inlining reason as the k-core oracle."""
+    s = 10**12
+    parts = [
+        f"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS MATERIALIZED (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM e
+                UNION ALL SELECT b AS src, a AS dst FROM e
+            ),
+            deg AS MATERIALIZED (
+                SELECT src AS node, CAST(count(*) AS HUGEINT) AS deg
+                FROM sym GROUP BY src
+            ),
+            nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM deg),
+            p0 AS MATERIALIZED (
+                SELECT node, {s}::HUGEINT // nn.n AS pr FROM deg, nn
+            )
+        """
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+            , fl{r} AS MATERIALIZED (
+                SELECT sym.dst AS node, sum(p{r}.pr // deg.deg) AS infl
+                FROM sym
+                JOIN p{r} ON p{r}.node = sym.src
+                JOIN deg ON deg.node = sym.src
+                GROUP BY sym.dst
+            ),
+            p{r + 1} AS MATERIALIZED (
+                SELECT deg.node,
+                       (15 * ({s}::HUGEINT // nn.n)) // 100
+                       + (85 * coalesce(fl{r}.infl, 0::HUGEINT)) // 100 AS pr
+                FROM deg CROSS JOIN nn
+                LEFT JOIN fl{r} ON fl{r}.node = deg.node
+            )
+        """
+        )
+    parts.append(
+        f"""
+            SELECT node AS doc_id, CAST(pr AS BIGINT) AS pagerank FROM p{rounds}
+        """
+    )
+    return "".join(parts)
+
+
 def _kcore_oracle(rounds: int = 12, k_core: int = 2) -> str:
     """Engine's iterative k-core peel (pipelines/curation.kcore_from_edges)
     unrolled ``rounds`` times: e_{i+1} keeps edges whose BOTH endpoints
@@ -1166,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes JOIN ec USING (cluster_id)
         """,
         "doc_kcore": _kcore_oracle(rounds=12, k_core=2),
+        "doc_pagerank": _pagerank_oracle(rounds=10),
         # Newman's degree assortativity over the tau=0.5 edge set: the
         # symmetric edge-pair form reduces to four exact integer sums;
         # ONE double division at the end, CASE-guarded for regular

@@ -943,6 +943,168 @@ def doc_degree_assortativity(
     )
 
 
+_PR_SCALE = 10**12  # PageRank mass in integer micro-units
+
+
+def doc_pagerank(
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    rounds: int = 10,
+    num_partitions: int = 8,
+):
+    """EXACT-integer PageRank over the tau-Jaccard graph — centrality of
+    each doc inside its duplicate neighbourhood (the template-hub
+    detector).  All arithmetic is scaled-integer (mass 10^12, damping
+    85/100, floor division), so per-round sums are order-independent and
+    the fixed-round iteration is bit-identical to the SQL oracle — no
+    float summation tree to mirror.  See :func:`pagerank_from_edges`."""
+    import functools
+
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    raw = prefix_jaccard_join(sets_ds, threshold, num_partitions, order="value")
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(b.column("a")).astype(np.int64)),
+                "b": pa.array(np.asarray(b.column("b")).astype(np.int64)),
+            }
+        )
+
+    edges = raw.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return pagerank_from_edges(edges, rounds, num_partitions)
+
+
+def pagerank_from_edges(edges, rounds: int, num_partitions: int = 8):
+    """Fixed-round scaled-integer PageRank over a canonical (a < b) int64
+    edge Dataset, nodes = docs with >= 1 edge:
+
+        pr_0(v)    = S // n                        (S = 10^12 micro-units)
+        contrib(u) = pr_t(u) // deg(u)             (floor division)
+        pr_{t+1}(v) = (15 * (S // n)) // 100
+                      + (85 * sum_{u~v} contrib(u)) // 100
+
+    Integer sums are order-independent, so the distributed result is
+    bit-identical to any serial evaluation (and to the unrolled SQL
+    oracle).  Per round: ONE narrow hash join (symmetric edges against
+    the contrib table) + ONE groupby-sum — the classic iterative
+    message-passing shape, edge-table-sized, never a broadcast."""
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.joins import hash_join
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("pagerank", pa.int64())])
+
+    def sym_block(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "dst": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    sym = edges.map_batches(
+        sym_block, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    from ray.data.aggregate import Count
+
+    deg = (
+        sym.groupby("src", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return out_schema.empty_table()
+    init = _PR_SCALE // n_nodes
+    base = (15 * init) // 100
+
+    def init_pr(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("src"),
+                "pr": pa.array(np.full(b.num_rows, init, dtype=np.int64), pa.int64()),
+                "deg": b.column("deg"),
+            }
+        )
+
+    pr = deg.map_batches(init_pr, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    for _ in range(rounds):
+        def contrib(b: pa.Table) -> pa.Table:
+            p = np.asarray(b.column("pr"), dtype=np.int64)
+            d = np.asarray(b.column("deg"), dtype=np.int64)
+            return pa.table(
+                {"node": b.column("node"), "c": pa.array(p // d, pa.int64())}
+            )
+
+        c = pr.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+        inflow = (
+            hash_join(
+                sym,
+                c,
+                left_on="src",
+                right_on="node",
+                left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+                right_schema=pa.schema([("node", pa.int64()), ("c", pa.int64())]),
+                num_partitions=num_partitions,
+            )
+            .groupby("dst", num_partitions=num_partitions)
+            .aggregate(Sum("c", alias_name="infl"))
+        )
+        pr = (
+            hash_join(
+                pr.select_columns(["node", "deg"]),
+                inflow,
+                left_on="node",
+                right_on="dst",
+                left_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+                right_schema=pa.schema([("dst", pa.int64()), ("infl", pa.int64())]),
+                num_partitions=num_partitions,
+                how="left outer",
+            )
+            .map_batches(_pr_update(base), batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("node"), "pagerank": b.column("pr")},
+            schema=out_schema,
+        )
+
+    return pr.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pr_update(base: int):
+    def f(b: pa.Table) -> pa.Table:
+        infl = np.asarray(pc.fill_null(b.column("infl"), 0), dtype=np.int64)
+        new = base + (85 * infl) // 100
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "pr": pa.array(new, pa.int64()),
+                "deg": b.column("deg"),
+            }
+        )
+
+    return f
+
+
 def triangle_counts_from_edges(edges, docs_ds, num_partitions: int = 8):
     """Degree-orientation triangle counting over a canonical (a < b) int64
     edge Dataset — steps 2-6 of :func:`doc_triangle_counts` (split out so

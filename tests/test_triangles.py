@@ -138,3 +138,62 @@ def test_kcore_raises_past_max_rounds(ray_session):
     edges = [(i, i + 1) for i in range(300, 312)]
     with pytest.raises(ValueError, match="did not converge"):
         _run_kcore(edges, 2, max_rounds=3)
+
+
+def _brute_pagerank(edges, rounds, scale=10**12):
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    init = scale // n
+    base = (15 * init) // 100
+    pr = dict.fromkeys(adj, init)
+    for _ in range(rounds):
+        contrib = {u: pr[u] // len(adj[u]) for u in adj}
+        pr = {
+            v: base + (85 * sum(contrib[u] for u in adj[v])) // 100 for v in adj
+        }
+    return pr
+
+
+def _run_pagerank(edges, rounds, num_partitions=4):
+    import ray.data as rd
+
+    from dynaalign_ray.pipelines.curation import pagerank_from_edges
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    edges_ds = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    out = pagerank_from_edges(edges_ds, rounds, num_partitions)
+    if isinstance(out, pa.Table):
+        return {r["doc_id"]: r["pagerank"] for r in out.to_pylist()}
+    return {r["doc_id"]: r["pagerank"] for r in out.take_all()}
+
+
+def test_pagerank_matches_integer_bruteforce(ray_session):
+    rng = np.random.default_rng(13)
+    ids = list(range(400, 430))
+    edges = [
+        (a, b) for a, b in itertools.combinations(ids, 2) if rng.random() < 0.15
+    ]
+    assert _run_pagerank(edges, rounds=10) == _brute_pagerank(edges, rounds=10)
+
+
+def test_pagerank_star_hub_dominates(ray_session):
+    # the hub of a star must outrank every leaf
+    edges = [(500, leaf) for leaf in range(501, 509)]
+    pr = _run_pagerank(edges, rounds=10)
+    assert all(pr[500] > pr[leaf] for leaf in range(501, 509))
+
+
+def test_pagerank_mass_is_conserved_up_to_floor(ray_session):
+    # floor division only ever DROPS micro-units: total mass is bounded
+    # above by the scale and below by scale minus rounds * (drops per op)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    pr = _run_pagerank(edges, rounds=10)
+    total = sum(pr.values())
+    assert total <= 10**12
+    assert total >= 10**12 - 10 * (3 * len(pr) + 200)
