@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_kcore": c.doc_kcore,  # dedup-graph 2-core (iterative distributed peel)
         "doc_degree_assortativity": c.doc_degree_assortativity,  # Newman's r, exact int stats
         "doc_pagerank": c.doc_pagerank,  # exact-integer PageRank (fixed rounds)
+        "doc_search_topk": c.doc_search_topk,  # ranked tf-idf retrieval, exact-int scores
         "events_user_mode_type": r.events_user_mode_type,  # grouped mode w/ tie rule
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
@@ -1241,6 +1242,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_kcore": _kcore_oracle(rounds=12, k_core=2),
         "doc_pagerank": _pagerank_oracle(rounds=10),
+        # Ranked retrieval: exact-integer tf-idf weights
+        # w(t) = (N * 10^6) // df(t), score = sum tf * w — integer sums
+        # are order-independent, so the top-k is bit-reproducible.
+        "doc_search_topk": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tkn
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, tkn, CAST(count(*) AS BIGINT) AS tf
+                FROM tok WHERE tkn IN ('hash', 'join', 'merge')
+                GROUP BY doc_id, tkn
+            ),
+            df AS (
+                SELECT tkn, CAST(count(*) AS BIGINT) AS df
+                FROM (SELECT DISTINCT doc_id, tkn FROM tf) GROUP BY tkn
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            w AS (SELECT tkn, (n.n * 1000000) // df.df AS w FROM df, n),
+            sc AS (
+                SELECT doc_id, CAST(sum(tf.tf * w.w) AS BIGINT) AS score
+                FROM tf JOIN w USING (tkn) GROUP BY doc_id
+            )
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
         # Newman's degree assortativity over the tau=0.5 edge set: the
         # symmetric edge-pair form reduces to four exact integer sums;
         # ONE double division at the end, CASE-guarded for regular

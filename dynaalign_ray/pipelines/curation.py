@@ -2269,6 +2269,86 @@ def doc_top_terms(sf_dir: str, num_partitions: int = 8):
     return top_terms(docs, num_partitions)
 
 
+def doc_search_topk(
+    sf_dir: str,
+    terms: tuple = ("hash", "join", "merge"),
+    k: int = 10,
+    num_partitions: int = 8,
+):
+    """Ranked BOOLEAN-OR retrieval: top-k docs by an exact-integer
+    tf-idf score over a fixed query-term set — the search shape over the
+    corpus.  Weight per term is the scaled floor ratio
+    ``w(t) = (N * 10^6) // df(t)`` and ``score(d) = sum tf(t,d) * w(t)``
+    — all integers, order-independent sums, bit-identical to the SQL
+    oracle.  Plan: one tokenize pass emits only query-term (doc, term,
+    tf) rows; df is a |terms|-row aggregate; weights are |terms| driver
+    scalars; scoring is one tiny groupby-sum; the top-k is the repo's
+    per-block partial pattern (never a global sort)."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.exec import partial_topk
+    from dynaalign_ray.functions.tfidf import _flat_tokens
+    from dynaalign_ray.joins import collect_arrow
+
+    term_list = list(terms)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no execution
+
+    def tf_block(batch: pa.Table) -> pa.Table:
+        doc_per_tok, toks = _flat_tokens(batch)
+        keep = pc.is_in(toks, value_set=pa.array(term_list))
+        kn = np.asarray(keep)
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_per_tok[kn], pa.int64()),
+                "term": toks.filter(keep),
+            }
+        )
+        return t.group_by(["doc_id", "term"]).aggregate([("term", "count")]).rename_columns(
+            ["doc_id", "term", "tf"]
+        )
+
+    tf = docs.map_batches(
+        tf_block, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    # blocks may split a (doc, term) pair: re-sum so tf is global
+    tf = tf.groupby(["doc_id", "term"], num_partitions=num_partitions).aggregate(
+        Sum("tf", alias_name="tf")
+    ).materialize()
+    df_tbl = collect_arrow(
+        tf.groupby("term", num_partitions=num_partitions).aggregate(
+            Count(alias_name="df")
+        )
+    )
+    weights = {
+        t: (n_docs * 10**6) // int(d)
+        for t, d in zip(
+            df_tbl.column("term").to_pylist(), df_tbl.column("df").to_pylist()
+        )
+    }
+
+    def score_block(b: pa.Table) -> pa.Table:
+        w = np.array(
+            [weights.get(t, 0) for t in b.column("term").to_pylist()], dtype=np.int64
+        )
+        tfv = np.asarray(b.column("tf"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "partial": pa.array(tfv * w, pa.int64()),
+            }
+        )
+
+    scores = (
+        tf.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id", num_partitions=num_partitions)
+        .aggregate(Sum("partial", alias_name="score"))
+    )
+    return partial_topk(
+        scores, [("score", "descending"), ("doc_id", "ascending")], k
+    )
+
+
 def events_user_sessions(sf_dir: str, num_partitions: int = 8):
     """Session windows (30-min gap) per user over the events table."""
     import ray.data as rd
