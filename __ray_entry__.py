@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pagerank": c.doc_pagerank,  # exact-integer PageRank (fixed rounds)
         "doc_search_topk": c.doc_search_topk,  # ranked tf-idf retrieval, exact-int scores
         "events_user_mode_type": r.events_user_mode_type,  # grouped mode w/ tie rule
+        "events_winsorized_stats": r.events_winsorized_stats,  # robust p05/p95-clamped means
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -1319,6 +1320,35 @@ def oracle_sql() -> dict[str, str]:
                              / 10000
                    END AS assortativity
             FROM st
+        """,
+        # Winsorized means: global exact p05/p95 cents band (quantile_disc
+        # rule == exact_int_quantiles), clamped sums stay exact int64, the
+        # two final means mirror the engine's float tree op-for-op.
+        "events_winsorized_stats": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            q AS (
+                SELECT quantile_disc(cents, 0.05) AS lo,
+                       quantile_disc(cents, 0.95) AS hi
+                FROM c
+            ),
+            w AS (
+                SELECT event_type, cents,
+                       CASE WHEN cents < lo THEN lo
+                            WHEN cents > hi THEN hi
+                            ELSE cents END AS wc
+                FROM c, q
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*))
+                         * 10000) / 10000 AS raw_mean,
+                   round(((CAST(sum(wc) AS DOUBLE) / 100.0) / count(*))
+                         * 10000) / 10000 AS winsorized_mean
+            FROM w GROUP BY event_type
         """,
         "events_user_mode_type": """
             WITH cnt AS (

@@ -1972,3 +1972,67 @@ def events_user_mode_type(sf_dir: str, num_partitions: int = 8):
     return cnt.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
         argmax_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def events_winsorized_stats(sf_dir: str, num_partitions: int = 8):
+    """Robust winsorized aggregate: per event type, the mean of values
+    CLAMPED to the global exact [p05, p95] band — the outlier-insensitive
+    monitoring statistic.  The band comes from the proven exact integer
+    quantile (functions/sketches.exact_int_quantiles, DuckDB quantile_disc
+    rule) over integer cents; clamped sums stay exact int64, so the final
+    means are one mirrored float tree."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.functions.sketches import exact_int_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_block(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("value"), dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": pa.array(np.rint(v * 100.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    cents = ev.map_batches(
+        cents_block, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    qt = exact_int_quantiles(cents, "cents", [0.05, 0.95], num_partitions)
+    lo, hi = (int(v) for v in qt.column("value").to_pylist())
+
+    def clamp(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cents"), dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": b.column("cents"),
+                "wc": pa.array(np.clip(c, lo, hi), pa.int64()),
+            }
+        )
+
+    agg = (
+        cents.map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type", num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("cents", alias_name="raw_cents"),
+            Sum("wc", alias_name="wins_cents"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n_events"), dtype=np.float64)
+        raw = np.asarray(b.column("raw_cents"), dtype=np.float64)
+        wc = np.asarray(b.column("wins_cents"), dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": b.column("n_events"),
+                "raw_mean": round4((raw / 100.0) / n),
+                "winsorized_mean": round4((wc / 100.0) / n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
