@@ -997,10 +997,13 @@ def pagerank_from_edges(edges, rounds: int, num_partitions: int = 8):
 
     Integer sums are order-independent, so the distributed result is
     bit-identical to any serial evaluation (and to the unrolled SQL
-    oracle).  Per round: ONE narrow hash join (symmetric edges against
-    the contrib table) + ONE groupby-sum — the classic iterative
-    message-passing shape, edge-table-sized, never a broadcast."""
-    from ray.data.aggregate import Sum
+    oracle).  The static out-degree is attached to the symmetric edge
+    table ONCE, so each round is exactly ONE narrow hash join (edges
+    against the pr table) + ONE groupby-sum — the classic iterative
+    message-passing shape, edge-table-sized, never a broadcast.  Every
+    node has >= 1 neighbour, so the inflow table covers every node and
+    the per-round update needs no outer join."""
+    from ray.data.aggregate import Count, Sum
 
     from dynaalign_ray.joins import hash_join
 
@@ -1020,8 +1023,6 @@ def pagerank_from_edges(edges, rounds: int, num_partitions: int = 8):
         sym_block, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    from ray.data.aggregate import Count
-
     deg = (
         sym.groupby("src", num_partitions=num_partitions)
         .aggregate(Count(alias_name="deg"))
@@ -1033,51 +1034,65 @@ def pagerank_from_edges(edges, rounds: int, num_partitions: int = 8):
     init = _PR_SCALE // n_nodes
     base = (15 * init) // 100
 
+    # deg_src rides the static edge table, so the per-round join carries
+    # only (node, pr) on the small side
+    sym_deg = hash_join(
+        sym,
+        deg.map_batches(
+            lambda b: pa.table({"node": b.column("src"), "deg_src": b.column("deg")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        left_on="src",
+        right_on="node",
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("deg_src", pa.int64())]),
+        num_partitions=num_partitions,
+    ).materialize()
+
     def init_pr(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "node": b.column("src"),
                 "pr": pa.array(np.full(b.num_rows, init, dtype=np.int64), pa.int64()),
-                "deg": b.column("deg"),
             }
         )
 
     pr = deg.map_batches(init_pr, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    for _ in range(rounds):
-        def contrib(b: pa.Table) -> pa.Table:
-            p = np.asarray(b.column("pr"), dtype=np.int64)
-            d = np.asarray(b.column("deg"), dtype=np.int64)
-            return pa.table(
-                {"node": b.column("node"), "c": pa.array(p // d, pa.int64())}
-            )
-
-        c = pr.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
-        inflow = (
-            hash_join(
-                sym,
-                c,
-                left_on="src",
-                right_on="node",
-                left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
-                right_schema=pa.schema([("node", pa.int64()), ("c", pa.int64())]),
-                num_partitions=num_partitions,
-            )
-            .groupby("dst", num_partitions=num_partitions)
-            .aggregate(Sum("c", alias_name="infl"))
+    def to_contrib(b: pa.Table) -> pa.Table:
+        p = np.asarray(b.column("pr"), dtype=np.int64)
+        d = np.asarray(b.column("deg_src"), dtype=np.int64)
+        return pa.table(
+            {"dst": b.column("dst"), "c": pa.array(p // d, pa.int64())}
         )
+
+    def update(b: pa.Table) -> pa.Table:
+        infl = np.asarray(b.column("infl"), dtype=np.int64)
+        return pa.table(
+            {
+                "node": b.column("dst"),
+                "pr": pa.array(base + (85 * infl) // 100, pa.int64()),
+            }
+        )
+
+    for _ in range(rounds):
         pr = (
             hash_join(
-                pr.select_columns(["node", "deg"]),
-                inflow,
-                left_on="node",
-                right_on="dst",
-                left_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
-                right_schema=pa.schema([("dst", pa.int64()), ("infl", pa.int64())]),
+                sym_deg,
+                pr,
+                left_on="src",
+                right_on="node",
+                left_schema=pa.schema(
+                    [("src", pa.int64()), ("dst", pa.int64()), ("deg_src", pa.int64())]
+                ),
+                right_schema=pa.schema([("node", pa.int64()), ("pr", pa.int64())]),
                 num_partitions=num_partitions,
-                how="left outer",
             )
-            .map_batches(_pr_update(base), batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(to_contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("dst", num_partitions=num_partitions)
+            .aggregate(Sum("c", alias_name="infl"))
+            .map_batches(update, batch_format="pyarrow", zero_copy_batch=True)
             .materialize()
         )
 
@@ -1088,21 +1103,6 @@ def pagerank_from_edges(edges, rounds: int, num_partitions: int = 8):
         )
 
     return pr.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def _pr_update(base: int):
-    def f(b: pa.Table) -> pa.Table:
-        infl = np.asarray(pc.fill_null(b.column("infl"), 0), dtype=np.int64)
-        new = base + (85 * infl) // 100
-        return pa.table(
-            {
-                "node": b.column("node"),
-                "pr": pa.array(new, pa.int64()),
-                "deg": b.column("deg"),
-            }
-        )
-
-    return f
 
 
 def triangle_counts_from_edges(edges, docs_ds, num_partitions: int = 8):
