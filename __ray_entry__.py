@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_topk": c.doc_search_topk,  # ranked tf-idf retrieval, exact-int scores
         "events_user_mode_type": r.events_user_mode_type,  # grouped mode w/ tie rule
         "events_winsorized_stats": r.events_winsorized_stats,  # robust p05/p95-clamped means
+        "orders_monthly_growth": r.orders_monthly_growth,  # tumbling month + LAG deltas
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -1320,6 +1321,26 @@ def oracle_sql() -> dict[str, str]:
                              / 10000
                    END AS assortativity
             FROM st
+        """,
+        # Monthly tumbling window + LAG deltas: exact-cents sums; the
+        # first month's deltas are 0 (engine convention), mirrored with
+        # coalesce over the lag.
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT)
+                           AS month_us,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            )
+            SELECT month_us, n_orders,
+                   round((cents / 100.0) * 10000) / 10000 AS revenue,
+                   CAST(coalesce(n_orders - lag(n_orders) OVER (ORDER BY month_us), 0)
+                        AS BIGINT) AS delta_orders,
+                   round(((cents - coalesce(lag(cents) OVER (ORDER BY month_us), cents))
+                          / 100.0) * 10000) / 10000 AS delta_revenue
+            FROM m
         """,
         # Winsorized means: global exact p05/p95 cents band (quantile_disc
         # rule == exact_int_quantiles), clamped sums stay exact int64, the

@@ -2036,3 +2036,51 @@ def events_winsorized_stats(sf_dir: str, num_partitions: int = 8):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def orders_monthly_growth(sf_dir: str, num_partitions: int = 8):
+    """Time-series LAG over a tumbling month window: monthly order count +
+    exact-cents revenue and their deltas vs the previous calendar month.
+    One corpus-sized groupby-count is the whole distributed pass; the
+    month table is tiny (corpus-lifetime months), so the LAG finishes
+    driver-side on a handful of rows — the monitoring-dashboard shape."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import collect_arrow
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = np.asarray(b.column("o_totalprice"), dtype=np.float64)
+        return pa.table(
+            {
+                "month_us": pc.floor_temporal(
+                    b.column("o_orderdate"), unit="month"
+                ).cast(pa.int64()),
+                "cents": pa.array(np.rint(price * 100.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    monthly = collect_arrow(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month_us", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
+    )
+    order = pc.sort_indices(monthly, sort_keys=[("month_us", "ascending")])
+    t = monthly.take(order)
+    n = np.asarray(t.column("n_orders"), dtype=np.int64)
+    cents = np.asarray(t.column("cents"), dtype=np.int64)
+    dn = np.empty_like(n)
+    dc = np.empty_like(cents)
+    dn[0], dc[0] = 0, 0
+    dn[1:] = n[1:] - n[:-1]
+    dc[1:] = cents[1:] - cents[:-1]
+    return pa.table(
+        {
+            "month_us": t.column("month_us"),
+            "n_orders": pa.array(n, pa.int64()),
+            "revenue": round4(cents / 100.0),
+            "delta_orders": pa.array(dn, pa.int64()),
+            "delta_revenue": round4(dc / 100.0),
+        }
+    )
