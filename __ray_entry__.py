@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode_type": r.events_user_mode_type,  # grouped mode w/ tie rule
         "events_winsorized_stats": r.events_winsorized_stats,  # robust p05/p95-clamped means
         "orders_monthly_growth": r.orders_monthly_growth,  # tumbling month + LAG deltas
+        "events_props_stats": r.events_props_stats,  # JSON payload extraction stats
+        "doc_lang_source_pivot": r.doc_lang_source_pivot,  # PIVOT/crosstab wide counts
         # --- 5. r3 hash-green regression set (fills the 50-query window;
         #        plans touched this round come first)
         "doc_decontam_fuzzy": c.doc_decontam_fuzzy,  # edges now exact SSJoin (ADVICE r3)
@@ -1321,6 +1323,34 @@ def oracle_sql() -> dict[str, str]:
                              / 10000
                    END AS assortativity
             FROM st
+        """,
+        # JSON payload extraction: DuckDB's json_extract mirrors the
+        # engine's RE2 integer pull on well-formed {"k": N} payloads;
+        # missing keys count separately on both sides.
+        "events_props_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(coalesce(k, 0)) AS BIGINT) AS k_sum,
+                   round((CAST(sum(coalesce(k, 0)) AS DOUBLE) / count(*)) * 10000)
+                       / 10000 AS k_mean,
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_missing
+            FROM x GROUP BY event_type
+        """,
+        "doc_lang_source_pivot": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+                   CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+                   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+                   CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+            FROM documents GROUP BY source
         """,
         # Monthly tumbling window + LAG deltas: exact-cents sums; the
         # first month's deltas are 0 (engine convention), mirrored with

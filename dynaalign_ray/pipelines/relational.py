@@ -2084,3 +2084,86 @@ def orders_monthly_growth(sf_dir: str, num_partitions: int = 8):
             "delta_revenue": round4(dc / 100.0),
         }
     )
+
+
+def events_props_stats(sf_dir: str, num_partitions: int = 8):
+    """Semi-structured extraction: parse the JSON ``props`` payload and
+    aggregate the extracted integer per event type.  The extraction is
+    ONE vectorized RE2 pass (pc.extract_regex — no per-row json.loads
+    loop); sums stay exact int64.  Rows with no parsable key are counted
+    separately (n_missing) instead of silently dropped."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        ks = pc.struct_field(m, "k")
+        valid = pc.is_valid(ks)
+        k = np.asarray(
+            pc.cast(pc.if_else(valid, ks, pa.scalar("0")), pa.int64()), dtype=np.int64
+        )
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "k": pa.array(k, pa.int64()),
+                "missing": pa.array(
+                    (~np.asarray(valid)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type", num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="k_sum"),
+            Sum("missing", alias_name="n_missing"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("k_sum"), dtype=np.float64)
+        n = np.asarray(b.column("n_events"), dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": b.column("n_events"),
+                "k_sum": b.column("k_sum"),
+                "k_mean": round4(s / n),
+                "n_missing": b.column("n_missing"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def doc_lang_source_pivot(sf_dir: str, num_partitions: int = 8):
+    """PIVOT / crosstab: per source, one count column per language (the
+    wide monitoring layout).  The conditional indicators are emitted
+    vectorized per batch, so ONE narrow groupby-sum shuffle produces the
+    wide table directly — no second pass, no driver pivot of raw rows."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+
+    def indicators(b: pa.Table) -> pa.Table:
+        cols = {"source": b.column("source")}
+        lang = b.column("lang")
+        for lg in _PIVOT_LANGS:
+            cols[lg] = pc.cast(pc.equal(lang, pa.scalar(lg)), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        docs.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source", num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n_docs"),
+            *[Sum(lg, alias_name=lg) for lg in _PIVOT_LANGS],
+        )
+    )
+    return agg
