@@ -135,6 +135,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": r.events_cohort_retention,
         "events_value_ntile": r.events_value_ntile,
         "events_value_percent_rank": r.events_value_percent_rank,  # round 4
+        # --- round-4 session-4 additions (oracle-backed; below the driver
+        #     cap — verified in the builder harness, window left stable)
+        "events_transition_counts": r.events_transition_counts,  # LAG-bigram Markov counts
+        "returnflag_priority_counts": r.returnflag_priority_counts,  # Q12 shape: conditional counts
+        "customer_order_distribution": r.customer_order_distribution,  # Q13 shape: size histogram
+        "top_supplier_revenue": r.top_supplier_revenue,  # Q15 shape: argmax over grouped agg
+        "small_quantity_revenue": r.small_quantity_revenue,  # Q17 shape: correlated-avg threshold
+        "large_volume_customers": r.large_volume_customers,  # Q18 shape: HAVING join-back
         "customer_segment_fullouter": r.customer_segment_fullouter,
         "pages_blocklist_filter": w.pages_blocklist_filter,
         # --- relational surface (r3 green)
@@ -2577,6 +2585,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(median(delta) AS DOUBLE) AS median_gap_us,
                    CAST(count(*) AS BIGINT) AS n_gaps
             FROM d WHERE delta IS NOT NULL GROUP BY user_id
+        """,
+        "events_transition_counts": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        # Q12 shape: the engine turns the priority test into a vectorized
+        # 0/1 pair so one groupby-sum finishes the query.
+        "returnflag_priority_counts": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_returnflag
+        """,
+        # Q13 shape: LEFT JOIN keeps zero-order customers; count(o) counts
+        # only matched rows, mirroring the engine's coalesce-to-0 fill.
+        "customer_order_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey,
+                       CAST(count(o_custkey) AS BIGINT) AS n_orders
+                FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                GROUP BY c_custkey
+            )
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            FROM per_cust GROUP BY n_orders
+        """,
+        # Q15 shape: revenue summed in exact integer cents on both sides,
+        # so the max comparison (and its ties) is exact.
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 100) AS BIGINT)) AS BIGINT)
+                           AS rev_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT l_suppkey,
+                   round((rev_cents / 100.0) * 10000) / 10000 AS total_revenue,
+                   s_name
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rev_cents = (SELECT max(rev_cents) FROM r)
+        """,
+        # Q17 shape: the 20%-of-average threshold is the exact integer
+        # cross-multiplication 5 * n * q_cents < sum_q_cents on both sides.
+        "small_quantity_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS q_cents,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#11'
+            ),
+            pp AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_li,
+                       CAST(sum(q_cents) AS BIGINT) AS sum_q
+                FROM li GROUP BY l_partkey
+            )
+            SELECT round(((COALESCE(CAST(sum(li.price_cents) AS BIGINT), 0)
+                           / 100.0) / 7.0) * 10000) / 10000 AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM li JOIN pp USING (l_partkey)
+            WHERE 5 * pp.n_li * li.q_cents < pp.sum_q
+        """,
+        # Q18 shape: quantities are integral doubles -> exact int64 sums.
+        "large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) > 300
+            )
+            SELECT o_orderkey, c_name,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate,
+                   round(o_totalprice * 10000) / 10000 AS o_totalprice,
+                   total_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
         """,
         "events_trailing_hour": """
             SELECT event_id, user_id,

@@ -2167,3 +2167,375 @@ def doc_lang_source_pivot(sf_dir: str, num_partitions: int = 8):
         )
     )
     return agg
+
+
+def events_transition_counts(sf_dir: str, num_partitions: int = 8):
+    """Markov-chain surface: global counts of consecutive event-type
+    transitions within each user's (ts, event_id)-ordered sequence — the
+    LAG-bigram shape behind session path analysis.  Plan: one keyed
+    repartition on user_id, one vectorized bigram kernel with per-block
+    partial aggregation (<= |types|^2 rows leave each block), tiny global
+    groupby-sum (see stages/windows.user_transition_counts)."""
+    from dynaalign_ray.stages.windows import user_transition_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return user_transition_counts(ev, num_partitions)
+
+
+def returnflag_priority_counts(sf_dir: str, num_partitions: int = 8):
+    """Conditional-count join (TPC-H Q12 shape, adapted — this schema has
+    no l_shipmode, so l_returnflag plays the grouping column): per return
+    flag, how many 1997-shipped lineitems belong to critical-priority
+    orders (1-URGENT / 2-HIGH) vs the rest.  The priority test becomes a
+    vectorized 0/1 pair so ONE groupby-sum finishes the query; the date
+    filter is pushed into the parquet read."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.joins import hash_join
+
+    configure_context()
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    ).drop_columns(["l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = hash_join(
+        li,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_returnflag", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+        num_partitions=num_partitions,
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        prio = b.column("o_orderpriority")
+        high = pc.or_(
+            pc.equal(prio, pa.scalar("1-URGENT")), pc.equal(prio, pa.scalar("2-HIGH"))
+        )
+        hi64 = pc.cast(high, pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "high_line_count": hi64,
+                "low_line_count": pc.subtract(pa.scalar(1, type=pa.int64()), hi64),
+            }
+        )
+
+    return (
+        j.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag", num_partitions=num_partitions)
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+
+
+def customer_order_distribution(sf_dir: str, num_partitions: int = 8):
+    """Histogram-of-group-sizes (TPC-H Q13 shape): how many customers
+    placed exactly N orders, INCLUDING the zero-order customers a plain
+    inner join would drop.  Plan: per-customer order-count pre-aggregate
+    (the shuffle carries one row per customer-with-orders), size-gated
+    LEFT join onto customer with a vectorized zero-fill, then a SECOND
+    tiny groupby over at most max(N)+1 distinct counts."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import dim_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    per_cust = orders.groupby("o_custkey", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_orders")
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey"])
+    per_cust = per_cust.materialize()
+    j = dim_join(
+        customer,
+        per_cust,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        fact_schema=pa.schema([("c_custkey", pa.int64())]),
+        dim_schema=pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())]),
+        num_partitions=num_partitions,
+        how="left outer",
+        approx_dim_rows=per_cust.count(),
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.table({"n_orders": pc.coalesce(b.column("n_orders"), zero)})
+
+    return (
+        j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_orders", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def top_supplier_revenue(sf_dir: str, num_partitions: int = 8):
+    """Argmax-over-grouped-aggregate (TPC-H Q15 shape): the supplier(s)
+    with the maximum discounted revenue over one quarter, ties kept like
+    the reference view form.  Revenue is summed in EXACT integer cents so
+    the max comparison is tie-exact; the max is a scalar aggregate (no
+    global sort) and the winners filter is one vectorized pass over the
+    per-supplier aggregate."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Max, Sum
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.joins import dim_join
+
+    configure_context()
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-04-01", "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(b.column("l_discount"), dtype=np.float64)
+        x = price * (1.0 - disc) * 100.0
+        c = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    per_supp = (
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey", num_partitions=num_partitions)
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .materialize()
+    )
+    best = per_supp.aggregate(Max("rev_cents"))["max(rev_cents)"]
+
+    def winners(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b.column("rev_cents"), pa.scalar(best, pa.int64())))
+        return pa.table(
+            {
+                "l_suppkey": keep.column("l_suppkey"),
+                "total_revenue": round4(
+                    pc.divide(pc.cast(keep.column("rev_cents"), pa.float64()), 100.0)
+                ),
+            }
+        )
+
+    flt = per_supp.map_batches(winners, batch_format="pyarrow", zero_copy_batch=True)
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return dim_join(
+        flt,
+        supplier,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        fact_schema=pa.schema(
+            [("l_suppkey", pa.int64()), ("total_revenue", pa.float64())]
+        ),
+        dim_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+        num_partitions=num_partitions,
+    )
+
+
+def small_quantity_revenue(sf_dir: str, num_partitions: int = 8):
+    """Correlated-aggregate threshold (TPC-H Q17 shape): revenue from
+    Brand#11 lineitems whose quantity is below 20% of that part's average
+    quantity.  The threshold test runs as the EXACT integer
+    cross-multiplication ``5 * n * q_cents < sum_q_cents`` (q < sum/(5n)),
+    so no float division can flip a boundary row.  Plan: per-part
+    (n, sum_q_cents) pre-aggregate over ALL lineitems of the brand's
+    parts, size-gated dim joins, one vectorized filter, one scalar sum."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import broadcast_semi_join, dim_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def brand_keys(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b.column("p_brand"), pa.scalar("Brand#11")))
+        return keep.select(["p_partkey"])
+
+    keys = (
+        part.map_batches(brand_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    from dynaalign_ray.joins import collect_arrow
+
+    key_tbl = collect_arrow(keys)
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = broadcast_semi_join(li, key_tbl, left_on="l_partkey")
+
+    def qcents(b: pa.Table) -> pa.Table:
+        q = np.asarray(b.column("l_quantity"), dtype=np.float64) * 100.0
+        qc = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+        p = np.asarray(b.column("l_extendedprice"), dtype=np.float64) * 100.0
+        pc_ = (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "q_cents": pa.array(qc, type=pa.int64()),
+                "price_cents": pa.array(pc_, type=pa.int64()),
+            }
+        )
+
+    li = li.map_batches(qcents, batch_format="pyarrow", zero_copy_batch=True)
+    def rename_key(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_partkey_agg", "n_li", "sum_q_cents"])
+
+    per_part = (
+        li.select_columns(["l_partkey", "q_cents"])
+        .groupby("l_partkey", num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n_li"), Sum("q_cents", alias_name="sum_q_cents")
+        )
+        .map_batches(rename_key, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    j = dim_join(
+        li,
+        per_part,
+        left_on="l_partkey",
+        right_on="l_partkey_agg",
+        fact_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("q_cents", pa.int64()),
+                ("price_cents", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema(
+            [
+                ("l_partkey_agg", pa.int64()),
+                ("n_li", pa.int64()),
+                ("sum_q_cents", pa.int64()),
+            ]
+        ),
+        num_partitions=num_partitions,
+        approx_dim_rows=per_part.count(),
+    )
+
+    def below(b: pa.Table) -> pa.Table:
+        q = np.asarray(b.column("q_cents"), dtype=np.int64)
+        n = np.asarray(b.column("n_li"), dtype=np.int64)
+        s = np.asarray(b.column("sum_q_cents"), dtype=np.int64)
+        keep = 5 * n * q < s
+        return pa.table(
+            {"price_cents": pa.array(np.asarray(b.column("price_cents"))[keep])}
+        )
+
+    from ray.data.aggregate import Count as _Count
+
+    agg = j.map_batches(below, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("price_cents", alias_name="rev_cents"), _Count(alias_name="n_items")
+    )
+    rev = (agg["rev_cents"] or 0) / 100.0
+    return pa.table(
+        {
+            "avg_yearly": round4(pa.array([rev / 7.0], type=pa.float64())),
+            "n_items": pa.array([agg["n_items"] or 0], type=pa.int64()),
+        }
+    )
+
+
+def large_volume_customers(sf_dir: str, num_partitions: int = 8, min_qty: int = 300):
+    """HAVING-on-join-back (TPC-H Q18 shape): orders whose total lineitem
+    quantity exceeds ``min_qty``, with their customer.  Quantities are
+    integral doubles -> exact int64 sum; only qualifying (orderkey,
+    total_qty) rows enter the joins."""
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.joins import dim_join, hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qint(b: pa.Table) -> pa.Table:
+        q = np.asarray(b.column("l_quantity"), dtype=np.float64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "q": pa.array(
+                    (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    per_order = (
+        li.map_batches(qint, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey", num_partitions=num_partitions)
+        .aggregate(Sum("q", alias_name="total_qty"))
+    )
+
+    def big(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater(b.column("total_qty"), pa.scalar(min_qty, pa.int64()))
+        )
+
+    big_orders = per_order.map_batches(big, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    j = hash_join(
+        big_orders,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("total_qty", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+        num_partitions=num_partitions,
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = dim_join(
+        j,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        fact_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("total_qty", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+        dim_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "c_name": b.column("c_name"),
+                "o_orderdate": b.column("o_orderdate").cast(pa.int64()),
+                "o_totalprice": round4(b.column("o_totalprice")),
+                "total_qty": b.column("total_qty"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -621,3 +621,66 @@ def user_trailing_window(events_ds, num_partitions: int, window_us: int = 3_600_
             zero_copy_batch=True,
         )
     )
+
+
+def transition_count_block(batch):
+    """Markov-transition kernel: within each user's (ts, event_id)-ordered
+    event sequence, count consecutive event-type bigrams (prev_type ->
+    event_type), pre-aggregated per block BEFORE the global shuffle so the
+    exchange carries at most |types|^2 rows per block regardless of block
+    size — the partial-aggregate pattern from the scale playbook."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("prev_type", pa.string()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    uid, _ts, _eid, (etype,) = _user_order_block(batch, ("event_type",))
+    # pairs (i-1, i) within the same user run
+    same = ~_segment_starts(uid)
+    prev = etype[:-1][same[1:]]
+    cur = etype[1:][same[1:]]
+    if len(cur) == 0:
+        return out_schema.empty_table()
+    pairs = pa.table(
+        {
+            "prev_type": pa.array(prev, type=pa.string()),
+            "event_type": pa.array(cur, type=pa.string()),
+        }
+    )
+    part = pairs.group_by(["prev_type", "event_type"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "prev_type": part.column("prev_type"),
+            "event_type": part.column("event_type"),
+            "n": part.column("count_all").cast(pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def user_transition_counts(events_ds, num_partitions: int):
+    """events(event_id, user_id, ts, event_type) -> global counts of
+    consecutive event-type transitions across all users (per-user order =
+    ORDER BY ts, event_id).  Plan: one keyed repartition on user_id, one
+    vectorized bigram kernel with per-block partial aggregation, then a
+    tiny global groupby-sum over at most |types|^2 rows per block."""
+    from ray.data.aggregate import Sum
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(
+            transition_count_block,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["prev_type", "event_type"], num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n_transitions"))
+    )
