@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": r.top_supplier_revenue,  # Q15 shape: argmax over grouped agg
         "small_quantity_revenue": r.small_quantity_revenue,  # Q17 shape: correlated-avg threshold
         "large_volume_customers": r.large_volume_customers,  # Q18 shape: HAVING join-back
+        "two_nation_volume": r.two_nation_volume,  # Q7 shape: bidirectional nation pairs
+        "nation_market_share": r.nation_market_share,  # Q8 shape: exact-cents share per year
+        "returned_item_ranking": r.returned_item_ranking,  # Q10 shape: top-k returned revenue
         "customer_segment_fullouter": r.customer_segment_fullouter,
         "pages_blocklist_filter": w.pages_blocklist_filter,
         # --- relational surface (r3 green)
@@ -2680,6 +2683,75 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON o_orderkey = l_orderkey
             JOIN customer ON c_custkey = o_custkey
+        """,
+        # Q7 shape: revenue in exact integer cents; the nation-pair OR is
+        # the engine's post-join supp_nat != cust_nat filter over the two
+        # pre-filtered nations.
+        "two_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round((CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                              * 100) AS BIGINT)) AS BIGINT)
+                          / 100.0) * 10000) / 10000 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND ((s_nationkey = 1 AND c_nationkey = 2)
+                   OR (s_nationkey = 2 AND c_nationkey = 1))
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+        # Q8 shape: numerator and denominator are exact integer cent sums,
+        # so the share divides two exact int64s on both engines.
+        "nation_market_share": """
+            WITH f AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT) AS cents,
+                       CASE WHEN s_nationkey = 3 THEN 1 ELSE 0 END AS is_nat
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                WHERE n_regionkey = 0
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT o_year,
+                   round((CAST(sum(cents * is_nat) AS DOUBLE)
+                          / CAST(sum(cents) AS DOUBLE)) * 10000) / 10000
+                       AS mkt_share,
+                   round((CAST(sum(cents) AS BIGINT) / 100.0) * 10000) / 10000
+                       AS total_revenue
+            FROM f GROUP BY o_year
+        """,
+        # Q10 shape: (rev_cents DESC, custkey ASC) is a total order, so the
+        # engine's partial top-k reproduces the LIMIT boundary exactly.
+        "returned_item_ranking": """
+            WITH per AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 100) AS BIGINT)) AS BIGINT)
+                           AS rev_cents
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name,
+                   round((rev_cents / 100.0) * 10000) / 10000 AS revenue,
+                   n_name
+            FROM per
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY rev_cents DESC, o_custkey LIMIT 20
         """,
         "events_trailing_hour": """
             SELECT event_id, user_id,

@@ -2539,3 +2539,441 @@ def large_volume_customers(sf_dir: str, num_partitions: int = 8, min_qty: int = 
         )
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _year_from_us(ts_us: np.ndarray) -> np.ndarray:
+    """Calendar year from int64 epoch-microseconds (vectorized, matches
+    SQL year(ts) for the post-1970 test range and for negative epochs,
+    since datetime64 casts truncate toward -inf across unit downcasts)."""
+    return (
+        ts_us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+    )
+
+
+def two_nation_volume(sf_dir: str, num_partitions: int = 8):
+    """Bidirectional nation-pair trade volume (TPC-H Q7 shape): discounted
+    revenue shipped between NATION_1 and NATION_2 (both directions,
+    cross-nation only) per ship year.  Plan: supplier and customer are
+    pre-filtered to the two nations (the dim joins are INNER, so
+    non-matching facts drop at the join); lineitem ⋈ orders is the one
+    fact-fact hash join; the year extraction and the cents conversion are
+    vectorized; one tiny groupby finishes."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.joins import dim_join, hash_join
+
+    configure_context()
+    nat_a, nat_b = 1, 2
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(b.column("l_discount"), dtype=np.float64)
+        x = price * (1.0 - disc) * 100.0
+        cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        year = _year_from_us(np.asarray(b.column("l_shipdate").cast(pa.int64())))
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "cents": pa.array(cents, type=pa.int64()),
+                "l_year": pa.array(year, type=pa.int64()),
+            }
+        )
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def supp_prep(b: pa.Table) -> pa.Table:
+        nat = pc.cast(b.column("s_nationkey"), pa.int64())
+        keep = pc.or_(
+            pc.equal(nat, pa.scalar(nat_a, pa.int64())),
+            pc.equal(nat, pa.scalar(nat_b, pa.int64())),
+        )
+        t = pa.table({"s_suppkey": b.column("s_suppkey"), "supp_nat": nat})
+        return t.filter(keep)
+
+    supplier = supplier.map_batches(
+        supp_prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j1 = dim_join(
+        li,
+        supplier,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        fact_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("cents", pa.int64()),
+                ("l_year", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema([("s_suppkey", pa.int64()), ("supp_nat", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j2 = hash_join(
+        j1,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("cents", pa.int64()),
+                ("l_year", pa.int64()),
+                ("supp_nat", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        nat = pc.cast(b.column("c_nationkey"), pa.int64())
+        keep = pc.or_(
+            pc.equal(nat, pa.scalar(nat_a, pa.int64())),
+            pc.equal(nat, pa.scalar(nat_b, pa.int64())),
+        )
+        t = pa.table({"c_custkey": b.column("c_custkey"), "cust_nat": nat})
+        return t.filter(keep)
+
+    customer = customer.map_batches(
+        cust_prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j3 = dim_join(
+        j2,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        fact_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("cents", pa.int64()),
+                ("l_year", pa.int64()),
+                ("supp_nat", pa.int64()),
+                ("o_custkey", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema([("c_custkey", pa.int64()), ("cust_nat", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b.column("supp_nat"), b.column("cust_nat"))
+        return b.filter(keep).select(["supp_nat", "cust_nat", "l_year", "cents"])
+
+    agg = (
+        j3.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["supp_nat", "cust_nat", "l_year"], num_partitions=num_partitions)
+        .aggregate(Sum("cents", alias_name="rev_cents"), Count(alias_name="n_items"))
+    )
+    # driver fold: the aggregate is bounded by 2 nation pairs x ship years —
+    # folding it keeps the output schema typed even when zero pairs exist
+    # (an empty grouped Dataset drops its schema through a final map stage)
+    from dynaalign_ray.joins import collect_arrow
+
+    b = collect_arrow(agg)
+    sn = np.asarray(b.column("supp_nat")) if b.num_rows else np.array([], dtype=np.int64)
+    cn = np.asarray(b.column("cust_nat")) if b.num_rows else np.array([], dtype=np.int64)
+    rev = (
+        np.asarray(b.column("rev_cents"), dtype=np.float64)
+        if b.num_rows
+        else np.array([], dtype=np.float64)
+    )
+    return pa.table(
+        {
+            "supp_nation": pa.array([f"NATION_{v}" for v in sn], type=pa.string()),
+            "cust_nation": pa.array([f"NATION_{v}" for v in cn], type=pa.string()),
+            "l_year": pa.array(
+                np.asarray(b.column("l_year"), dtype=np.int64)
+                if b.num_rows
+                else np.array([], dtype=np.int64),
+                type=pa.int64(),
+            ),
+            "revenue": round4(rev / 100.0),
+            "n_items": pa.array(
+                np.asarray(b.column("n_items"), dtype=np.int64)
+                if b.num_rows
+                else np.array([], dtype=np.int64),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def nation_market_share(sf_dir: str, num_partitions: int = 8):
+    """Year-over-year market share (TPC-H Q8 shape): among lineitems sold
+    to customers of region REGION_0 in 1996-1997, the share supplied by
+    NATION_3 per order year.  Both the numerator and the denominator are
+    EXACT integer cent sums, so the share divides two exact int64s —
+    bit-identical doubles on both engines.  Plan: region-0 customers
+    become a broadcast semi-join keyset on orders; supplier nationality is
+    a 0/1 flag from a size-gated dim join; lineitem ⋈ orders is the one
+    fact-fact hash join."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.joins import (
+        broadcast_join,
+        broadcast_semi_join,
+        collect_arrow,
+        dim_join,
+        hash_join,
+    )
+
+    configure_context()
+    target_nat = 3
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    # region-0 customer keyset: customer ⋈ nation (tiny broadcast)
+    nation = collect_arrow(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
+    region0 = nation.filter(
+        pc.equal(nation.column("n_regionkey"), pa.scalar(0, pa.int32()))
+    )
+    r0_nats = set(np.asarray(region0.column("n_nationkey")).tolist())
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        nat = np.asarray(b.column("c_nationkey")).astype(np.int64)
+        keep = np.isin(nat, np.asarray(sorted(r0_nats), dtype=np.int64))
+        return pa.table({"c_custkey": pa.array(np.asarray(b.column("c_custkey"))[keep])})
+
+    cust_keys_tbl = collect_arrow(
+        customer.map_batches(cust_keys, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    orders = broadcast_semi_join(orders, cust_keys_tbl, left_on="o_custkey")
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        year = _year_from_us(np.asarray(b.column("o_orderdate").cast(pa.int64())))
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_year": pa.array(year, type=pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(b.column("l_discount"), dtype=np.float64)
+        x = price * (1.0 - disc) * 100.0
+        cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def supp_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "supp_nat": pc.cast(b.column("s_nationkey"), pa.int64()),
+            }
+        )
+
+    supplier = supplier.map_batches(
+        supp_prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j1 = dim_join(
+        li,
+        supplier,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        fact_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("cents", pa.int64()),
+            ]
+        ),
+        dim_schema=pa.schema([("s_suppkey", pa.int64()), ("supp_nat", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    j2 = hash_join(
+        j1,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("cents", pa.int64()),
+                ("supp_nat", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b.column("cents"), dtype=np.int64)
+        is_t = (
+            np.asarray(b.column("supp_nat"), dtype=np.int64) == target_nat
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_year": b.column("o_year"),
+                "nat_cents": pa.array(cents * is_t, type=pa.int64()),
+                "all_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        j2.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year", num_partitions=num_partitions)
+        .aggregate(
+            Sum("nat_cents", alias_name="nat_cents"),
+            Sum("all_cents", alias_name="all_cents"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nat = np.asarray(b.column("nat_cents"), dtype=np.float64)
+        allc = np.asarray(b.column("all_cents"), dtype=np.float64)
+        return pa.table(
+            {
+                "o_year": b.column("o_year"),
+                "mkt_share": round4(nat / allc),
+                "total_revenue": round4(allc / 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def returned_item_ranking(sf_dir: str, num_partitions: int = 8, k: int = 20):
+    """Returned-revenue customer ranking (TPC-H Q10 shape): top-k customers
+    by revenue from RETURNED lineitems whose order landed in one quarter.
+    Exact cents + (revenue DESC, custkey ASC) total order make the top-k
+    boundary deterministic; the ranking itself is the engine's partial
+    top-k (per-block prune -> bounded driver fold), never a global sort."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.exec import configure_context, partial_topk
+    from dynaalign_ray.joins import broadcast_join, collect_arrow, dim_join, hash_join
+
+    configure_context()
+    lo = np.datetime64("1997-07-01", "us")
+    hi = np.datetime64("1997-10-01", "us")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).drop_columns(["o_orderdate"])
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    )
+
+    def returned_cents(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("l_returnflag"), pa.scalar("R"))
+        t = b.filter(keep)
+        price = np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount"), dtype=np.float64)
+        x = price * (1.0 - disc) * 100.0
+        cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    li = li.map_batches(returned_cents, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(
+        li,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    per_cust = (
+        j.select_columns(["o_custkey", "cents"])
+        .groupby("o_custkey", num_partitions=num_partitions)
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+    )
+    top = partial_topk(
+        per_cust, [("rev_cents", "descending"), ("o_custkey", "ascending")], k
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out = dim_join(
+        top,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        fact_schema=pa.schema([("o_custkey", pa.int64()), ("rev_cents", pa.int64())]),
+        dim_schema=pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_nationkey", pa.int32()),
+            ]
+        ),
+        num_partitions=num_partitions,
+    )
+    nation = collect_arrow(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    out = broadcast_join(
+        out,
+        nation,
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("o_custkey"),
+                "c_name": b.column("c_name"),
+                "revenue": round4(
+                    pc.divide(pc.cast(b.column("rev_cents"), pa.float64()), 100.0)
+                ),
+                "n_name": b.column("n_name"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
