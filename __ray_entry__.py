@@ -148,6 +148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_ranking": r.returned_item_ranking,  # Q10 shape: top-k returned revenue
         "customer_segment_fullouter": r.customer_segment_fullouter,
         "pages_blocklist_filter": w.pages_blocklist_filter,
+        # --- round-4 session-5 additions (oracle-backed; below the driver
+        #     cap — verified in the builder harness, window left stable)
+        "q6_forecast_revenue": r.q6_forecast_revenue,  # Q6 shape: scan-aggregate, exact units
+        "suppliers_kept_waiting": r.suppliers_kept_waiting,  # Q21 shape: sole-late-supplier blame
+        "events_type_cooccur": r.events_type_cooccur,  # bipartite projection pair counts
+        "vocab_edit_pairs": c.vocab_edit_pairs,  # Levenshtein<=2 join, deletion blocking
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2752,6 +2758,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY rev_cents DESC, o_custkey LIMIT 20
+        """,
+        # Q6 shape: the engine sums exact integer "units" (price-cents x
+        # discount-hundredths, both 2-decimal fixed) per block, so the
+        # global sum is order-independent; both sides divide the SAME
+        # integer by 10^4 and round4 — bit-identical.
+        "q6_forecast_revenue": """
+            SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * CAST(round(l_discount * 100) AS BIGINT))
+                         / 10000.0 * 10000) / 10000 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        # Q21 shape: late = shipped > 60 days after order date; a finished
+        # order qualifies when >1 distinct suppliers shipped it and exactly
+        # one was ever late — that supplier takes the blame.  (numwait
+        # DESC, s_name ASC) is a total order, so top-25 is deterministic.
+        "suppliers_kept_waiting": """
+            WITH j AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), per AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS ns,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+                       min(CASE WHEN late THEN l_suppkey END) AS the_supp
+                FROM j GROUP BY 1
+            ), blamed AS (
+                SELECT the_supp AS suppkey, CAST(count(*) AS BIGINT) AS numwait
+                FROM per WHERE ns > 1 AND nl = 1 GROUP BY 1
+            )
+            SELECT s_name, numwait
+            FROM blamed JOIN supplier ON suppkey = s_suppkey
+            ORDER BY numwait DESC, s_name ASC LIMIT 25
+        """,
+        # Bipartite projection: distinct (user, type) edges -> unordered
+        # type pairs weighted by shared-user count; engine emits pairs from
+        # each user's SORTED type run, so type_a < type_b on both sides.
+        "events_type_cooccur": """
+            WITH e AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        # Levenshtein<=2 vocabulary join: engine tokenizes with
+        # str.split() (any-whitespace runs, no empties) — string_split_regex
+        # plus the length>=3 filter matches it exactly; DuckDB levenshtein
+        # is plain (non-Damerau) edit distance, same as the engine DP.
+        "vocab_edit_pairs": """
+            WITH v AS (
+                SELECT DISTINCT w FROM (
+                    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+                    FROM documents
+                ) WHERE length(w) >= 3
+            )
+            SELECT a.w AS w1, b.w AS w2,
+                   CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+            FROM v a JOIN v b ON a.w < b.w
+            WHERE levenshtein(a.w, b.w) <= 2
         """,
         "events_trailing_hour": """
             SELECT event_id, user_id,

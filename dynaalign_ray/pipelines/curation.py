@@ -4143,3 +4143,129 @@ def embedding_pq_topk(sf_dir: str, k: int = 5, n_queries: int = 5, m: int = 8):
             "vec_id": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def vocab_edit_pairs(
+    sf_dir: str, max_dist: int = 2, min_len: int = 3, num_partitions: int = 8
+):
+    """Edit-distance similarity join over the corpus vocabulary: every
+    unordered pair of distinct tokens (length >= ``min_len``) within
+    Levenshtein distance ``max_dist`` — the spell-candidate /
+    entity-resolution join.  See functions/editdist.py for the
+    recall-completeness proof of the deletion-neighborhood blocking.
+
+    100 TB plan — O(vocab) work after one tokenize pass, never O(vocab^2):
+    1. tokenize -> per-block distinct -> one narrow string groupby gives
+       the global distinct vocabulary (web-scale vocab is millions of
+       rows, tiny next to the corpus);
+    2. each word emits <= 1 + L + C(L, 2) deletion-variant hash keys
+       (d = 2) — constant fan-out per word;
+    3. repartition on the variant key; per-block bucket pairing emits
+       candidate pairs (bucket members share a variant; bucket size is
+       bounded by the variants' preimage count, a language constant —
+       no pair cap is applied, so recall stays 1.0 by construction);
+    4. one (w1, w2) groupby dedupes pairs that share several variants;
+    5. the exact batched Levenshtein DP verifies, keeping dist <= d.
+    """
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.functions.editdist import deletion_variants, levenshtein_batch
+    from dynaalign_ray.hashing import hash_strings, to_id63
+
+    def distinct_words(batch: pa.Table) -> pa.Table:
+        words: set[str] = set()
+        for text in batch.column("text").to_pylist():
+            for w in text.split():
+                if len(w) >= min_len:
+                    words.add(w)
+        return pa.table({"word": pa.array(sorted(words), type=pa.string())})
+
+    vocab = (
+        _docs(sf_dir, ["text"])
+        .map_batches(distinct_words, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["word"])
+    )
+
+    def emit_variants(batch: pa.Table) -> pa.Table:
+        out_w: list[str] = []
+        out_v: list[str] = []
+        for w in batch.column("word").to_pylist():
+            for v in deletion_variants(w, max_dist):
+                out_w.append(w)
+                out_v.append(v)
+        vkey = to_id63(hash_strings(out_v))
+        return pa.table(
+            {
+                "vkey": pa.array(vkey, type=pa.int64()),
+                "word": pa.array(out_w, type=pa.string()),
+            }
+        )
+
+    variants = vocab.map_batches(
+        emit_variants, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.schema([("w1", pa.string()), ("w2", pa.string())]).empty_table()
+        if b.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            b, sort_keys=[("vkey", "ascending"), ("word", "ascending")]
+        )
+        t = b.take(order)
+        vk = np.asarray(t.column("vkey"), dtype=np.int64)
+        words = t.column("word").to_pylist()
+        out1: list[str] = []
+        out2: list[str] = []
+        start = 0
+        n = len(vk)
+        for i in range(1, n + 1):
+            if i == n or vk[i] != vk[start]:
+                run = words[start:i]
+                # words are sorted within the bucket, so w1 < w2 holds and
+                # duplicates (same word via two variant paths) are adjacent
+                for x in range(len(run)):
+                    for y in range(x + 1, len(run)):
+                        if run[x] != run[y]:
+                            out1.append(run[x])
+                            out2.append(run[y])
+                start = i
+        if not out1:
+            return empty
+        return pa.table(
+            {
+                "w1": pa.array(out1, type=pa.string()),
+                "w2": pa.array(out2, type=pa.string()),
+            }
+        )
+
+    candidates = (
+        variants.repartition(num_blocks=num_partitions, keys=["vkey"])
+        .map_batches(
+            bucket_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["w1", "w2"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["w1", "w2"])
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("w1", pa.string()), ("w2", pa.string()), ("dist", pa.int64())]
+            ).empty_table()
+        w1 = b.column("w1").to_pylist()
+        w2 = b.column("w2").to_pylist()
+        dist = levenshtein_batch(w1, w2)
+        keep = dist <= max_dist
+        return pa.table(
+            {
+                "w1": b.column("w1").filter(pa.array(keep)),
+                "w2": b.column("w2").filter(pa.array(keep)),
+                "dist": pa.array(dist[keep], type=pa.int64()),
+            }
+        )
+
+    return candidates.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

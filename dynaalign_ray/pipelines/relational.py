@@ -2977,3 +2977,250 @@ def returned_item_ranking(sf_dir: str, num_partitions: int = 8, k: int = 20):
         )
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """Single-filter scan aggregate (TPC-H Q6 shape): forecast-revenue
+    change from one year of lineitems in a discount band below a quantity
+    cap.  The date range is pushed into the parquet read (row-group
+    pruning), the discount/quantity band is one vectorized batch filter,
+    and each block emits ONE partial-sums row — the driver combines
+    block-count rows into the single-row answer, so nothing wide ever
+    shuffles.  Revenue is summed in exact integer hundredths-of-a-cent
+    (price has 2 decimals, discount 2 decimals -> price*100 * disc*100 is
+    integral), so the sum is order-independent and the final division is
+    bit-identical to the oracle's DECIMAL sum."""
+    import pyarrow.dataset as pads
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.asarray(b.column("l_quantity"), dtype=np.float64)
+        disc = np.asarray(b.column("l_discount"), dtype=np.float64)
+        price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        keep = (disc >= 0.02) & (disc <= 0.06) & (qty < 24.0)
+        # exact integer units: cents * discount-hundredths (both 2-decimal)
+        units = np.rint(price[keep] * 100.0).astype(np.int64) * np.rint(
+            disc[keep] * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "rev_units": pa.array([int(units.sum())], type=pa.int64()),
+                "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from dynaalign_ray.joins import collect_arrow
+
+    t = collect_arrow(parts)  # block-count rows: two int64s per block
+    units = int(np.asarray(t.column("rev_units"), dtype=np.int64).sum())
+    n = int(np.asarray(t.column("n_items"), dtype=np.int64).sum())
+    return pa.table(
+        {
+            # units are price_cents * disc_hundredths = revenue * 10^4
+            "revenue": round4(np.array([units / 10_000.0])),
+            "n_items": pa.array([n], type=pa.int64()),
+        }
+    )
+
+
+def suppliers_kept_waiting(sf_dir: str, num_partitions: int = 8, k: int = 25):
+    """Double-correlated EXISTS / NOT EXISTS (TPC-H Q21 shape, adapted to
+    this schema): suppliers who were the SOLE late supplier on a finished
+    multi-supplier order (late = shipped more than 60 days after the order
+    date).  Decorrelation: after the one fact-fact orderkey join (status
+    filter pushed to the orders read), a keyed repartition co-locates each
+    order's lineitems and a per-block Arrow pass reduces every order to
+    (n_distinct_suppliers, n_distinct_late_suppliers, the_late_supplier) —
+    the EXISTS ("another supplier shipped") and NOT EXISTS ("no OTHER
+    supplier was late") collapse to ns > 1 AND nl == 1.  Per-supplier
+    blame counts then aggregate over one narrow int column, the supplier
+    name rides the size-gated dim join, and the final top-k is the
+    per-block partial pattern (numwait DESC, s_name ASC — a total order)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.exec import configure_context, partial_topk
+    from dynaalign_ray.joins import dim_join, hash_join
+
+    configure_context()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+        filter=pads.field("o_orderstatus") == "F",
+    )
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "orderdate_us": b.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "ship_us": b.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("ship_us", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("orderdate_us", pa.int64())]),
+        num_partitions=num_partitions,
+    )
+    sixty_days_us = 60 * 86_400 * 1_000_000
+
+    def blame_block(b: pa.Table) -> pa.Table:
+        """Rows for an orderkey are co-located; emit the sole-late supplier
+        of each qualifying order."""
+        if b.num_rows == 0:
+            return pa.schema([("l_suppkey", pa.int64())]).empty_table()
+        late = pc.greater(
+            b.column("ship_us"),
+            pc.add(b.column("orderdate_us"), pa.scalar(sixty_days_us, type=pa.int64())),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "late": pc.cast(late, pa.int8()),
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("l_orderkey", "ascending"), ("l_suppkey", "ascending")]
+        )
+        t = t.take(order)
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        lt = np.asarray(t.column("late"), dtype=np.int8).astype(bool)
+        # distinct (order, supplier) runs after the lexsort
+        first_pair = np.empty(len(ok), dtype=bool)
+        first_pair[0] = True
+        first_pair[1:] = (np.diff(ok) != 0) | (np.diff(sk) != 0)
+        # per-(order,supplier): any late lineitem?  segment-or via maximum.at
+        pair_idx = np.cumsum(first_pair) - 1
+        n_pairs = int(pair_idx[-1]) + 1
+        pair_late = np.zeros(n_pairs, dtype=bool)
+        np.logical_or.at(pair_late, pair_idx, lt)
+        pair_order = ok[first_pair]
+        pair_supp = sk[first_pair]
+        # per-order: distinct-supplier count and late-supplier count
+        first_ord = np.empty(n_pairs, dtype=bool)
+        first_ord[0] = True
+        first_ord[1:] = np.diff(pair_order) != 0
+        ord_idx = np.cumsum(first_ord) - 1
+        n_ord = int(ord_idx[-1]) + 1
+        ns = np.zeros(n_ord, dtype=np.int64)
+        np.add.at(ns, ord_idx, 1)
+        nl = np.zeros(n_ord, dtype=np.int64)
+        np.add.at(nl, ord_idx, pair_late.astype(np.int64))
+        qualify = (ns > 1) & (nl == 1)
+        # the sole late supplier of each qualifying order
+        take_pair = qualify[ord_idx] & pair_late
+        return pa.table({"l_suppkey": pa.array(pair_supp[take_pair], type=pa.int64())})
+
+    blamed = j.repartition(num_blocks=num_partitions, keys=["l_orderkey"]).map_batches(
+        blame_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = blamed.groupby("l_suppkey", num_partitions=num_partitions).aggregate(
+        Count(alias_name="numwait")
+    )
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    named = dim_join(
+        counts,
+        supplier,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        fact_schema=pa.schema([("l_suppkey", pa.int64()), ("numwait", pa.int64())]),
+        dim_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+        num_partitions=num_partitions,
+    ).select_columns(["s_name", "numwait"])
+    return partial_topk(named, [("numwait", "descending"), ("s_name", "ascending")], k)
+
+
+def events_type_cooccur(sf_dir: str, num_partitions: int = 8):
+    """Co-engagement pairs: for every unordered pair of event types, how
+    many distinct users triggered BOTH.  The bipartite-projection shape
+    (user x type -> type x type) that powers collaborative filtering and
+    feature co-occurrence.  Plan: one groupby gives the distinct
+    (user, type) edge set; a keyed repartition co-locates each user's
+    types; each user emits C(t, 2) pairs where t <= |distinct types| (a
+    small constant per user — the projection is bounded, never quadratic
+    in users); one final narrow groupby counts.  Mirrors the bounded
+    C(W,2)/block shuffle argument of doc_cooccurrence."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    edges = ev.groupby(["user_id", "event_type"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="_n")
+    )
+
+    def pairs_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema([("type_a", pa.string()), ("type_b", pa.string())]).empty_table()
+        if b.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            b, sort_keys=[("user_id", "ascending"), ("event_type", "ascending")]
+        )
+        t = b.take(order)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        types = t.column("event_type").to_pylist()
+        out_a: list[str] = []
+        out_b: list[str] = []
+        start = 0
+        n = len(uid)
+        # per-user runs are short (|event types| is small); the pair loop is
+        # over type pairs, not rows
+        for i in range(1, n + 1):
+            if i == n or uid[i] != uid[start]:
+                run = types[start:i]
+                for x in range(len(run)):
+                    for y in range(x + 1, len(run)):
+                        out_a.append(run[x])
+                        out_b.append(run[y])
+                start = i
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "type_a": pa.array(out_a, type=pa.string()),
+                "type_b": pa.array(out_b, type=pa.string()),
+            }
+        )
+
+    pairs = edges.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        pairs_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pairs.groupby(["type_a", "type_b"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_users")
+    )
