@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_kept_waiting": r.suppliers_kept_waiting,  # Q21 shape: sole-late-supplier blame
         "events_type_cooccur": r.events_type_cooccur,  # bipartite projection pair counts
         "vocab_edit_pairs": c.vocab_edit_pairs,  # Levenshtein<=2 join, deletion blocking
+        "events_time_weighted_value": r.events_time_weighted_value,  # LEAD-gap weighted mean
+        "user_event_paths": r.user_event_paths,  # ordered string_agg sequence assembly
+        "active_user_set_ops": r.active_user_set_ops,  # INTERSECT/EXCEPT/UNION counts
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2824,6 +2827,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Time-weighted mean: per-user int64 sufficient stats
+        # (value-cents x gap-us; per-user bound cents_max * history_span_us
+        # < 2^63 — documented in the pipeline docstring); both sides divide
+        # the SAME exact integers in the same order, so doubles match.
+        "events_time_weighted_value": """
+            WITH g AS (
+                SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+                       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                           - epoch_us(ts) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   round((CAST(sum(c * gap) AS DOUBLE)
+                          / CAST(sum(gap) AS DOUBLE)) / 100.0 * 10000) / 10000
+                       AS tw_avg_value,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id
+        """,
+        # Ordered string_agg: (ts, event_id) is a total order per user, so
+        # the first-10 path is deterministic on both sides.
+        "user_event_paths": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n_events
+                FROM events
+            )
+            SELECT user_id,
+                   string_agg(CASE WHEN rn <= 10 THEN event_type END,
+                              '>' ORDER BY rn) AS path,
+                   CAST(any_value(n_events) AS BIGINT) AS n_events
+            FROM ranked GROUP BY user_id
+        """,
+        # Set algebra between two event types' distinct user sets; the
+        # engine reduces to per-user 0/1 membership flags (conditional Max)
+        # and folds block-partial counts — sets never materialize.
+        "active_user_set_ops": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'error')
+            SELECT
+              (SELECT count(*) FROM a JOIN b USING (user_id)) AS n_both,
+              (SELECT count(*) FROM a WHERE user_id NOT IN
+                   (SELECT user_id FROM b)) AS n_a_only,
+              (SELECT count(*) FROM b WHERE user_id NOT IN
+                   (SELECT user_id FROM a)) AS n_b_only,
+              (SELECT count(*) FROM (SELECT user_id FROM a
+                                     UNION SELECT user_id FROM b)) AS n_either
         """,
         "events_trailing_hour": """
             SELECT event_id, user_id,

@@ -3224,3 +3224,202 @@ def events_type_cooccur(sf_dir: str, num_partitions: int = 8):
     return pairs.groupby(["type_a", "type_b"], num_partitions=num_partitions).aggregate(
         Count(alias_name="n_users")
     )
+
+
+def events_time_weighted_value(sf_dir: str, num_partitions: int = 8):
+    """Per-user TIME-WEIGHTED average value: each event's value is weighted
+    by how long it was "current" (the gap to the user's next event) — the
+    LEAD-window shape used for time-in-state metrics.  One keyed
+    repartition co-locates a user's events; a per-block lexsort on
+    (user, ts, event_id) gives deltas vectorized across the whole block.
+    Sufficient stats are exact int64s (value-cents x gap-microseconds,
+    bounded well under 2^63 at any per-user history the schema can hold),
+    so the final division is bit-identical to the oracle's."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def tw_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("tw_avg_value", pa.float64()),
+                ("n_gaps", pa.int64()),
+            ]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        n = len(uid)
+        if n < 2:
+            return empty
+        same_user = uid[1:] == uid[:-1]
+        gap = ts[1:] - ts[:-1]  # valid where same_user
+        w = cents[:-1]
+        # segment sums per user over the same-user positions
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = ~same_user
+        seg = np.cumsum(first) - 1
+        n_seg = int(seg[-1]) + 1
+        wsum = np.zeros(n_seg, dtype=np.int64)
+        gsum = np.zeros(n_seg, dtype=np.int64)
+        cnt = np.zeros(n_seg, dtype=np.int64)
+        valid = same_user
+        idx = seg[:-1][valid]
+        np.add.at(wsum, idx, w[valid] * gap[valid])
+        np.add.at(gsum, idx, gap[valid])
+        np.add.at(cnt, idx, 1)
+        users = uid[first]
+        keep = cnt > 0
+        # identical int64s divide on both sides -> bit-identical doubles
+        avg = round4(
+            wsum[keep].astype(np.float64) / gsum[keep].astype(np.float64) / 100.0
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(users[keep], type=pa.int64()),
+                "tw_avg_value": avg,
+                "n_gaps": pa.array(cnt[keep], type=pa.int64()),
+            }
+        )
+
+    return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        tw_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def user_event_paths(sf_dir: str, limit: int = 10, num_partitions: int = 8):
+    """Ordered sequence assembly (string_agg ORDER BY shape): each user's
+    first ``limit`` event types, in (ts, event_id) order, joined with
+    '>' — the clickstream-path feature.  Keyed repartition + one
+    per-block lexsort; the per-user string join touches at most ``limit``
+    elements, so output rows are O(users) and bounded-width."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def path_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("path", pa.string()),
+                ("n_events", pa.int64()),
+            ]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        types = t.column("event_type").to_pylist()
+        users: list[int] = []
+        paths: list[str] = []
+        counts: list[int] = []
+        start = 0
+        n = len(uid)
+        for i in range(1, n + 1):
+            if i == n or uid[i] != uid[start]:
+                users.append(int(uid[start]))
+                paths.append(">".join(types[start : min(i, start + limit)]))
+                counts.append(i - start)
+                start = i
+        return pa.table(
+            {
+                "user_id": pa.array(users, type=pa.int64()),
+                "path": pa.array(paths, type=pa.string()),
+                "n_events": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        path_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def active_user_set_ops(
+    sf_dir: str, type_a: str = "purchase", type_b: str = "error", num_partitions: int = 8
+):
+    """Distinct-set algebra (INTERSECT / EXCEPT / UNION shape) between the
+    user sets of two event types, reported as one row of four counts.
+    Plan: one filtered groupby reduces events to per-user membership
+    flags (conditional Max over 0/1 — the distinct sets never
+    materialize); each block then emits ONE partial-counts row and the
+    driver folds block-count scalars."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        is_a = pc.cast(pc.equal(b.column("event_type"), pa.scalar(type_a)), pa.int64())
+        is_b = pc.cast(pc.equal(b.column("event_type"), pa.scalar(type_b)), pa.int64())
+        keep = pc.or_(pc.equal(is_a, 1), pc.equal(is_b, 1))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "in_a": is_a,
+                "in_b": is_b,
+            }
+        ).filter(keep)
+
+    per_user = (
+        ev.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id", num_partitions=num_partitions)
+        .aggregate(Max("in_a", alias_name="a"), Max("in_b", alias_name="b"))
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        return pa.table(
+            {
+                "n_both": pa.array([int(((a == 1) & (bb == 1)).sum())], pa.int64()),
+                "n_a_only": pa.array([int(((a == 1) & (bb == 0)).sum())], pa.int64()),
+                "n_b_only": pa.array([int(((a == 0) & (bb == 1)).sum())], pa.int64()),
+                "n_either": pa.array([len(a)], pa.int64()),
+            }
+        )
+
+    from dynaalign_ray.joins import collect_arrow
+
+    t = collect_arrow(
+        per_user.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out = {
+        c: pa.array([int(np.asarray(t.column(c), dtype=np.int64).sum())], pa.int64())
+        for c in ["n_both", "n_a_only", "n_b_only", "n_either"]
+    }
+    return pa.table(out)

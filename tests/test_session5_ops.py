@@ -1,0 +1,141 @@
+"""Known-answer tests for the session-5 event operators: time-weighted
+value (LEAD-gap weighting), ordered path assembly, and distinct-set
+algebra — each on a hand-computable fixture, plus a randomized
+brute-force parity check for the time-weighted kernel."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, rows):
+    ts, uid, etype, value = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64(t, "us").astype("datetime64[us]") for t in ts],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(etype, pa.string()),
+                "value": pa.array(value, pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+
+
+class TestTimeWeightedValue:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_time_weighted_value
+
+        # user 1: value 1.00 held 10 s, value 3.00 held 30 s -> (100*10 +
+        # 300*30)/40/100 = 2.50; user 2: single event -> no gaps, no row
+        _write_events(
+            tmp_path,
+            [
+                ("2024-01-01T00:00:00", 1, "a", 1.00),
+                ("2024-01-01T00:00:10", 1, "a", 3.00),
+                ("2024-01-01T00:00:40", 1, "a", 9.99),
+                ("2024-01-01T00:00:00", 2, "a", 5.00),
+            ],
+        )
+        got = events_time_weighted_value(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        assert row["user_id"] == 1
+        assert row["tw_avg_value"] == 2.5
+        assert row["n_gaps"] == 2
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_time_weighted_value
+
+        rng = np.random.default_rng(7)
+        rows = []
+        t0 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+        for _ in range(200):
+            uid = int(rng.integers(1, 9))
+            ts_us = int(t0 + rng.integers(0, 3_600_000_000))
+            rows.append(
+                (
+                    np.datetime64(ts_us, "us").astype(str),
+                    uid,
+                    "a",
+                    round(float(rng.uniform(0, 100)), 2),
+                )
+            )
+        _write_events(tmp_path, rows)
+        got = (
+            events_time_weighted_value(str(tmp_path))
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        # brute force: per user sort by (ts, event_id), int64 stats
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "ts": [np.datetime64(r[0], "us").astype(np.int64) for r in rows],
+                "uid": [r[1] for r in rows],
+                "cents": [int(round(r[3] * 100)) for r in rows],
+                "eid": range(len(rows)),
+            }
+        ).sort_values(["uid", "ts", "eid"])
+        for uid, g in df.groupby("uid"):
+            if len(g) < 2:
+                assert uid not in got.index
+                continue
+            gaps = np.diff(g["ts"].to_numpy())
+            w = g["cents"].to_numpy()[:-1]
+            want = float(int((w * gaps).sum()) / int(gaps.sum()) / 100.0)
+            want = np.sign(want * 1e4) * np.floor(abs(want * 1e4) + 0.5) / 1e4
+            assert got.loc[uid, "tw_avg_value"] == want
+            assert got.loc[uid, "n_gaps"] == len(gaps)
+
+
+class TestUserEventPaths:
+    def test_order_and_truncation(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import user_event_paths
+
+        rows = [("2024-01-01T00:00:%02d" % i, 1, f"t{i}", 0.0) for i in range(12)]
+        rows += [("2024-01-01T00:00:05", 2, "solo", 0.0)]
+        _write_events(tmp_path, rows)
+        got = user_event_paths(str(tmp_path)).to_pandas().set_index("user_id")
+        assert got.loc[1, "path"] == ">".join(f"t{i}" for i in range(10))
+        assert got.loc[1, "n_events"] == 12
+        assert got.loc[2, "path"] == "solo"
+        assert got.loc[2, "n_events"] == 1
+
+    def test_tie_breaks_on_event_id(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import user_event_paths
+
+        # same timestamp: event_id (insertion index) breaks the tie
+        rows = [("2024-01-01T00:00:00", 1, t, 0.0) for t in ["b", "a", "c"]]
+        _write_events(tmp_path, rows)
+        got = user_event_paths(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["path"] == "b>a>c"
+
+
+class TestSetOps:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import active_user_set_ops
+
+        rows = [
+            ("2024-01-01T00:00:00", 1, "purchase", 0.0),
+            ("2024-01-01T00:00:01", 1, "error", 0.0),
+            ("2024-01-01T00:00:02", 2, "purchase", 0.0),
+            ("2024-01-01T00:00:03", 3, "error", 0.0),
+            ("2024-01-01T00:00:04", 3, "error", 0.0),
+            ("2024-01-01T00:00:05", 4, "view", 0.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = active_user_set_ops(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_both"] == 1  # user 1
+        assert got["n_a_only"] == 1  # user 2
+        assert got["n_b_only"] == 1  # user 3
+        assert got["n_either"] == 3
