@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_weighted_value": r.events_time_weighted_value,  # LEAD-gap weighted mean
         "user_event_paths": r.user_event_paths,  # ordered string_agg sequence assembly
         "active_user_set_ops": r.active_user_set_ops,  # INTERSECT/EXCEPT/UNION counts
+        "lineitem_qty_discount_corr": r.lineitem_qty_discount_corr,  # grouped Pearson, exact int stats
+        "events_dau_wau": r.events_dau_wau,  # sliding-window distinct users (DAU/WAU)
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2827,6 +2829,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Grouped Pearson r from exact int64 sufficient statistics
+        # (quantity integral, discount x100 integral); the final float
+        # tree is mirrored operation-for-operation, every int < 2^53.
+        "lineitem_qty_discount_corr": """
+            WITH v AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x*y) AS BIGINT) AS sxy,
+                       CAST(sum(x*x) AS BIGINT) AS sxx,
+                       CAST(sum(y*y) AS BIGINT) AS syy
+                FROM v GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   round(CASE WHEN (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                                    * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) > 0
+                        THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                             / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                                * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                                       - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                        ELSE 0.0 END * 10000) / 10000 AS corr_qd
+            FROM s
+        """,
+        # Sliding-window DISTINCT (DAU / trailing-7-day WAU): the engine
+        # fans each distinct (day, user) pair out to its 7 observation
+        # days and re-distincts — equivalent to the range self-join here.
+        # Integer day buckets via floor division (ts >= epoch in testdata).
+        "events_dau_wau": """
+            WITH du AS (
+                SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day, user_id
+                FROM events
+            ), dau AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+            ), wau AS (
+                SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+                FROM (SELECT DISTINCT day FROM du) d
+                JOIN du e ON e.day BETWEEN d.day - 6 AND d.day
+                GROUP BY d.day
+            )
+            SELECT day, dau, wau,
+                   round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)
+                         * 10000) / 10000 AS stickiness
+            FROM dau JOIN wau USING (day)
         """,
         # Time-weighted mean: per-user int64 sufficient stats
         # (value-cents x gap-us; per-user bound cents_max * history_span_us

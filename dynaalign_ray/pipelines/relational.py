@@ -3423,3 +3423,156 @@ def active_user_set_ops(
         for c in ["n_both", "n_a_only", "n_b_only", "n_either"]
     }
     return pa.table(out)
+
+
+def lineitem_qty_discount_corr(sf_dir: str, num_partitions: int = 8):
+    """Grouped Pearson correlation (quantity vs discount per returnflag)
+    from EXACT integer sufficient statistics: both variables are
+    fixed-decimal (quantity integral, discount 2-decimal -> x100), so the
+    six per-group sums (n, Sx, Sy, Sxy, Sxx, Syy) accumulate as exact
+    int64s inside one block-partial pass + one tiny groupby — correlation
+    never sees raw rows twice and no float is summed distributively.
+    The final r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy -
+    Sy^2)) evaluates ONE fixed float tree over int64s below 2^53 (bound
+    documented: group_rows * max_x * max_y * n < 2^53 at any realistic
+    group), mirrored verbatim in the oracle — bit-identical doubles."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = np.asarray(b.column("l_quantity"), dtype=np.float64).astype(np.int64)
+        y = np.rint(np.asarray(b.column("l_discount"), dtype=np.float64) * 100.0).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+        # per-block pre-aggregation: the shuffle carries one row per
+        # (block, returnflag)
+        return t.group_by(["l_returnflag"]).aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]]
+        ).rename_columns(["l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    agg = (
+        li.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag", num_partitions=num_partitions)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n"), dtype=np.float64)
+        sx = np.asarray(b.column("sx"), dtype=np.float64)
+        sy = np.asarray(b.column("sy"), dtype=np.float64)
+        sxy = np.asarray(b.column("sxy"), dtype=np.float64)
+        sxx = np.asarray(b.column("sxx"), dtype=np.float64)
+        syy = np.asarray(b.column("syy"), dtype=np.float64)
+        num = n * sxy - sx * sy
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        r = np.where(den > 0.0, num / np.where(den > 0.0, den, 1.0), 0.0)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "n": b.column("n"),
+                "corr_qd": round4(r),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_dau_wau(sf_dir: str, num_partitions: int = 8):
+    """DAU / trailing-7-day WAU (the operational stickiness metric) — a
+    SLIDING-WINDOW DISTINCT count, which no plain window aggregate can
+    express: a user active on day d is WAU-active on days d..d+6.  Plan:
+    one groupby gives the distinct (day, user) pairs; each pair re-emits
+    itself at the 7 observation days it covers (constant fan-out); a
+    second distinct-groupby collapses users seen on several days inside
+    one window; per-day counts then join driver-side (the day table is
+    tiny — days, not rows).  Only days with >= 1 event are reported.
+    Exact integers; the ratio divides identical doubles on both sides."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    day_us = 86_400_000_000
+
+    def to_day(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("ts").cast(pa.int64()), dtype=np.int64)
+        return pa.table(
+            {
+                "day": pa.array(ts // day_us, type=pa.int64()),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    du = (
+        ev.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "user_id"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["day", "user_id"])
+    )
+    dau = du.groupby("day", num_partitions=num_partitions).aggregate(
+        Count(alias_name="dau")
+    )
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        day = np.asarray(b.column("day"), dtype=np.int64)
+        uid = np.asarray(b.column("user_id"), dtype=np.int64)
+        obs = (day[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        return pa.table(
+            {
+                "obs_day": pa.array(obs, type=pa.int64()),
+                "user_id": pa.array(np.repeat(uid, 7), type=pa.int64()),
+            }
+        )
+
+    wau = (
+        du.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["obs_day", "user_id"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .groupby("obs_day", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="wau"))
+    )
+    from dynaalign_ray.joins import collect_arrow
+
+    # day-grain tables: rows == #days, a driver-side merge is O(days)
+    dau_t = collect_arrow(dau)
+    wau_t = collect_arrow(wau)
+    dau_map = dict(
+        zip(
+            np.asarray(dau_t.column("day"), dtype=np.int64).tolist(),
+            np.asarray(dau_t.column("dau"), dtype=np.int64).tolist(),
+        )
+    )
+    wau_map = dict(
+        zip(
+            np.asarray(wau_t.column("obs_day"), dtype=np.int64).tolist(),
+            np.asarray(wau_t.column("wau"), dtype=np.int64).tolist(),
+        )
+    )
+    days = sorted(dau_map)  # only days that actually have events
+    d = np.array([dau_map[k] for k in days], dtype=np.float64)
+    w = np.array([wau_map[k] for k in days], dtype=np.float64)
+    return pa.table(
+        {
+            "day": pa.array(days, type=pa.int64()),
+            "dau": pa.array([dau_map[k] for k in days], type=pa.int64()),
+            "wau": pa.array([wau_map[k] for k in days], type=pa.int64()),
+            "stickiness": round4(d / w),
+        }
+    )

@@ -139,3 +139,77 @@ class TestSetOps:
         assert got["n_a_only"] == 1  # user 2
         assert got["n_b_only"] == 1  # user 3
         assert got["n_either"] == 3
+
+
+class TestGroupedCorrelation:
+    def test_matches_numpy(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import lineitem_qty_discount_corr
+
+        rng = np.random.default_rng(3)
+        n = 500
+        qty = rng.integers(1, 50, n).astype(np.float64)
+        # correlated discount for flag A, independent for flag B
+        flag = np.where(rng.random(n) < 0.5, "A", "B")
+        disc = np.where(
+            flag == "A", np.clip(qty / 500.0, 0, 0.1), rng.integers(0, 11, n) / 100.0
+        )
+        disc = np.round(disc, 2)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(flag.tolist()),
+                    "l_quantity": pa.array(qty, pa.float64()),
+                    "l_discount": pa.array(disc, pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        got = (
+            lineitem_qty_discount_corr(str(tmp_path))
+            .to_pandas()
+            .set_index("l_returnflag")
+        )
+        for f in ["A", "B"]:
+            m = flag == f
+            want = np.corrcoef(qty[m], np.round(disc[m] * 100))[0, 1]
+            assert abs(got.loc[f, "corr_qd"] - want) < 5e-4
+            assert got.loc[f, "n"] == int(m.sum())
+
+    def test_zero_variance_group(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import lineitem_qty_discount_corr
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(["Z"] * 4),
+                    "l_quantity": pa.array([5.0] * 4, pa.float64()),
+                    "l_discount": pa.array([0.01, 0.02, 0.03, 0.04], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        got = lineitem_qty_discount_corr(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["corr_qd"] == 0.0  # guarded, not NaN
+
+
+class TestDauWau:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_dau_wau
+
+        # day 0: users {1,2}; day 3: {2}; day 8: {3}
+        rows = [
+            ("1970-01-01T05:00:00", 1, "a", 0.0),
+            ("1970-01-01T06:00:00", 2, "a", 0.0),
+            ("1970-01-01T07:00:00", 2, "a", 0.0),
+            ("1970-01-04T01:00:00", 2, "a", 0.0),
+            ("1970-01-09T01:00:00", 3, "a", 0.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = events_dau_wau(str(tmp_path)).to_pandas().set_index("day")
+        assert list(got.index) == [0, 3, 8]
+        assert got.loc[0, "dau"] == 2 and got.loc[0, "wau"] == 2
+        # day 3 window covers days -3..3 -> users {1,2}
+        assert got.loc[3, "dau"] == 1 and got.loc[3, "wau"] == 2
+        # day 8 window covers 2..8 -> users {2,3}
+        assert got.loc[8, "dau"] == 1 and got.loc[8, "wau"] == 2
+        assert got.loc[8, "stickiness"] == 0.5
