@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_user_set_ops": r.active_user_set_ops,  # INTERSECT/EXCEPT/UNION counts
         "lineitem_qty_discount_corr": r.lineitem_qty_discount_corr,  # grouped Pearson, exact int stats
         "events_dau_wau": r.events_dau_wau,  # sliding-window distinct users (DAU/WAU)
+        "doc_bfs_depths": c.doc_bfs_depths,  # multi-source BFS over the dedup graph
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -777,6 +778,70 @@ def _pagerank_oracle(rounds: int = 10) -> str:
     return "".join(parts)
 
 
+def _bfs_oracle(rounds: int = 12, seed_mod: int = 10) -> str:
+    """Engine's multi-source BFS (pipelines/curation.bfs_depths_from_edges)
+    unrolled: v_{r+1} adds the depth-r frontier's unvisited neighbours at
+    depth r+1.  Same tau-Jaccard edge CTE as the k-core/PageRank oracles;
+    exact as long as the BFS exhausts within ``rounds`` — the engine
+    raises past the same bound."""
+    parts = [
+        """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e0 AS MATERIALIZED (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM e0
+                UNION ALL SELECT b AS src, a AS dst FROM e0
+            ),
+        """
+        + f"""
+            v0 AS MATERIALIZED (
+                SELECT DISTINCT src AS node, 0 AS depth FROM sym
+                WHERE src % {seed_mod} = 0
+            )
+        """
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+            , v{r + 1} AS MATERIALIZED (
+                SELECT node, depth FROM v{r}
+                UNION ALL
+                SELECT DISTINCT sym.dst AS node, {r + 1} AS depth
+                FROM sym JOIN v{r} ON v{r}.node = sym.src
+                                  AND v{r}.depth = {r}
+                WHERE sym.dst NOT IN (SELECT node FROM v{r})
+            )
+        """
+        )
+    parts.append(
+        f"""
+            SELECT node AS doc_id, CAST(depth AS BIGINT) AS depth FROM v{rounds}
+        """
+    )
+    return "".join(parts)
+
+
 def _kcore_oracle(rounds: int = 12, k_core: int = 2) -> str:
     """Engine's iterative k-core peel (pipelines/curation.kcore_from_edges)
     unrolled ``rounds`` times: e_{i+1} keeps edges whose BOTH endpoints
@@ -1267,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes JOIN ec USING (cluster_id)
         """,
         "doc_kcore": _kcore_oracle(rounds=12, k_core=2),
+        "doc_bfs_depths": _bfs_oracle(rounds=12, seed_mod=10),
         "doc_pagerank": _pagerank_oracle(rounds=10),
         # Ranked retrieval: exact-integer tf-idf weights
         # w(t) = (N * 10^6) // df(t), score = sum tf * w — integer sums

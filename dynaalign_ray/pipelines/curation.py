@@ -4269,3 +4269,121 @@ def vocab_edit_pairs(
         )
 
     return candidates.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_bfs_depths(
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed_mod: int = 10,
+    max_rounds: int = 12,
+    num_partitions: int = 8,
+):
+    """Multi-source BFS over the exact tau-Jaccard graph: the minimum hop
+    distance from the seed set (doc_id % seed_mod == 0, restricted to
+    docs that have >= 1 edge) to every reachable doc — the
+    traversal/reachability primitive (contamination spread, seed-labelled
+    propagation radius).  Same edge definition as doc_kcore /
+    doc_pagerank; iteration mirrors kcore_from_edges: the oracle unrolls
+    ``max_rounds`` frontier expansions and the engine RAISES if the BFS
+    needs more, so the two sides can never silently diverge."""
+    import functools
+
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    raw = prefix_jaccard_join(sets_ds, threshold, num_partitions, order="value")
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(b.column("a")).astype(np.int64)),
+                "b": pa.array(np.asarray(b.column("b")).astype(np.int64)),
+            }
+        )
+
+    edges = raw.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return bfs_depths_from_edges(edges, seed_mod, max_rounds, num_partitions)
+
+
+def bfs_depths_from_edges(edges, seed_mod: int, max_rounds: int, num_partitions: int = 8):
+    """Frontier-expansion BFS over a canonical (a < b) int64 edge Dataset.
+
+    Per round: ONE broadcast semi-join keeps the symmetric adjacency rows
+    whose src is in the current frontier, one groupby-distinct gives the
+    neighbour set, and the unvisited ones become the next frontier at
+    depth r+1.  Only node-grain sets (frontier, visited) ever reach the
+    driver — bounded by the GRAPH's node count (docs with >= 1 near-dup
+    edge), which is metadata-sized next to the corpus; at 10^9+ node
+    graphs the keyset filter flips to the partitioned hash anti-join
+    exactly as kcore_from_edges documents."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import broadcast_semi_join, collect_arrow
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("depth", pa.int64())])
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "dst": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    sym_ds = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    nodes_t = collect_arrow(
+        sym_ds.groupby("src", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src"])
+    )
+    nodes = np.asarray(nodes_t.column("src"), dtype=np.int64)
+    seeds = nodes[nodes % seed_mod == 0]
+    if len(seeds) == 0:
+        return out_schema.empty_table()
+    depths = [np.sort(seeds)]
+    visited = np.sort(seeds)
+    frontier = seeds
+    for r in range(max_rounds):
+        if len(frontier) == 0:
+            break
+        touched = broadcast_semi_join(
+            sym_ds, pa.table({"src": pa.array(frontier, pa.int64())}), left_on="src"
+        )
+        nbr_t = collect_arrow(
+            touched.groupby("dst", num_partitions=num_partitions)
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["dst"])
+        )
+        nbrs = np.asarray(nbr_t.column("dst"), dtype=np.int64)
+        new = np.setdiff1d(nbrs, visited)  # both sorted-unique: exact set diff
+        if len(new):
+            depths.append(new)
+            visited = np.union1d(visited, new)
+        frontier = new
+    if len(frontier) != 0:
+        raise ValueError(
+            f"BFS did not exhaust within {max_rounds} rounds; raise "
+            "max_rounds (and regenerate the unrolled SQL oracle to match)"
+        )
+    doc_ids = np.concatenate(depths)
+    dvals = np.concatenate(
+        [np.full(len(d), i, dtype=np.int64) for i, d in enumerate(depths)]
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "depth": pa.array(dvals, pa.int64()),
+        },
+        schema=out_schema,
+    )

@@ -197,3 +197,81 @@ def test_pagerank_mass_is_conserved_up_to_floor(ray_session):
     total = sum(pr.values())
     assert total <= 10**12
     assert total >= 10**12 - 10 * (3 * len(pr) + 200)
+
+
+# ---------------------------------------------------------------- BFS depths
+
+
+def _run_bfs(edges, seed_mod, num_partitions=4, max_rounds=12):
+    import ray.data as rd
+
+    from dynaalign_ray.pipelines.curation import bfs_depths_from_edges
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    edges_ds = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    out = bfs_depths_from_edges(edges_ds, seed_mod, max_rounds, num_partitions)
+    return {r["doc_id"]: r["depth"] for r in out.to_pylist()}
+
+
+def _brute_bfs(edges, seed_mod):
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(n for n in adj if n % seed_mod == 0)
+    depth = {s: 0 for s in seeds}
+    frontier = seeds
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in depth:
+                    depth[m] = d
+                    nxt.append(m)
+        frontier = nxt
+    return depth
+
+
+class TestBfsDepths:
+    def test_path_graph_depths(self, ray_session):
+        # path 10-11-12-13-14: seed 10 (mod 10) -> depths 0..4
+        edges = [(10, 11), (11, 12), (12, 13), (13, 14)]
+        got = _run_bfs(edges, 10)
+        assert got == {10: 0, 11: 1, 12: 2, 13: 3, 14: 4}
+
+    def test_unreachable_component_excluded(self, ray_session):
+        edges = [(10, 11), (21, 22)]  # second component has no seed
+        got = _run_bfs(edges, 10)
+        assert got == {10: 0, 11: 1}
+
+    def test_min_depth_wins_on_multiple_seeds(self, ray_session):
+        # node 15 is 1 hop from seed 20, 5 hops from seed 10 -> depth 1
+        edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 20)]
+        got = _run_bfs(edges, 10)
+        assert got[15] == 1
+        assert got[14] == 2
+
+    def test_random_graph_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(11)
+        ids = list(range(200, 260))
+        edges = [
+            (a, b) for a, b in itertools.combinations(ids, 2) if rng.random() < 0.05
+        ]
+        assert len(edges) > 40
+        assert _run_bfs(edges, 10) == _brute_bfs(edges, 10)
+
+    def test_no_seeds_empty(self, ray_session):
+        got = _run_bfs([(11, 12)], 10)
+        assert got == {}
+
+    def test_raises_past_max_rounds(self, ray_session):
+        edges = [(10, 11), (11, 12), (12, 13)]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="BFS did not exhaust"):
+            _run_bfs(edges, 10, max_rounds=2)
