@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_discount_corr": r.lineitem_qty_discount_corr,  # grouped Pearson, exact int stats
         "events_dau_wau": r.events_dau_wau,  # sliding-window distinct users (DAU/WAU)
         "doc_bfs_depths": c.doc_bfs_depths,  # multi-source BFS over the dedup graph
+        "doc_rank_by_source": c.doc_rank_by_source,  # RANK() with tie-sharing per group
+        "orders_profile": r.orders_profile,  # per-column data-profiling pass
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2895,6 +2897,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # RANK() with tie-sharing (gaps): equal n_chars share a rank, so
+        # tied boundaries return MORE than k rows — rank itself is part of
+        # the compared output.  doc_id never enters the rank, only the
+        # deterministic output set.
+        "doc_rank_by_source": """
+            WITH ranked AS (
+                SELECT source, doc_id, n_chars,
+                       CAST(rank() OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC) AS BIGINT)
+                           AS rnk
+                FROM documents
+            )
+            SELECT source, doc_id, n_chars, rnk FROM ranked WHERE rnk <= 3
+        """,
+        # Data-profiling pass: min/max compare the STRING form on both
+        # sides (ints cast identically), n_distinct excludes nulls on both.
+        "orders_profile": """
+            SELECT 'o_custkey' AS col_name,
+                   count(*) - count(o_custkey) AS n_nulls,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   min(CAST(o_custkey AS VARCHAR)) AS min_val,
+                   max(CAST(o_custkey AS VARCHAR)) AS max_val FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', count(*) - count(o_orderkey),
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT),
+                   min(CAST(o_orderkey AS VARCHAR)),
+                   max(CAST(o_orderkey AS VARCHAR)) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   min(o_orderpriority), max(o_orderpriority) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   min(o_orderstatus), max(o_orderstatus) FROM orders
         """,
         # Grouped Pearson r from exact int64 sufficient statistics
         # (quantity integral, discount x100 integral); the final float

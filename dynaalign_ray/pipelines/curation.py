@@ -4387,3 +4387,74 @@ def bfs_depths_from_edges(edges, seed_mod: int, max_rounds: int, num_partitions:
         },
         schema=out_schema,
     )
+
+
+def doc_rank_by_source(sf_dir: str, k: int = 3, num_partitions: int = 8):
+    """Per-group RANK() with tie-sharing (vs doc_top_by_source's
+    ROW_NUMBER): all docs whose length-rank within their source is <= k,
+    where equal n_chars SHARE a rank and the next distinct value skips
+    ahead (gaps) — so tied boundaries return MORE than k rows.  Same
+    routed-shuffle plan as doc_top_by_source; the rank is the group-start
+    offset of each (source, n_chars) TIE RUN rather than the row
+    position."""
+    from dynaalign_ray.hashing import hash_strings, to_id63
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        h = to_id63(hash_strings(batch.column("source").to_pylist()))
+        return batch.append_column("src_hash", pa.array(h, type=pa.int64()))
+
+    def rank_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("source", pa.string()),
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("rnk", pa.int64()),
+            ]
+        )
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("source", "ascending"),
+                ("n_chars", "descending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        s = b.take(idx)
+        src = s.column("source").combine_chunks()
+        if isinstance(src, pa.ChunkedArray):
+            src = src.chunk(0)
+        codes = np.asarray(src.dictionary_encode().indices, dtype=np.int64)
+        chars = np.asarray(s.column("n_chars"), dtype=np.int64)
+        n = len(codes)
+        pos = np.arange(n, dtype=np.int64)
+        g_boundary = np.ones(n, dtype=bool)
+        g_boundary[1:] = codes[1:] != codes[:-1]
+        group_start = np.maximum.accumulate(np.where(g_boundary, pos, 0))
+        # a tie run starts at a group boundary OR a value change
+        t_boundary = g_boundary.copy()
+        t_boundary[1:] |= chars[1:] != chars[:-1]
+        run_start = np.maximum.accumulate(np.where(t_boundary, pos, 0))
+        rnk = run_start - group_start + 1  # RANK(): run offset, with gaps
+        keep = rnk <= k
+        kept = s.filter(pa.array(keep))
+        return pa.table(
+            {
+                "source": kept.column("source"),
+                "doc_id": kept.column("doc_id"),
+                "n_chars": kept.column("n_chars"),
+                "rnk": pa.array(rnk[keep], type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(add_route, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["src_hash"])
+        .map_batches(
+            rank_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

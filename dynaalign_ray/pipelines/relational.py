@@ -3576,3 +3576,81 @@ def events_dau_wau(sf_dir: str, num_partitions: int = 8):
             "stickiness": round4(d / w),
         }
     )
+
+
+def orders_profile(sf_dir: str, num_partitions: int = 8):
+    """Data-profiling pass (the schema-audit operator): per profiled
+    column, null count, exact distinct count, and lexicographic min/max of
+    the string form — one row per column.  Plan: a long-form per-block
+    pass emits each column's BLOCK-distinct string values (pc.unique per
+    column — the shuffle carries distinct values, not rows), one
+    (column, value) groupby globalizes them, and a second groupby per
+    column reduces to (n_distinct, min, max); null counts are one-row
+    block partials folded driver-side.  Two scans total — the standard
+    profiling trade (values pass + metadata pass); output is
+    column-grain, so the driver holds #columns rows."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from dynaalign_ray.joins import collect_arrow
+
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
+    orders = _read(sf_dir, "orders", cols)
+
+    def longform(b: pa.Table) -> pa.Table:
+        tables = []
+        for c in cols:
+            u = pc.unique(pc.cast(b.column(c), pa.string())).drop_null()
+            tables.append(
+                pa.table(
+                    {
+                        "col_name": pa.array([c] * len(u), pa.string()),
+                        "val": u,
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    stats = (
+        orders.map_batches(longform, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["col_name", "val"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .groupby("col_name", num_partitions=num_partitions)
+        .aggregate(
+            Count(alias_name="n_distinct"),
+            Min("val", alias_name="min_val"),
+            Max("val", alias_name="max_val"),
+        )
+    )
+
+    def null_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col_name": pa.array(cols, pa.string()),
+                "n_nulls": pa.array(
+                    [b.column(c).null_count for c in cols], pa.int64()
+                ),
+            }
+        )
+
+    nulls_t = collect_arrow(
+        orders.map_batches(null_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    null_map: dict[str, int] = {}
+    for cn, nn in zip(
+        nulls_t.column("col_name").to_pylist(),
+        np.asarray(nulls_t.column("n_nulls"), dtype=np.int64).tolist(),
+    ):
+        null_map[cn] = null_map.get(cn, 0) + nn
+    stats_t = collect_arrow(stats)  # column-grain: #profiled-columns rows
+    order = pc.sort_indices(stats_t, sort_keys=[("col_name", "ascending")])
+    stats_t = stats_t.take(order)
+    names = stats_t.column("col_name").to_pylist()
+    return pa.table(
+        {
+            "col_name": stats_t.column("col_name"),
+            "n_nulls": pa.array([null_map[c] for c in names], pa.int64()),
+            "n_distinct": stats_t.column("n_distinct").cast(pa.int64()),
+            "min_val": stats_t.column("min_val"),
+            "max_val": stats_t.column("max_val"),
+        }
+    )

@@ -213,3 +213,57 @@ class TestDauWau:
         # day 8 window covers 2..8 -> users {2,3}
         assert got.loc[8, "dau"] == 1 and got.loc[8, "wau"] == 2
         assert got.loc[8, "stickiness"] == 0.5
+
+
+class TestRankBySource:
+    def test_ties_share_rank_with_gaps(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import doc_rank_by_source
+
+        # source A lengths: 50, 50, 40, 30 -> ranks 1,1,3,4: rank<=3 keeps 3
+        # source B lengths: 9, 8, 8, 8, 7 -> ranks 1,2,2,2,5: keeps 4
+        lens = {"A": [50, 50, 40, 30], "B": [9, 8, 8, 8, 7]}
+        rows = [(s, n) for s, ns in lens.items() for n in ns]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "text": pa.array(["x"] * len(rows)),
+                    "lang": pa.array(["en"] * len(rows)),
+                    "source": pa.array([r[0] for r in rows]),
+                    "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = doc_rank_by_source(str(tmp_path)).to_pandas()
+        a = got[got.source == "A"].sort_values("doc_id")
+        assert list(a.rnk) == [1, 1, 3]
+        b = got[got.source == "B"].sort_values("doc_id")
+        assert list(b.rnk) == [1, 2, 2, 2]
+
+
+class TestOrdersProfile:
+    def test_nulls_and_distincts(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import orders_profile
+
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "o_custkey": pa.array([10, None, 10, 9], pa.int64()),
+                    "o_orderstatus": pa.array(["F", "O", None, "F"]),
+                    "o_orderpriority": pa.array(["1-URGENT"] * 4),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        got = orders_profile(str(tmp_path)).to_pandas().set_index("col_name")
+        assert got.loc["o_custkey", "n_nulls"] == 1
+        assert got.loc["o_custkey", "n_distinct"] == 2
+        # lexicographic string min: "10" < "9"
+        assert got.loc["o_custkey", "min_val"] == "10"
+        assert got.loc["o_custkey", "max_val"] == "9"
+        assert got.loc["o_orderstatus", "n_nulls"] == 1
+        assert got.loc["o_orderstatus", "n_distinct"] == 2
+        assert got.loc["o_orderpriority", "n_distinct"] == 1
+        assert got.loc["o_orderkey", "n_nulls"] == 0
