@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bfs_depths": c.doc_bfs_depths,  # multi-source BFS over the dedup graph
         "doc_rank_by_source": c.doc_rank_by_source,  # RANK() with tie-sharing per group
         "orders_profile": r.orders_profile,  # per-column data-profiling pass
+        "embedding_label_centroid": c.embedding_label_centroid,  # vector aggregate, exact micro-units
+        "events_user_drawdown": r.events_user_drawdown,  # running-max drawdown window
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2897,6 +2899,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Vector aggregate: per-(label, dim) centroid over exact int64
+        # micro-units (float32 -> float64 conversion is exact; x10^6
+        # round half-away on both sides); final division mirrors the
+        # engine's (sum / n) / 10^6 double tree.
+        "embedding_label_centroid": """
+            WITH lf AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(g.d AS BIGINT) AS dim,
+                       CAST(round(CAST(embedding[g.d + 1] AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS u
+                FROM embeddings
+                CROSS JOIN generate_series(0, 63) AS g(d)
+            )
+            SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round((CAST(sum(u) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                         / 1000000.0 * 10000) / 10000 AS centroid
+            FROM lf GROUP BY label, dim
+        """,
+        # Cumulative-extreme window: drawdown = running max (rows
+        # unbounded preceding) minus current, exact integer cents.
+        "events_user_drawdown": """
+            SELECT event_id, user_id,
+                   CAST(max(CAST(round(value * 100) AS BIGINT))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+                        - CAST(round(value * 100) AS BIGINT) AS BIGINT)
+                       AS drawdown_cents
+            FROM events
         """,
         # RANK() with tie-sharing (gaps): equal n_chars share a rank, so
         # tied boundaries return MORE than k rows — rank itself is part of

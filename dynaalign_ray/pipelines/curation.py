@@ -4458,3 +4458,64 @@ def doc_rank_by_source(sf_dir: str, k: int = 3, num_partitions: int = 8):
             rank_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+def embedding_label_centroid(sf_dir: str, num_partitions: int = 8):
+    """Per-label centroid vector in long form (label, dim, centroid) — the
+    VECTOR AGGREGATE the class-prototype / SemDeDup-centroid step needs.
+    Exactness: every float32 component converts exactly to float64, is
+    scaled to an int64 micro-unit (round half-away x 10^6 — the same op
+    DuckDB round() applies), and per-(label, dim) sums accumulate exact
+    integers; per-block partials bound the shuffle at
+    blocks x labels x dim narrow int rows, never vectors.  The final
+    centroid divides the SAME exact ints on both sides."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.exec import configure_context
+    from dynaalign_ray.pipelines.relational import round4
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        arr = batch.column("embedding").combine_chunks()
+        vals = np.asarray(arr.values, dtype=np.float64)
+        dim = len(arr[0]) if len(arr) else 1
+        m = vals.reshape(-1, dim)
+        # half-away-from-zero, matching SQL round() (np.rint is half-even)
+        scaled = np.sign(m * 1e6) * np.floor(np.abs(m * 1e6) + 0.5)
+        scaled = scaled.astype(np.int64)
+        labels = np.asarray(batch.column("label"), dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, scaled)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+                "psum": pa.array(sums.ravel(), pa.int64()),
+                "pn": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"], num_partitions=num_partitions)
+        .aggregate(Sum("psum", alias_name="ssum"), Sum("pn", alias_name="n_vecs"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("ssum"), dtype=np.float64)
+        n = np.asarray(b.column("n_vecs"), dtype=np.float64)
+        return pa.table(
+            {
+                "label": b.column("label"),
+                "dim": b.column("dim"),
+                "n_vecs": b.column("n_vecs").cast(pa.int64()),
+                "centroid": round4((s / n) / 1e6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

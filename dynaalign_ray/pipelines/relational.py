@@ -3654,3 +3654,66 @@ def orders_profile(sf_dir: str, num_partitions: int = 8):
             "max_val": stats_t.column("max_val"),
         }
     )
+
+
+def events_user_drawdown(sf_dir: str, num_partitions: int = 8):
+    """Per-event DRAWDOWN from the user's running maximum (the
+    cumulative-extreme window shape: max OVER rows-unbounded-preceding
+    minus current).  One keyed repartition + one lexsort per block; the
+    segment-reset cumulative max is fully vectorized with the
+    encode-cummax-decode trick (segment_index * 10^9 + cents is monotone
+    across segment boundaries because cents < 10^9, so one global
+    np.maximum.accumulate does every per-user cummax at once).  Exact
+    integer cents end to end."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def dd_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("drawdown_cents", pa.int64()),
+            ]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        n = len(uid)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(first) - 1
+        encoded = seg * 1_000_000_000 + cents  # cents << 10^9: monotone in seg
+        run_max = np.maximum.accumulate(encoded) - seg * 1_000_000_000
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "drawdown_cents": pa.array(run_max - cents, pa.int64()),
+            }
+        )
+
+    return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        dd_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

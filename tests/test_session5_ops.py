@@ -267,3 +267,71 @@ class TestOrdersProfile:
         assert got.loc["o_orderstatus", "n_distinct"] == 2
         assert got.loc["o_orderpriority", "n_distinct"] == 1
         assert got.loc["o_orderkey", "n_nulls"] == 0
+
+
+class TestEmbeddingCentroid:
+    def test_matches_numpy(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import embedding_label_centroid
+
+        rng = np.random.default_rng(5)
+        dim = 64
+        labels = rng.integers(0, 3, 40).astype(np.int32)
+        vecs = rng.normal(size=(40, dim)).astype(np.float32)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(labels, pa.int32()),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        got = embedding_label_centroid(str(tmp_path)).to_pandas()
+        assert len(got) == 3 * dim
+        for lbl in [0, 1, 2]:
+            m = vecs[labels == lbl].astype(np.float64)
+            scaled = np.sign(m * 1e6) * np.floor(np.abs(m * 1e6) + 0.5)
+            want = scaled.sum(axis=0) / len(m) / 1e6
+            want = np.sign(want * 1e4) * np.floor(np.abs(want * 1e4) + 0.5) / 1e4
+            sub = got[got.label == lbl].sort_values("dim")
+            assert np.array_equal(sub["centroid"].to_numpy(), want)
+            assert (sub["n_vecs"] == len(m)).all()
+
+
+class TestDrawdown:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_user_drawdown
+
+        # user 1 values: 5, 3, 7, 2 -> run max 5,5,7,7 -> dd 0,200,0,500
+        rows = [
+            ("2024-01-01T00:00:00", 1, "a", 5.0),
+            ("2024-01-01T00:00:01", 1, "a", 3.0),
+            ("2024-01-01T00:00:02", 1, "a", 7.0),
+            ("2024-01-01T00:00:03", 1, "a", 2.0),
+            ("2024-01-01T00:00:00", 2, "a", 9.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = (
+            events_user_drawdown(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        assert list(got["drawdown_cents"]) == [0, 200, 0, 500, 0]
+
+    def test_segment_reset_across_users(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_user_drawdown
+
+        # user 2 starts fresh: its first event never sees user 1's max
+        rows = [
+            ("2024-01-01T00:00:00", 1, "a", 100.0),
+            ("2024-01-01T00:00:01", 2, "a", 1.0),
+            ("2024-01-01T00:00:02", 2, "a", 0.5),
+        ]
+        _write_events(tmp_path, rows)
+        got = (
+            events_user_drawdown(str(tmp_path)).to_pandas().sort_values("event_id")
+        )
+        assert list(got["drawdown_cents"]) == [0, 0, 50]
