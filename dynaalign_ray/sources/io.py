@@ -292,3 +292,98 @@ def write_range_shards(
         .write_parquet(out_dir, partition_cols=["bucket"])
     )
     return out_dir
+
+
+# ------------------------------------------------------------------ evolved
+
+
+_INT_WIDENING = {"int8": 0, "int16": 1, "int32": 2, "int64": 3}
+_FLOAT_WIDENING = {"halffloat": 0, "float": 1, "double": 2}
+
+
+def _unify_types(a, b):
+    """Widest-common Arrow type for schema evolution: integer widths
+    promote upward, ints promote to the float present, float widths
+    promote upward, anything-vs-null keeps the non-null type; any other
+    mismatch is a loud error (silent coercion corrupts data)."""
+    import pyarrow as pa
+
+    if a.equals(b):
+        return a
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
+    sa, sb = str(a), str(b)
+    if sa in _INT_WIDENING and sb in _INT_WIDENING:
+        return a if _INT_WIDENING[sa] >= _INT_WIDENING[sb] else b
+    if sa in _FLOAT_WIDENING and sb in _FLOAT_WIDENING:
+        return a if _FLOAT_WIDENING[sa] >= _FLOAT_WIDENING[sb] else b
+    if sa in _INT_WIDENING and sb in _FLOAT_WIDENING:
+        return b
+    if sa in _FLOAT_WIDENING and sb in _INT_WIDENING:
+        return a
+    raise ValueError(f"cannot unify evolved column types {a} vs {b}")
+
+
+def evolved_schema(paths: list[str]):
+    """Union-by-name schema across parquet footers (metadata only — no
+    data reads): columns missing from a file null-fill, common columns
+    take the widest compatible type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields: dict[str, pa.DataType] = {}
+    order: list[str] = []
+    for p in paths:
+        s = pq.read_schema(p)
+        for f in s:
+            if f.name not in fields:
+                fields[f.name] = f.type
+                order.append(f.name)
+            else:
+                fields[f.name] = _unify_types(fields[f.name], f.type)
+    return pa.schema([(n, fields[n]) for n in order])
+
+
+def read_parquet_evolved(paths: list[str], columns=None):
+    """Schema-evolution-tolerant parquet source (the data-lake reality:
+    crawls re-run for months add/widen columns between shards).  Resolves
+    the union-by-name target schema from footers only, then reads each
+    file and aligns every batch — missing columns null-fill, narrower
+    numerics upcast — so downstream stages see ONE stable schema.
+    Column pruning still happens at the scan (``columns=``)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()
+    target = evolved_schema(list(paths))
+    if columns:
+        target = pa.schema([target.field(c) for c in columns])
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in batch.column_names:
+                col = batch.column(f.name)
+                if not col.type.equals(f.type):
+                    col = col.cast(f.type)
+            else:
+                col = pa.nulls(batch.num_rows, type=f.type)
+            cols.append(col)
+        return pa.table(dict(zip(target.names, cols)), schema=target)
+
+    parts = []
+    for p in paths:
+        import pyarrow.parquet as pq
+
+        have = set(pq.read_schema(p).names)
+        want = [c for c in target.names if c in have]
+        ds = rd.read_parquet(p, columns=want if want else None)
+        parts.append(ds.map_batches(align, batch_format="pyarrow", zero_copy_batch=True))
+    out = parts[0]
+    for ds in parts[1:]:
+        out = out.union(ds)
+    return out
