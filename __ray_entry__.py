@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": r.orders_profile,  # per-column data-profiling pass
         "embedding_label_centroid": c.embedding_label_centroid,  # vector aggregate, exact micro-units
         "events_user_drawdown": r.events_user_drawdown,  # running-max drawdown window
+        "doc_length_gini": c.doc_length_gini,  # exact Gini via value histogram, no sort
+        "part_size_price_spearman": r.part_size_price_spearman,  # rank corr, doubled-int ranks
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2899,6 +2901,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Spearman rho over DOUBLED integer average ranks (2*rank + tie
+        # count - 1, always integral — doubling cancels in Pearson); the
+        # sums are exact int64 and the float tree mirrors the engine's.
+        "part_size_price_spearman": """
+            WITH v AS (
+                SELECT CAST(p_size AS BIGINT) AS x,
+                       CAST(round(p_retailprice * 100) AS BIGINT) AS y
+                FROM part
+            ), r AS (
+                SELECT CAST(2 * (rank() OVER (ORDER BY x))
+                            + (count(*) OVER (PARTITION BY x)) - 1 AS BIGINT) AS rx,
+                       CAST(2 * (rank() OVER (ORDER BY y))
+                            + (count(*) OVER (PARTITION BY y)) - 1 AS BIGINT) AS ry
+                FROM v
+            ), s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(rx) AS BIGINT) AS sx,
+                       CAST(sum(ry) AS BIGINT) AS sy,
+                       CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                       CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                       CAST(sum(ry * ry) AS BIGINT) AS syy
+                FROM r
+            )
+            SELECT n,
+                   round(CASE WHEN (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                                    * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) > 0
+                        THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                             / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                                * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                                       - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                        ELSE 0.0 END * 10000) / 10000 AS spearman_rho
+            FROM s
+        """,
+        # Exact Gini from the rank-weighted sum; tied values contribute
+        # identically at any rank permutation, so row_number tie order is
+        # irrelevant and both sides divide the same exact integers.
+        "doc_length_gini": """
+            WITH s AS (
+                SELECT CAST(n_chars AS BIGINT) AS x,
+                       row_number() OVER (ORDER BY n_chars) AS rn
+                FROM documents
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS total,
+                       CAST(sum(rn * x) AS BIGINT) AS s
+                FROM s
+            )
+            SELECT n AS n_docs, total AS total_chars,
+                   round(CAST(2 * s - (n + 1) * total AS DOUBLE)
+                         / CAST(n * total AS DOUBLE) * 10000) / 10000 AS gini
+            FROM agg
         """,
         # Vector aggregate: per-(label, dim) centroid over exact int64
         # micro-units (float32 -> float64 conversion is exact; x10^6

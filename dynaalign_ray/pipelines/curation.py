@@ -4519,3 +4519,46 @@ def embedding_label_centroid(sf_dir: str, num_partitions: int = 8):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_length_gini(sf_dir: str, num_partitions: int = 8):
+    """EXACT Gini coefficient of the document-length distribution (the
+    corpus-inequality audit: is volume concentrated in a few giant docs?)
+    WITHOUT a global sort: lengths are small ints, so ONE groupby gives
+    the value histogram, the driver sorts #distinct-values rows, and the
+    rank-weighted sum comes from the closed form over runs of equal
+    values — a run of count c starting after cumulative position p
+    contributes v * (c*p + c*(c+1)/2) to sum(rank * x).  All int64
+    (Python-int exact on the driver); Gini = (2*S - (n+1)*T) / (n*T)
+    divides the same exact integers on both sides.  Tie order never
+    matters because tied values contribute identically at any rank
+    permutation — which is what makes the histogram plan exact."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import collect_arrow
+    from dynaalign_ray.pipelines.relational import round4
+
+    hist = collect_arrow(
+        _docs(sf_dir, ["n_chars"])
+        .groupby("n_chars", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="cnt"))
+    )
+    vals = np.asarray(hist.column("n_chars"), dtype=np.int64)
+    cnts = np.asarray(hist.column("cnt"), dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    n = int(cnts.sum())
+    total = int((vals * cnts).sum())
+    p = 0
+    s = 0  # sum over ranks i of i * x_i, ranks 1..n ascending
+    for v, c in zip(vals.tolist(), cnts.tolist()):
+        s += v * (c * p + c * (c + 1) // 2)
+        p += c
+    gini = (2 * s - (n + 1) * total) / (n * total) if n and total else 0.0
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_chars": pa.array([total], pa.int64()),
+            "gini": round4(np.array([gini])),
+        }
+    )

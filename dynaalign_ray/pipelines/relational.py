@@ -3717,3 +3717,91 @@ def events_user_drawdown(sf_dir: str, num_partitions: int = 8):
     return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
         dd_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def part_size_price_spearman(sf_dir: str, num_partitions: int = 8):
+    """SPEARMAN rank correlation between part size and retail price —
+    the monotone-association statistic, exact to the last bit: average
+    fractional ranks with ties are carried as DOUBLED integer ranks
+    (r2 = 2*preceding + equal + 1, always integral), so rho is a Pearson
+    over exact int64 pairs.  Plan: one histogram groupby per column (the
+    shuffle carries distinct values, not rows), driver builds the two
+    value -> doubled-rank maps (bounded by each column's value-domain
+    size — broadcast-scale for fixed-decimal business columns), a second
+    pass maps rows and emits ONE partial-sums row per block, and the
+    driver folds exact Python ints (the int64 block partials bound
+    n^3 < 2^63 -> n < ~2M rows; past that the partials widen to the
+    HUGEINT-style two-limb fold documented in doc_degree_assortativity).
+    The final float tree mirrors the oracle verbatim."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import collect_arrow
+
+    part = _read(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def to_ints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": b.column("p_size").cast(pa.int64()),
+                "y": pc.cast(
+                    pc.round(pc.multiply(b.column("p_retailprice"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ints = part.map_batches(to_ints, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def rank_map(col: str) -> tuple[np.ndarray, np.ndarray]:
+        hist = collect_arrow(
+            ints.groupby(col, num_partitions=num_partitions).aggregate(
+                Count(alias_name="cnt")
+            )
+        )
+        v = np.asarray(hist.column(col), dtype=np.int64)
+        c = np.asarray(hist.column("cnt"), dtype=np.int64)
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        preceding = np.concatenate([[0], np.cumsum(c)[:-1]])
+        r2 = 2 * preceding + c + 1  # doubled average rank: always integral
+        return v, r2
+
+    vx, r2x_map = rank_map("x")
+    vy, r2y_map = rank_map("y")
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b.column("x"), dtype=np.int64)
+        y = np.asarray(b.column("y"), dtype=np.int64)
+        rx = r2x_map[np.searchsorted(vx, x)]
+        ry = r2y_map[np.searchsorted(vy, y)]
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(rx.sum())], pa.int64()),
+                "sy": pa.array([int(ry.sum())], pa.int64()),
+                "sxy": pa.array([int((rx * ry).sum())], pa.int64()),
+                "sxx": pa.array([int((rx * rx).sum())], pa.int64()),
+                "syy": pa.array([int((ry * ry).sum())], pa.int64()),
+            }
+        )
+
+    t = collect_arrow(
+        ints.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n = int(np.asarray(t.column("n"), dtype=np.int64).sum())
+    sx = int(np.asarray(t.column("sx"), dtype=np.int64).sum())
+    sy = int(np.asarray(t.column("sy"), dtype=np.int64).sum())
+    sxy = int(np.asarray(t.column("sxy"), dtype=np.int64).sum())
+    sxx = int(np.asarray(t.column("sxx"), dtype=np.int64).sum())
+    syy = int(np.asarray(t.column("syy"), dtype=np.int64).sum())
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = np.sqrt(float(n) * float(sxx) - float(sx) * float(sx)) * np.sqrt(
+        float(n) * float(syy) - float(sy) * float(sy)
+    )
+    rho = num / den if den > 0 else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "spearman_rho": round4(np.array([rho])),
+        }
+    )

@@ -335,3 +335,100 @@ class TestDrawdown:
             events_user_drawdown(str(tmp_path)).to_pandas().sort_values("event_id")
         )
         assert list(got["drawdown_cents"]) == [0, 0, 50]
+
+
+class TestGini:
+    def _write_docs(self, tmp_path, lens):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(lens)), pa.int64()),
+                    "text": pa.array(["x"] * len(lens)),
+                    "lang": pa.array(["en"] * len(lens)),
+                    "source": pa.array(["s"] * len(lens)),
+                    "n_chars": pa.array(lens, pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+
+    def test_all_equal_is_zero(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import doc_length_gini
+
+        self._write_docs(tmp_path, [7] * 10)
+        got = doc_length_gini(str(tmp_path)).to_pandas().iloc[0]
+        assert got["gini"] == 0.0
+        assert got["n_docs"] == 10 and got["total_chars"] == 70
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import doc_length_gini
+
+        rng = np.random.default_rng(13)
+        lens = rng.integers(1, 500, 200).tolist()
+        self._write_docs(tmp_path, lens)
+        got = doc_length_gini(str(tmp_path)).to_pandas().iloc[0]
+        xs = np.sort(np.array(lens, dtype=np.int64))
+        n, total = len(xs), int(xs.sum())
+        s = int((np.arange(1, n + 1, dtype=np.int64) * xs).sum())
+        want = (2 * s - (n + 1) * total) / (n * total)
+        want = np.sign(want * 1e4) * np.floor(abs(want * 1e4) + 0.5) / 1e4
+        assert got["gini"] == want
+
+
+class TestSpearman:
+    def _write_parts(self, tmp_path, sizes, prices):
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array(range(len(sizes)), pa.int64()),
+                    "p_size": pa.array(sizes, pa.int64()),
+                    "p_retailprice": pa.array(prices, pa.float64()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+
+    def test_perfect_monotone(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import part_size_price_spearman
+
+        sizes = list(range(1, 21))
+        self._write_parts(tmp_path, sizes, [s * 1.5 for s in sizes])
+        got = part_size_price_spearman(str(tmp_path)).to_pandas().iloc[0]
+        assert got["spearman_rho"] == 1.0
+
+    def test_perfect_inverse(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import part_size_price_spearman
+
+        sizes = list(range(1, 21))
+        self._write_parts(tmp_path, sizes, [100.0 - s for s in sizes])
+        got = part_size_price_spearman(str(tmp_path)).to_pandas().iloc[0]
+        assert got["spearman_rho"] == -1.0
+
+    def test_ties_match_average_rank_reference(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import part_size_price_spearman
+
+        rng = np.random.default_rng(17)
+        sizes = rng.integers(1, 8, 60).tolist()  # heavy ties
+        prices = np.round(rng.uniform(1, 20, 60) * 2, 2)  # some ties after x100
+        self._write_parts(tmp_path, sizes, prices.tolist())
+        got = part_size_price_spearman(str(tmp_path)).to_pandas().iloc[0]
+
+        def avg_ranks(a):
+            a = np.asarray(a)
+            order = np.argsort(a, kind="stable")
+            r = np.empty(len(a), dtype=np.float64)
+            sa = a[order]
+            i = 0
+            while i < len(sa):
+                j = i
+                while j < len(sa) and sa[j] == sa[i]:
+                    j += 1
+                r[order[i:j]] = (i + j + 1) / 2.0  # average of ranks i+1..j
+                i = j
+            return r
+
+        rx = avg_ranks(sizes)
+        ry = avg_ranks(np.round(np.asarray(prices) * 100))
+        rxc, ryc = rx - rx.mean(), ry - ry.mean()
+        want = (rxc * ryc).sum() / np.sqrt((rxc**2).sum() * (ryc**2).sum())
+        assert abs(got["spearman_rho"] - want) < 5e-4
