@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_drawdown": r.events_user_drawdown,  # running-max drawdown window
         "doc_length_gini": c.doc_length_gini,  # exact Gini via value histogram, no sort
         "part_size_price_spearman": r.part_size_price_spearman,  # rank corr, doubled-int ranks
+        "part_size_price_kendall": r.part_size_price_kendall,  # tau-b via contingency grid
+        "orders_benford_digits": r.orders_benford_digits,  # first-digit data-quality probe
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2901,6 +2903,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Kendall tau-b: the engine computes C/D from 2-D prefix sums over
+        # the joint contingency grid; the oracle is the LITERAL O(n^2)
+        # pair self-join — the hash compare proves the grid identity.
+        "part_size_price_kendall": """
+            WITH v AS (
+                SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS x,
+                       CAST(round(p_retailprice * 100) AS BIGINT) AS y
+                FROM part
+            ), pairs AS (
+                SELECT CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                                       OR (a.x > b.x AND a.y > b.y)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                       CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                                       OR (a.x > b.x AND a.y < b.y)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS d
+                FROM v a JOIN v b ON a.id < b.id
+            ), m AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n,
+                       (SELECT CAST(sum(cx*(cx-1)/2) AS BIGINT)
+                        FROM (SELECT count(*) AS cx FROM v GROUP BY x)) AS n1,
+                       (SELECT CAST(sum(cy*(cy-1)/2) AS BIGINT)
+                        FROM (SELECT count(*) AS cy FROM v GROUP BY y)) AS n2
+            )
+            SELECT n, c AS concordant, d AS discordant,
+                   round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                         / (sqrt(CAST(n*(n-1)/2 - n1 AS DOUBLE))
+                            * sqrt(CAST(n*(n-1)/2 - n2 AS DOUBLE)))
+                         * 10000) / 10000 AS kendall_tau
+            FROM pairs, m
+        """,
+        # Benford first-digit profile over exact cents; the engine
+        # extracts the digit with integer repeated division, the oracle
+        # with substr of the integer's decimal form — identical by
+        # construction.
+        "orders_benford_digits": """
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders WHERE round(o_totalprice * 100) > 0
+            ), d AS (
+                SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM c
+            ), g AS (
+                SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+                FROM d GROUP BY digit
+            )
+            SELECT digit, n_orders,
+                   round(CAST(n_orders AS DOUBLE)
+                         / CAST((SELECT sum(n_orders) FROM g) AS DOUBLE)
+                         * 10000) / 10000 AS share
+            FROM g
         """,
         # Spearman rho over DOUBLED integer average ranks (2*rank + tie
         # count - 1, always integral — doubling cancels in Pearson); the

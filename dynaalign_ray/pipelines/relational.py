@@ -3805,3 +3805,128 @@ def part_size_price_spearman(sf_dir: str, num_partitions: int = 8):
             "spearman_rho": round4(np.array([rho])),
         }
     )
+
+
+def part_size_price_kendall(sf_dir: str, num_partitions: int = 8):
+    """KENDALL tau-b between part size and retail price — the
+    concordance statistic, exact via the JOINT CONTINGENCY GRID instead
+    of the O(n^2) pair scan: one (x, y) groupby reduces the data to
+    cell counts (bounded by the two value domains, independent of rows),
+    and concordant/discordant pair totals come from 2-D prefix sums over
+    the dense grid — C = sum_cell n_cell * lower_left(cell), D =
+    sum_cell n_cell * lower_right(cell), each unordered pair counted
+    once.  Tie terms n1/n2 come from the marginals.  Everything is a
+    Python-int-exact count; ONE mirrored float tree at the end.  The
+    oracle verifies against the literal O(n^2) self-join, so the grid
+    identity itself is what the hash compare proves."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import collect_arrow
+
+    part = _read(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def to_ints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": b.column("p_size").cast(pa.int64()),
+                "y": pc.cast(
+                    pc.round(pc.multiply(b.column("p_retailprice"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cells_t = collect_arrow(
+        part.map_batches(to_ints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["x", "y"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="cnt"))
+    )
+    x = np.asarray(cells_t.column("x"), dtype=np.int64)
+    y = np.asarray(cells_t.column("y"), dtype=np.int64)
+    cnt = np.asarray(cells_t.column("cnt"), dtype=np.int64)
+    ux, xi = np.unique(x, return_inverse=True)
+    uy, yi = np.unique(y, return_inverse=True)
+    grid = np.zeros((len(ux), len(uy)), dtype=np.int64)
+    grid[xi, yi] = cnt
+    # inclusive 2-D prefix sums; strictly-lower regions via offset slices
+    ps = grid.cumsum(axis=0).cumsum(axis=1)
+    padded = np.zeros((len(ux) + 1, len(uy) + 1), dtype=np.int64)
+    padded[1:, 1:] = ps
+    lower_left = padded[:-1, :-1][xi, yi]  # counts with x' < x AND y' < y
+    # x' < x AND y' > y  =  (all with x' < x)  -  (x' < x AND y' <= y)
+    col_tot = grid.sum(axis=1).cumsum()
+    rows_above = np.concatenate([[0], col_tot[:-1]])[xi]
+    lower_right = rows_above - padded[:-1, 1:][xi, yi]
+    C = int((cnt * lower_left).sum())
+    D = int((cnt * lower_right).sum())
+    n = int(cnt.sum())
+    n0 = n * (n - 1) // 2
+    tx = grid.sum(axis=1)
+    ty = grid.sum(axis=0)
+    n1 = int((tx * (tx - 1) // 2).sum())
+    n2 = int((ty * (ty - 1) // 2).sum())
+    den = np.sqrt(float(n0 - n1)) * np.sqrt(float(n0 - n2))
+    tau = (float(C) - float(D)) / den if den > 0 else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "concordant": pa.array([C], pa.int64()),
+            "discordant": pa.array([D], pa.int64()),
+            "kendall_tau": round4(np.array([tau])),
+        }
+    )
+
+
+def orders_benford_digits(sf_dir: str, num_partitions: int = 8):
+    """First-significant-digit distribution of order totals (the Benford
+    data-quality probe for fabricated or truncated money columns).  The
+    leading digit is extracted with pure integer math (vectorized
+    repeated division — no float log10 near power-of-ten boundaries, no
+    string conversion) over exact cents; one 9-row groupby ends the
+    plan.  share divides the same exact ints on both sides."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digits(b: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                pa.int64(),
+            ),
+            dtype=np.int64,
+        )
+        cents = cents[cents > 0]
+        d = cents.copy()
+        while (d >= 10).any():
+            m = d >= 10
+            d[m] //= 10
+        out = np.zeros(9, dtype=np.int64)
+        np.add.at(out, d - 1, 1)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "pn": pa.array(out, pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(digits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit", num_partitions=num_partitions)
+        .aggregate(Sum("pn", alias_name="n_orders"))
+    )
+
+    from dynaalign_ray.joins import collect_arrow
+
+    t = collect_arrow(agg)  # 9 rows
+    order = pc.sort_indices(t, sort_keys=[("digit", "ascending")])
+    t = t.take(order)
+    n = np.asarray(t.column("n_orders"), dtype=np.int64)
+    total = int(n.sum())
+    return pa.table(
+        {
+            "digit": t.column("digit"),
+            "n_orders": t.column("n_orders").cast(pa.int64()),
+            "share": round4(n.astype(np.float64) / float(total)),
+        }
+    )

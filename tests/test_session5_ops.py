@@ -432,3 +432,68 @@ class TestSpearman:
         rxc, ryc = rx - rx.mean(), ry - ry.mean()
         want = (rxc * ryc).sum() / np.sqrt((rxc**2).sum() * (ryc**2).sum())
         assert abs(got["spearman_rho"] - want) < 5e-4
+
+
+class TestKendall:
+    def _write_parts(self, tmp_path, sizes, prices):
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array(range(len(sizes)), pa.int64()),
+                    "p_size": pa.array(sizes, pa.int64()),
+                    "p_retailprice": pa.array(prices, pa.float64()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+
+    def test_grid_matches_pair_bruteforce(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import part_size_price_kendall
+
+        rng = np.random.default_rng(23)
+        sizes = rng.integers(1, 6, 80).tolist()
+        prices = np.round(rng.uniform(1, 5, 80), 2).tolist()
+        self._write_parts(tmp_path, sizes, prices)
+        got = part_size_price_kendall(str(tmp_path)).to_pandas().iloc[0]
+        xs = np.array(sizes)
+        ys = np.round(np.array(prices) * 100).astype(np.int64)
+        C = D = 0
+        n = len(xs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+                C += s > 0
+                D += s < 0
+        assert got["concordant"] == C and got["discordant"] == D
+        n0 = n * (n - 1) // 2
+        n1 = sum(c * (c - 1) // 2 for c in np.bincount(xs) if c > 1)
+        n2 = sum(
+            int(c) * (int(c) - 1) // 2 for c in np.unique(ys, return_counts=True)[1]
+        )
+        want = (float(C) - float(D)) / (np.sqrt(float(n0 - n1)) * np.sqrt(float(n0 - n2)))
+        want = np.sign(want * 1e4) * np.floor(abs(want * 1e4) + 0.5) / 1e4
+        assert got["kendall_tau"] == want
+
+    def test_perfect_concordance(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import part_size_price_kendall
+
+        sizes = list(range(1, 11))
+        self._write_parts(tmp_path, sizes, [float(s) for s in sizes])
+        got = part_size_price_kendall(str(tmp_path)).to_pandas().iloc[0]
+        assert got["kendall_tau"] == 1.0 and got["discordant"] == 0
+
+
+class TestBenford:
+    def test_digit_extraction(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import orders_benford_digits
+
+        # cents: 100, 999, 1000, 95000, 9 -> leading digits 1,9,1,9,9
+        prices = [1.00, 9.99, 10.00, 950.00, 0.09]
+        pq.write_table(
+            pa.table({"o_totalprice": pa.array(prices, pa.float64())}),
+            tmp_path / "orders.parquet",
+        )
+        got = orders_benford_digits(str(tmp_path)).to_pandas().set_index("digit")
+        assert got.loc[1, "n_orders"] == 2
+        assert got.loc[9, "n_orders"] == 3
+        assert got.loc[1, "share"] == 0.4
