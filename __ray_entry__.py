@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_price_spearman": r.part_size_price_spearman,  # rank corr, doubled-int ranks
         "part_size_price_kendall": r.part_size_price_kendall,  # tau-b via contingency grid
         "orders_benford_digits": r.orders_benford_digits,  # first-digit data-quality probe
+        "orders_lineitem_integrity": r.orders_lineitem_integrity,  # FK audit, set algebra
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2903,6 +2904,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Referential-integrity audit as distinct-key set algebra.
+        "orders_lineitem_integrity": """
+            WITH ok AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+                 lk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem)
+            SELECT
+              (SELECT count(*) FROM ok WHERE key NOT IN (SELECT key FROM lk))
+                  AS orders_without_items,
+              (SELECT count(*) FROM lk WHERE key NOT IN (SELECT key FROM ok))
+                  AS orphan_item_keys,
+              (SELECT count(*) FROM ok JOIN lk USING (key)) AS matched_keys
         """,
         # Kendall tau-b: the engine computes C/D from 2-D prefix sums over
         # the joint contingency grid; the oracle is the LITERAL O(n^2)

@@ -3930,3 +3930,76 @@ def orders_benford_digits(sf_dir: str, num_partitions: int = 8):
             "share": round4(n.astype(np.float64) / float(total)),
         }
     )
+
+
+def orders_lineitem_integrity(sf_dir: str, num_partitions: int = 8):
+    """Referential-integrity audit between the fact pair (the FK health
+    check every warehouse runs): how many orders have no lineitems, how
+    many distinct lineitem orderkeys have no order, and how many match.
+    Plan: both sides reduce to distinct keys tagged with a side flag
+    (lineitem pre-distincts per block before the shuffle), ONE union +
+    groupby-key classifies every key as left-only / right-only / both,
+    and each block emits one partial-counts row — a full-outer join
+    collapsed to set algebra, no row ever wider than (key, flag)."""
+    from ray.data.aggregate import Max
+
+    from dynaalign_ray.joins import collect_arrow
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def o_tag(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").cast(pa.int64())
+        n = len(k)
+        return pa.table(
+            {
+                "key": k,
+                "has_order": pa.array(np.ones(n, dtype=np.int64)),
+                "has_item": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def l_tag(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column("l_orderkey").cast(pa.int64()))  # block pre-distinct
+        n = len(u)
+        return pa.table(
+            {
+                "key": u,
+                "has_order": pa.array(np.zeros(n, dtype=np.int64)),
+                "has_item": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    tagged = orders.map_batches(o_tag, batch_format="pyarrow", zero_copy_batch=True).union(
+        li.map_batches(l_tag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    classified = tagged.groupby("key", num_partitions=num_partitions).aggregate(
+        Max("has_order", alias_name="o"), Max("has_item", alias_name="i")
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        o = np.asarray(b.column("o"), dtype=np.int64)
+        i = np.asarray(b.column("i"), dtype=np.int64)
+        return pa.table(
+            {
+                "orders_without_items": pa.array(
+                    [int(((o == 1) & (i == 0)).sum())], pa.int64()
+                ),
+                "orphan_item_keys": pa.array(
+                    [int(((o == 0) & (i == 1)).sum())], pa.int64()
+                ),
+                "matched_keys": pa.array(
+                    [int(((o == 1) & (i == 1)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    t = collect_arrow(
+        classified.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return pa.table(
+        {
+            c: pa.array([int(np.asarray(t.column(c), dtype=np.int64).sum())], pa.int64())
+            for c in ["orders_without_items", "orphan_item_keys", "matched_keys"]
+        }
+    )

@@ -497,3 +497,23 @@ class TestBenford:
         assert got.loc[1, "n_orders"] == 2
         assert got.loc[9, "n_orders"] == 3
         assert got.loc[1, "share"] == 0.4
+
+
+class TestIntegrityAudit:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import orders_lineitem_integrity
+
+        pq.write_table(
+            pa.table({"o_orderkey": pa.array([1, 2, 3, 4], pa.int64())}),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {"l_orderkey": pa.array([2, 2, 3, 9, 9, 10], pa.int64())}
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        got = orders_lineitem_integrity(str(tmp_path)).to_pandas().iloc[0]
+        assert got["orders_without_items"] == 2  # 1, 4
+        assert got["orphan_item_keys"] == 2  # 9, 10
+        assert got["matched_keys"] == 2  # 2, 3
