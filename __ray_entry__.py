@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_price_kendall": r.part_size_price_kendall,  # tau-b via contingency grid
         "orders_benford_digits": r.orders_benford_digits,  # first-digit data-quality probe
         "orders_lineitem_integrity": r.orders_lineitem_integrity,  # FK audit, set algebra
+        "events_peak_5min": r.events_peak_5min,  # burst detection: max trailing-window count
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2904,6 +2905,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Peak trailing-window rate: RANGE ... AND CURRENT ROW counts all
+        # order-key peers, mirrored by the engine's side="right" bound.
+        "events_peak_5min": """
+            WITH w AS (
+                SELECT user_id,
+                       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                      RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                                            AND CURRENT ROW) AS c
+                FROM events
+            )
+            SELECT user_id, CAST(max(c) AS BIGINT) AS peak_5min
+            FROM w GROUP BY user_id
         """,
         # Referential-integrity audit as distinct-key set algebra.
         "orders_lineitem_integrity": """

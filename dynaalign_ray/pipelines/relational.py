@@ -4003,3 +4003,65 @@ def orders_lineitem_integrity(sf_dir: str, num_partitions: int = 8):
             for c in ["orders_without_items", "orphan_item_keys", "matched_keys"]
         }
     )
+
+
+def events_peak_5min(sf_dir: str, num_partitions: int = 8):
+    """PEAK RATE detection: each user's maximum number of events inside
+    any trailing 5-minute window (anchored at an event) — the burst/abuse
+    signal.  One keyed repartition + per-block lexsort; the trailing
+    count is a fully vectorized two-pointer (np.searchsorted of
+    window-start times into the user's own run, segment-offset
+    corrected), then one per-user max — all integers."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    win_us = 5 * 60 * 1_000_000
+
+    def peak_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("user_id", pa.int64()), ("peak_5min", pa.int64())]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        n = len(uid)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(first) - 1
+        # encode (segment, time) into one sorted key so ONE searchsorted
+        # does every per-user window-start lookup; spans < 2^40 us fit
+        BIG = np.int64(1) << 50
+        enc = seg * BIG + (ts - ts.min())
+        lo = np.searchsorted(enc, enc - win_us, side="left")
+        # RANGE ... AND CURRENT ROW includes ALL peers of the current ts
+        # (rows tied on the order key count even past the row position)
+        hi = np.searchsorted(enc, enc, side="right")
+        counts = hi - lo
+        peaks = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+        np.maximum.at(peaks, seg, counts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first], pa.int64()),
+                "peak_5min": pa.array(peaks, pa.int64()),
+            }
+        )
+
+    return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        peak_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -517,3 +517,34 @@ class TestIntegrityAudit:
         assert got["orders_without_items"] == 2  # 1, 4
         assert got["orphan_item_keys"] == 2  # 9, 10
         assert got["matched_keys"] == 2  # 2, 3
+
+
+class TestPeak5Min:
+    def test_hand_computed_with_ties(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_peak_5min
+
+        # user 1: events at 0s, 60s, 60s (tie), 400s -> best window holds 3
+        # (the tie peers count together per RANGE semantics)
+        rows = [
+            ("2024-01-01T00:00:00", 1, "a", 0.0),
+            ("2024-01-01T00:01:00", 1, "a", 0.0),
+            ("2024-01-01T00:01:00", 1, "a", 0.0),
+            ("2024-01-01T00:06:40", 1, "a", 0.0),
+            ("2024-01-01T00:00:00", 2, "a", 0.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = events_peak_5min(str(tmp_path)).to_pandas().set_index("user_id")
+        assert got.loc[1, "peak_5min"] == 3
+        assert got.loc[2, "peak_5min"] == 1
+
+    def test_window_is_inclusive_trailing(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_peak_5min
+
+        # exactly 5 minutes apart: both inside the RANGE-inclusive window
+        rows = [
+            ("2024-01-01T00:00:00", 1, "a", 0.0),
+            ("2024-01-01T00:05:00", 1, "a", 0.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = events_peak_5min(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["peak_5min"] == 2
