@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford_digits": r.orders_benford_digits,  # first-digit data-quality probe
         "orders_lineitem_integrity": r.orders_lineitem_integrity,  # FK audit, set algebra
         "events_peak_5min": r.events_peak_5min,  # burst detection: max trailing-window count
+        "lang_source_chi_cells": r.lang_source_chi_cells,  # chi-square independence cells
+        "events_longest_streak": r.events_longest_streak,  # gaps-and-islands max run
+        "source_vocab_overlap": c.source_vocab_overlap,  # group-level vocab Jaccard matrix
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2905,6 +2908,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Chi-square independence cells: marginals are exact ints; each
+        # cell's expected/chi is ONE mirrored per-cell float tree — no
+        # cross-cell float sum exists anywhere in the compared output.
+        "lang_source_chi_cells": """
+            WITH cells AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+                FROM documents GROUP BY 1, 2
+            ),
+            rt AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS r
+                   FROM cells GROUP BY lang),
+            ct AS (SELECT source, CAST(sum(observed) AS BIGINT) AS c
+                   FROM cells GROUP BY source),
+            tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells)
+            SELECT lang, source, observed,
+                   round((CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                          / CAST(tot.n AS DOUBLE)) * 10000) / 10000 AS expected,
+                   round(((CAST(observed AS DOUBLE)
+                           - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE)))
+                          * (CAST(observed AS DOUBLE)
+                             - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                                / CAST(tot.n AS DOUBLE)))
+                          / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                             / CAST(tot.n AS DOUBLE))) * 10000) / 10000
+                       AS chi2_cell
+            FROM cells JOIN rt USING (lang) JOIN ct USING (source), tot
+        """,
+        # Gaps-and-islands: consecutive same-type runs via the
+        # row_number-difference trick; ties break (len DESC, type ASC).
+        "events_longest_streak": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rt
+                FROM events
+            ), runs AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS len
+                FROM o GROUP BY user_id, event_type, rn - rt
+            ), best AS (
+                SELECT user_id, event_type, len,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY len DESC, event_type ASC)
+                           AS k
+                FROM runs
+            )
+            SELECT user_id, len AS streak, event_type AS streak_type
+            FROM best WHERE k = 1
+        """,
+        # Group-level vocabulary Jaccard; engine tokenizes with
+        # str.split() — the length >= 1 filter drops split_regex's empty
+        # leading token; only pairs sharing >= 1 word appear (inner join).
+        "source_vocab_overlap": """
+            WITH e AS (
+                SELECT DISTINCT w, source FROM (
+                    SELECT unnest(string_split_regex(text, '\\s+')) AS w,
+                           source
+                    FROM documents
+                ) WHERE length(w) >= 1
+            ), sz AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM e GROUP BY source
+            ), inter AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM e a JOIN e b ON a.w = b.w AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_common,
+                   round(CAST(n_common AS DOUBLE)
+                         / CAST(na.n + nb.n - n_common AS DOUBLE)
+                         * 10000) / 10000 AS jaccard
+            FROM inter
+            JOIN sz na ON na.source = source_a
+            JOIN sz nb ON nb.source = source_b
         """,
         # Peak trailing-window rate: RANGE ... AND CURRENT ROW counts all
         # order-key peers, mirrored by the engine's side="right" bound.

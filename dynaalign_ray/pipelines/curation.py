@@ -4562,3 +4562,112 @@ def doc_length_gini(sf_dir: str, num_partitions: int = 8):
             "gini": round4(np.array([gini])),
         }
     )
+
+
+def source_vocab_overlap(sf_dir: str, min_len: int = 1, num_partitions: int = 8):
+    """Pairwise Jaccard overlap between SOURCES' vocabularies — the
+    group-level set-similarity matrix (which crawls/feeds speak the same
+    language?).  One tokenize pass reduces to the distinct (word, source)
+    edge set; a keyed repartition co-locates each word's sources so
+    intersections fall out as per-word C(s, 2) pairs (bounded by the
+    source count, a catalog constant); set sizes are one tiny groupby.
+    jaccard = i / (na + nb - i) divides exact ints."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import collect_arrow
+
+    def edges(batch: pa.Table) -> pa.Table:
+        out_w: list[str] = []
+        out_s: list[str] = []
+        seen: set[tuple[str, str]] = set()
+        srcs = batch.column("source").to_pylist()
+        for text, s in zip(batch.column("text").to_pylist(), srcs):
+            for w in text.split():
+                if len(w) >= min_len and (w, s) not in seen:
+                    seen.add((w, s))
+                    out_w.append(w)
+                    out_s.append(s)
+        return pa.table(
+            {
+                "word": pa.array(out_w, pa.string()),
+                "source": pa.array(out_s, pa.string()),
+            }
+        )
+
+    edge_ds = (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["word", "source"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["word", "source"])
+        .materialize()
+    )
+    sizes_t = collect_arrow(
+        edge_ds.groupby("source", num_partitions=num_partitions).aggregate(
+            Count(alias_name="n_words")
+        )
+    )
+    size_map = dict(
+        zip(
+            sizes_t.column("source").to_pylist(),
+            np.asarray(sizes_t.column("n_words"), dtype=np.int64).tolist(),
+        )
+    )
+
+    def pairs_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("source_a", pa.string()), ("source_b", pa.string())]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            b, sort_keys=[("word", "ascending"), ("source", "ascending")]
+        )
+        t = b.take(order)
+        words = t.column("word").to_pylist()
+        srcs = t.column("source").to_pylist()
+        out_a: list[str] = []
+        out_b: list[str] = []
+        start = 0
+        n = len(words)
+        for i in range(1, n + 1):
+            if i == n or words[i] != words[start]:
+                run = srcs[start:i]
+                for x in range(len(run)):
+                    for y in range(x + 1, len(run)):
+                        out_a.append(run[x])
+                        out_b.append(run[y])
+                start = i
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "source_a": pa.array(out_a, pa.string()),
+                "source_b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    inter_t = collect_arrow(
+        edge_ds.repartition(num_blocks=num_partitions, keys=["word"])
+        .map_batches(
+            pairs_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["source_a", "source_b"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_common"))
+    )  # pair-grain: C(|sources|, 2) rows
+    sa = inter_t.column("source_a").to_pylist()
+    sb = inter_t.column("source_b").to_pylist()
+    i = np.asarray(inter_t.column("n_common"), dtype=np.int64)
+    na = np.array([size_map[s] for s in sa], dtype=np.int64)
+    nb = np.array([size_map[s] for s in sb], dtype=np.int64)
+    jac = i.astype(np.float64) / (na + nb - i).astype(np.float64)
+    from dynaalign_ray.pipelines.relational import round4
+
+    return pa.table(
+        {
+            "source_a": pa.array(sa, pa.string()),
+            "source_b": pa.array(sb, pa.string()),
+            "n_common": pa.array(i, pa.int64()),
+            "jaccard": round4(jac),
+        }
+    )

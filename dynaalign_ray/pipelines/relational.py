@@ -4065,3 +4065,118 @@ def events_peak_5min(sf_dir: str, num_partitions: int = 8):
     return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
         peak_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def lang_source_chi_cells(sf_dir: str, num_partitions: int = 8):
+    """Chi-square INDEPENDENCE AUDIT of the (lang, source) contingency
+    table, reported per cell (observed, expected, contribution) — the
+    skew detector for stratified corpora.  Everything derives from one
+    (lang, source) groupby-count plus its two marginals: observed counts
+    and marginals are exact ints, and each cell's expected/chi values are
+    SINGLE per-cell float trees (no cross-cell float sum anywhere, which
+    is what keeps the compare bit-exact; the global statistic is the
+    oracle-side sum of the published column if a user wants it)."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import collect_arrow
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    cells_t = collect_arrow(
+        docs.groupby(["lang", "source"], num_partitions=num_partitions).aggregate(
+            Count(alias_name="observed")
+        )
+    )  # cell-grain: |langs| x |sources| rows
+    lang = cells_t.column("lang").to_pylist()
+    src = cells_t.column("source").to_pylist()
+    obs = np.asarray(cells_t.column("observed"), dtype=np.int64)
+    n = int(obs.sum())
+    row_tot: dict[str, int] = {}
+    col_tot: dict[str, int] = {}
+    for l, s, o in zip(lang, src, obs.tolist()):
+        row_tot[l] = row_tot.get(l, 0) + o
+        col_tot[s] = col_tot.get(s, 0) + o
+    r = np.array([row_tot[l] for l in lang], dtype=np.int64)
+    c = np.array([col_tot[s] for s in src], dtype=np.int64)
+    expected = (r.astype(np.float64) * c.astype(np.float64)) / float(n)
+    diff = obs.astype(np.float64) - expected
+    chi = (diff * diff) / expected
+    return pa.table(
+        {
+            "lang": pa.array(lang, pa.string()),
+            "source": pa.array(src, pa.string()),
+            "observed": pa.array(obs, pa.int64()),
+            "expected": round4(expected),
+            "chi2_cell": round4(chi),
+        }
+    )
+
+
+def events_longest_streak(sf_dir: str, num_partitions: int = 8):
+    """Longest same-type RUN per user (gaps-and-islands): the max number
+    of consecutive events of one type in each user's (ts, event_id)
+    order, with the type that achieved it (ties by type ASC).  One keyed
+    repartition + one lexsort; runs fall out of a vectorized
+    boundary/segment pass — the classic islands query without the
+    row_number-difference trick because rows are co-located."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def streak_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("streak", pa.int64()),
+                ("streak_type", pa.string()),
+            ]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        types = t.column("event_type").combine_chunks()
+        if isinstance(types, pa.ChunkedArray):
+            types = types.chunk(0)
+        codes = np.asarray(types.dictionary_encode().indices, dtype=np.int64)
+        n = len(uid)
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = (uid[1:] != uid[:-1]) | (codes[1:] != codes[:-1])
+        run_id = np.cumsum(run_start) - 1
+        run_len = np.bincount(run_id)
+        run_user = uid[run_start]
+        run_code = codes[run_start]
+        tdict = types.dictionary_encode().dictionary.to_pylist()
+        run_type = [tdict[i] for i in run_code.tolist()]
+        # per-user argmax over runs: (len DESC, type ASC)
+        best: dict[int, tuple[int, str]] = {}
+        for u, ln, ty in zip(run_user.tolist(), run_len.tolist(), run_type):
+            cur = best.get(u)
+            if cur is None or ln > cur[0] or (ln == cur[0] and ty < cur[1]):
+                best[u] = (ln, ty)
+        users = sorted(best)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "streak": pa.array([best[u][0] for u in users], pa.int64()),
+                "streak_type": pa.array([best[u][1] for u in users], pa.string()),
+            }
+        )
+
+    return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        streak_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

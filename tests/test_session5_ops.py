@@ -548,3 +548,76 @@ class TestPeak5Min:
         _write_events(tmp_path, rows)
         got = events_peak_5min(str(tmp_path)).to_pandas()
         assert got.iloc[0]["peak_5min"] == 2
+
+
+class TestChiCells:
+    def test_uniform_table_zero_chi(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import lang_source_chi_cells
+
+        rows = [(l, s) for l in ["en", "de"] for s in ["a", "b"] for _ in range(5)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "text": pa.array(["x"] * len(rows)),
+                    "lang": pa.array([r[0] for r in rows]),
+                    "source": pa.array([r[1] for r in rows]),
+                    "n_chars": pa.array([1] * len(rows), pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = lang_source_chi_cells(str(tmp_path)).to_pandas()
+        assert len(got) == 4
+        assert (got["expected"] == 5.0).all()
+        assert (got["chi2_cell"] == 0.0).all()
+
+
+class TestLongestStreak:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_longest_streak
+
+        seq = ["a", "a", "b", "b", "b", "a"]
+        rows = [("2024-01-01T00:00:%02d" % i, 1, t, 0.0) for i, t in enumerate(seq)]
+        rows += [("2024-01-01T00:00:00", 2, "z", 0.0)]
+        _write_events(tmp_path, rows)
+        got = events_longest_streak(str(tmp_path)).to_pandas().set_index("user_id")
+        assert got.loc[1, "streak"] == 3 and got.loc[1, "streak_type"] == "b"
+        assert got.loc[2, "streak"] == 1 and got.loc[2, "streak_type"] == "z"
+
+    def test_tie_prefers_lex_smaller_type(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_longest_streak
+
+        seq = ["b", "b", "a", "a"]
+        rows = [("2024-01-01T00:00:%02d" % i, 1, t, 0.0) for i, t in enumerate(seq)]
+        _write_events(tmp_path, rows)
+        got = events_longest_streak(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["streak_type"] == "a"
+
+
+class TestSourceVocabOverlap:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import source_vocab_overlap
+
+        texts = [
+            ("x y z", "s1"),  # vocab {x,y,z}
+            ("y z w", "s2"),  # vocab {y,z,w}; inter=2, union=4 -> 0.5
+            ("q", "s3"),  # disjoint: no pair rows with s1/s2
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array([t[0] for t in texts]),
+                    "lang": pa.array(["en"] * len(texts)),
+                    "source": pa.array([t[1] for t in texts]),
+                    "n_chars": pa.array([len(t[0]) for t in texts], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = source_vocab_overlap(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        assert (row["source_a"], row["source_b"]) == ("s1", "s2")
+        assert row["n_common"] == 2 and row["jaccard"] == 0.5
