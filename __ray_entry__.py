@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_chi_cells": r.lang_source_chi_cells,  # chi-square independence cells
         "events_longest_streak": r.events_longest_streak,  # gaps-and-islands max run
         "source_vocab_overlap": c.source_vocab_overlap,  # group-level vocab Jaccard matrix
+        "lineitem_weighted_median_price": r.lineitem_weighted_median_price,  # weighted median, histogram plan
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2908,6 +2909,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Lower weighted median from the price-domain histogram: first
+        # price whose doubled cumulative weight reaches the total — all
+        # integer comparisons on both sides.
+        "lineitem_weighted_median_price": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                FROM lineitem GROUP BY 1, 2
+            ), c AS (
+                SELECT l_returnflag, cents, w,
+                       sum(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY cents) AS cw,
+                       sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM g
+            )
+            SELECT l_returnflag,
+                   round(CAST(min(CASE WHEN 2 * cw >= tw THEN cents END)
+                              AS DOUBLE) / 100.0 * 10000) / 10000
+                       AS weighted_median_price,
+                   CAST(any_value(tw) AS BIGINT) AS total_qty
+            FROM c GROUP BY l_returnflag
         """,
         # Chi-square independence cells: marginals are exact ints; each
         # cell's expected/chi is ONE mirrored per-cell float tree — no

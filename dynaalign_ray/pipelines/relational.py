@@ -4180,3 +4180,61 @@ def events_longest_streak(sf_dir: str, num_partitions: int = 8):
     return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
         streak_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def lineitem_weighted_median_price(sf_dir: str, num_partitions: int = 8):
+    """QUANTITY-WEIGHTED lower median of extended price per returnflag —
+    the robust "typical price of a shipped unit" statistic.  Exact
+    without any global sort: one (flag, price-cents) groupby sums integer
+    quantity weights (the shuffle is bounded by the PRICE DOMAIN per
+    flag, not rows), the driver cumsums each flag's histogram in price
+    order, and the lower weighted median is the first price whose doubled
+    cumulative weight reaches the total — all integer comparisons,
+    mirrored by the oracle's window-cumsum FILTER form."""
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.joins import collect_arrow
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+                "qty": b.column("l_quantity").cast(pa.int64()),
+            }
+        )
+
+    hist = collect_arrow(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "cents"], num_partitions=num_partitions)
+        .aggregate(Sum("qty", alias_name="w"))
+    )  # (flag, distinct price) grain — domain-bounded
+    flags = hist.column("l_returnflag").to_pylist()
+    cents = np.asarray(hist.column("cents"), dtype=np.int64)
+    w = np.asarray(hist.column("w"), dtype=np.int64)
+    out_f: list[str] = []
+    out_m: list[float] = []
+    out_w: list[int] = []
+    for f in sorted(set(flags)):
+        m = np.array([x == f for x in flags])
+        c_f, w_f = cents[m], w[m]
+        o = np.argsort(c_f)
+        c_f, w_f = c_f[o], w_f[o]
+        cw = np.cumsum(w_f)
+        total = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, total))
+        out_f.append(f)
+        out_m.append(int(c_f[idx]) / 100.0)
+        out_w.append(total)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_f, pa.string()),
+            "weighted_median_price": round4(np.array(out_m)),
+            "total_qty": pa.array(out_w, pa.int64()),
+        }
+    )

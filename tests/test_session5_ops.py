@@ -621,3 +621,46 @@ class TestSourceVocabOverlap:
         row = got.iloc[0]
         assert (row["source_a"], row["source_b"]) == ("s1", "s2")
         assert row["n_common"] == 2 and row["jaccard"] == 0.5
+
+
+class TestWeightedMedian:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import lineitem_weighted_median_price
+
+        # flag A: price 1.00 w=1, 2.00 w=1, 3.00 w=10 -> half of 12 is 6,
+        # first price with 2*cw >= 12 is 3.00
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(["A", "A", "A", "B"]),
+                    "l_extendedprice": pa.array([1.0, 2.0, 3.0, 9.0], pa.float64()),
+                    "l_quantity": pa.array([1.0, 1.0, 10.0, 4.0], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        got = (
+            lineitem_weighted_median_price(str(tmp_path))
+            .to_pandas()
+            .set_index("l_returnflag")
+        )
+        assert got.loc["A", "weighted_median_price"] == 3.0
+        assert got.loc["A", "total_qty"] == 12
+        assert got.loc["B", "weighted_median_price"] == 9.0
+
+    def test_even_split_takes_lower(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import lineitem_weighted_median_price
+
+        # weights 1/1: 2*cw at price 1.00 is 2 == total -> lower median 1.00
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(["A", "A"]),
+                    "l_extendedprice": pa.array([1.0, 2.0], pa.float64()),
+                    "l_quantity": pa.array([1.0, 1.0], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        got = lineitem_weighted_median_price(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["weighted_median_price"] == 1.0
