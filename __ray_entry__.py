@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_longest_streak": r.events_longest_streak,  # gaps-and-islands max run
         "source_vocab_overlap": c.source_vocab_overlap,  # group-level vocab Jaccard matrix
         "lineitem_weighted_median_price": r.lineitem_weighted_median_price,  # weighted median, histogram plan
+        "events_active_time": r.events_active_time,  # interval-union engagement time
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2909,6 +2910,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Interval-union active time: fixed-length intervals telescope to
+        # min(window, gap_to_next) per event (window for the last) —
+        # exact integer microseconds; ties on ts collapse to gap 0.
+        "events_active_time": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                           - epoch_us(ts) AS gap
+                FROM events
+            ), per AS (
+                SELECT user_id,
+                       CAST(sum(CASE WHEN gap IS NULL THEN 60000000
+                                     ELSE least(60000000, gap) END)
+                            AS BIGINT) AS active_us,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM g GROUP BY user_id
+            )
+            SELECT user_id,
+                   round(CAST(active_us AS DOUBLE) / 1000000.0
+                         * 10000) / 10000 AS active_seconds,
+                   n_events
+            FROM per
         """,
         # Lower weighted median from the price-domain histogram: first
         # price whose doubled cumulative weight reaches the total — all

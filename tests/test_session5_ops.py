@@ -664,3 +664,33 @@ class TestWeightedMedian:
         )
         got = lineitem_weighted_median_price(str(tmp_path)).to_pandas()
         assert got.iloc[0]["weighted_median_price"] == 1.0
+
+
+class TestActiveTime:
+    def test_overlap_and_gap(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_active_time
+
+        # user 1: events at 0s, 30s (overlap: contributes 30), 200s (gap:
+        # 30s-event contributes full 60), last contributes 60 -> 150 s
+        rows = [
+            ("2024-01-01T00:00:00", 1, "a", 0.0),
+            ("2024-01-01T00:00:30", 1, "a", 0.0),
+            ("2024-01-01T00:03:20", 1, "a", 0.0),
+            ("2024-01-01T00:00:00", 2, "a", 0.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = events_active_time(str(tmp_path)).to_pandas().set_index("user_id")
+        assert got.loc[1, "active_seconds"] == 150.0
+        assert got.loc[1, "n_events"] == 3
+        assert got.loc[2, "active_seconds"] == 60.0
+
+    def test_simultaneous_events_collapse(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_active_time
+
+        rows = [
+            ("2024-01-01T00:00:00", 1, "a", 0.0),
+            ("2024-01-01T00:00:00", 1, "b", 0.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = events_active_time(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["active_seconds"] == 60.0  # gap 0 + window
