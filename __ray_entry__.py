@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": c.source_vocab_overlap,  # group-level vocab Jaccard matrix
         "lineitem_weighted_median_price": r.lineitem_weighted_median_price,  # weighted median, histogram plan
         "events_active_time": r.events_active_time,  # interval-union engagement time
+        "doc_best_match": c.doc_best_match,  # nearest neighbour per doc (argmax)
+        "doc_lorenz_deciles": c.doc_lorenz_deciles,  # cumulative-share curve, histogram plan
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2910,6 +2912,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Nearest neighbour per doc over the exact tau-Jaccard pairs;
+        # ORDER BY compares the same unrounded double on both sides,
+        # neighbour doc_id breaks double-equal ties.
+        "doc_best_match": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b, i, ca.n + cb.n - i AS u
+                FROM inter
+                JOIN c ca ON ca.doc_id = a
+                JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            ),
+            sym AS (
+                SELECT a AS doc_id, b AS other, i, u FROM e
+                UNION ALL SELECT b AS doc_id, a AS other, i, u FROM e
+            ),
+            ranked AS (
+                SELECT doc_id, other, i, u,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY (i * 1.0 / u) DESC,
+                                                   other ASC) AS k
+                FROM sym
+            )
+            SELECT doc_id, other AS best_match,
+                   round(i * 10000.0 / u) / 10000 AS jaccard
+            FROM ranked WHERE k = 1
+        """,
+        # Lorenz decile points: boundary m = k*n//10 may split an
+        # equal-value run, whose partial sum is tie-order independent.
+        "doc_lorenz_deciles": """
+            WITH s AS (
+                SELECT CAST(n_chars AS BIGINT) AS x,
+                       row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+                FROM documents
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS c,
+                       CAST(sum(x) AS BIGINT) AS t
+                FROM s
+            )
+            SELECT CAST(g.k AS BIGINT) AS decile,
+                   CAST((g.k * tot.c) // 10 AS BIGINT) AS cum_docs,
+                   COALESCE((SELECT CAST(sum(x) AS BIGINT) FROM s
+                             WHERE rn <= (g.k * tot.c) // 10), 0) AS cum_chars,
+                   round(CAST(COALESCE((SELECT sum(x) FROM s
+                                        WHERE rn <= (g.k * tot.c) // 10), 0)
+                              AS DOUBLE)
+                         / CAST(tot.t AS DOUBLE) * 10000) / 10000 AS share
+            FROM generate_series(1, 10) AS g(k), tot
         """,
         # Interval-union active time: fixed-length intervals telescope to
         # min(window, gap_to_next) per event (window for the last) —

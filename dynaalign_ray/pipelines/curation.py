@@ -4671,3 +4671,135 @@ def source_vocab_overlap(sf_dir: str, min_len: int = 1, num_partitions: int = 8)
             "jaccard": round4(jac),
         }
     )
+
+
+def doc_best_match(
+    sf_dir: str, k: int = 3, threshold: float = 0.5, num_partitions: int = 8
+):
+    """NEAREST NEIGHBOUR per document: each doc's single most similar doc
+    among the exact tau-Jaccard pairs (jaccard DESC, neighbour doc_id ASC
+    on ties) — the per-item argmax shape that canonical-representative
+    selection needs.  The exact prefix-filtered join supplies the edges
+    (recall 1.0, never O(n^2)); both directions of each edge route
+    through ONE keyed repartition and a per-block vectorized argmax.
+    Ordering compares the same unrounded doubles the oracle's window
+    ORDER BY sees (identical division on both sides), with doc_id
+    breaking any double-equal tie deterministically."""
+    import functools
+
+    from dynaalign_ray.pipelines.relational import round4
+    from dynaalign_ray.stages.ssjoin import prefix_jaccard_join
+
+    sets_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            functools.partial(_shingle_sets_block, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    edges = prefix_jaccard_join(sets_ds, threshold, num_partitions, order="value")
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        j = np.asarray(b.column("jaccard"), dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "other": pa.array(np.concatenate([bb, a]), pa.int64()),
+                "jac": pa.array(np.concatenate([j, j]), pa.float64()),
+            }
+        )
+
+    def argmax_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("best_match", pa.int64()),
+                ("jaccard", pa.float64()),
+            ]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("jac", "descending"),
+                ("other", "ascending"),
+            ],
+        )
+        t = b.take(order)
+        d = np.asarray(t.column("doc_id"), dtype=np.int64)
+        first = np.empty(len(d), dtype=bool)
+        first[0] = True
+        first[1:] = d[1:] != d[:-1]
+        sel = pa.array(np.nonzero(first)[0])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").take(sel),
+                "best_match": t.column("other").take(sel),
+                "jaccard": pa.array(
+                    round4(np.asarray(t.column("jac"))[first]), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        edges.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(
+            argmax_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+def doc_lorenz_deciles(sf_dir: str, num_partitions: int = 8):
+    """LORENZ CURVE at decile points: after ranking docs by length
+    ascending, the cumulative doc count and cumulative character share at
+    each k/10 boundary — the inequality profile behind doc_length_gini.
+    Same histogram plan (one groupby, no global sort): boundary
+    m_k = k*n//10 falls inside an equal-value run, whose partial
+    contribution is v * (m_k - cum_before) — exact, and independent of
+    how ties are ordered, which is why row_number tie order on the
+    oracle side cannot matter."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import collect_arrow
+    from dynaalign_ray.pipelines.relational import round4
+
+    hist = collect_arrow(
+        _docs(sf_dir, ["n_chars"])
+        .groupby("n_chars", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="cnt"))
+    )
+    vals = np.asarray(hist.column("n_chars"), dtype=np.int64)
+    cnts = np.asarray(hist.column("cnt"), dtype=np.int64)
+    o = np.argsort(vals)
+    vals, cnts = vals[o], cnts[o]
+    n = int(cnts.sum())
+    total = int((vals * cnts).sum())
+    cum_n = np.concatenate([[0], np.cumsum(cnts)])
+    cum_v = np.concatenate([[0], np.cumsum(vals * cnts)])
+    out_k, out_docs, out_chars, out_share = [], [], [], []
+    for kk in range(1, 11):
+        m = kk * n // 10
+        # run containing position m: last run with cum_before < m
+        idx = int(np.searchsorted(cum_n, m, side="left"))  # cum_n[idx] >= m
+        cum_chars = int(cum_v[idx - 1] + vals[idx - 1] * (m - cum_n[idx - 1])) if m else 0
+        if idx > 0 and cum_n[idx] == m:
+            cum_chars = int(cum_v[idx])
+        out_k.append(kk)
+        out_docs.append(m)
+        out_chars.append(cum_chars)
+        out_share.append(cum_chars / total if total else 0.0)
+    return pa.table(
+        {
+            "decile": pa.array(out_k, pa.int64()),
+            "cum_docs": pa.array(out_docs, pa.int64()),
+            "cum_chars": pa.array(out_chars, pa.int64()),
+            "share": round4(np.array(out_share)),
+        }
+    )

@@ -694,3 +694,31 @@ class TestActiveTime:
         _write_events(tmp_path, rows)
         got = events_active_time(str(tmp_path)).to_pandas()
         assert got.iloc[0]["active_seconds"] == 60.0  # gap 0 + window
+
+
+class TestLorenzDeciles:
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import doc_lorenz_deciles
+
+        rng = np.random.default_rng(29)
+        lens = rng.integers(1, 50, 73).tolist()  # n not divisible by 10
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(lens)), pa.int64()),
+                    "text": pa.array(["x"] * len(lens)),
+                    "lang": pa.array(["en"] * len(lens)),
+                    "source": pa.array(["s"] * len(lens)),
+                    "n_chars": pa.array(lens, pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = doc_lorenz_deciles(str(tmp_path)).to_pandas().set_index("decile")
+        xs = np.sort(np.array(lens, dtype=np.int64))
+        n, total = len(xs), int(xs.sum())
+        for k in range(1, 11):
+            m = k * n // 10
+            assert got.loc[k, "cum_docs"] == m
+            assert got.loc[k, "cum_chars"] == int(xs[:m].sum())
+        assert got.loc[10, "share"] == 1.0
