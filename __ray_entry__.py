@@ -177,6 +177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_active_time": r.events_active_time,  # interval-union engagement time
         "doc_best_match": c.doc_best_match,  # nearest neighbour per doc (argmax)
         "doc_lorenz_deciles": c.doc_lorenz_deciles,  # cumulative-share curve, histogram plan
+        "events_timed_conversion": r.events_timed_conversion,  # funnel w/ time constraint
+        "events_bounce_rate": r.events_bounce_rate,  # sessionized single-event share
+        "orders_dow_revenue": r.orders_dow_revenue,  # weekday seasonality, integer dow
+        "doc_dedup_savings": c.doc_dedup_savings,  # dedup ROI by source
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2912,6 +2916,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Timed funnel: per-user first-touch Mins, then three counts.
+        "events_timed_conversion": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup'
+                                THEN epoch_us(ts) END) AS s,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS p
+                FROM events GROUP BY user_id
+            )
+            SELECT
+              CAST(count(s) AS BIGINT) AS n_signup,
+              CAST(sum(CASE WHEN s IS NOT NULL AND p IS NOT NULL
+                             AND s <= p THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_ordered_pairs,
+              CAST(sum(CASE WHEN s IS NOT NULL AND p IS NOT NULL
+                             AND s <= p AND p - s <= 3600000000
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_converted_in_window
+            FROM f
+        """,
+        # Sessionized bounce rate: islands split at gaps > 30 min; the
+        # rate divides exact ints.
+        "events_bounce_rate": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), ids AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ), sess AS (
+                SELECT user_id, sid, CAST(count(*) AS BIGINT) AS len
+                FROM ids GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounces,
+                   round(CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         * 10000) / 10000 AS bounce_rate
+            FROM sess GROUP BY user_id
+        """,
+        # Weekday seasonality with the dow derived by the SAME integer
+        # formula on both sides ((epoch_days + 3) % 7, 0 = Monday).
+        "orders_dow_revenue": """
+            WITH p AS (
+                SELECT (epoch_us(o_orderdate) // 86400000000 + 3) % 7 AS dow,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0 * 10000) / 10000
+                       AS revenue
+            FROM p GROUP BY dow
+        """,
+        # Dedup ROI by source: winner = min doc_id per identical text.
+        "doc_dedup_savings": """
+            WITH w AS (
+                SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            )
+            SELECT source,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS kept,
+                   CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS kept_chars,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dropped,
+                   CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS dropped_chars
+            FROM w GROUP BY source
         """,
         # Nearest neighbour per doc over the exact tau-Jaccard pairs;
         # ORDER BY compares the same unrounded double on both sides,

@@ -4803,3 +4803,85 @@ def doc_lorenz_deciles(sf_dir: str, num_partitions: int = 8):
             "share": round4(np.array(out_share)),
         }
     )
+
+
+def doc_dedup_savings(sf_dir: str, num_partitions: int = 8):
+    """STORAGE SAVINGS of exact-text dedup, by source: characters kept
+    (the per-cluster min-doc_id winner) vs characters dropped — the
+    ROI report every dedup run owes its operator.  One (text-hash)
+    groupby dedups; the winner flag is a per-block vectorized first-of-
+    group after ONE keyed repartition; savings aggregate per source in
+    exact int64 chars."""
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.hashing import content_hash
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source", "n_chars"])
+
+    def key_block(b: pa.Table) -> pa.Table:
+        h = content_hash(b.column("text").to_pylist())
+        return pa.table(
+            {
+                "thash": pa.array(h, pa.int64()),
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    def winners_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("kept", pa.int64()),
+                    ("kept_chars", pa.int64()),
+                    ("dropped", pa.int64()),
+                    ("dropped_chars", pa.int64()),
+                ]
+            ).empty_table()
+        order = pc.sort_indices(
+            b, sort_keys=[("thash", "ascending"), ("doc_id", "ascending")]
+        )
+        t = b.take(order)
+        h = np.asarray(t.column("thash"), dtype=np.int64)
+        ch = np.asarray(t.column("n_chars"), dtype=np.int64)
+        first = np.empty(len(h), dtype=bool)
+        first[0] = True
+        first[1:] = h[1:] != h[:-1]
+        tt = pa.table(
+            {
+                "source": t.column("source"),
+                "kept": pa.array(first.astype(np.int64)),
+                "kept_chars": pa.array(np.where(first, ch, 0)),
+                "dropped": pa.array((~first).astype(np.int64)),
+                "dropped_chars": pa.array(np.where(~first, ch, 0)),
+            }
+        )
+        return (
+            tt.group_by(["source"])
+            .aggregate(
+                [
+                    ("kept", "sum"),
+                    ("kept_chars", "sum"),
+                    ("dropped", "sum"),
+                    ("dropped_chars", "sum"),
+                ]
+            )
+            .rename_columns(["source", "kept", "kept_chars", "dropped", "dropped_chars"])
+        )
+
+    return (
+        docs.map_batches(key_block, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=num_partitions, keys=["thash"])
+        .map_batches(
+            winners_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("source", num_partitions=num_partitions)
+        .aggregate(
+            Sum("kept", alias_name="kept"),
+            Sum("kept_chars", alias_name="kept_chars"),
+            Sum("dropped", alias_name="dropped"),
+            Sum("dropped_chars", alias_name="dropped_chars"),
+        )
+    )

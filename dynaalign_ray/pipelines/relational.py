@@ -4306,3 +4306,177 @@ def events_active_time(sf_dir: str, window_s: int = 60, num_partitions: int = 8)
     return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
         active_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def events_timed_conversion(sf_dir: str, window_s: int = 3600, num_partitions: int = 8):
+    """TIMED conversion: of the users whose first 'signup' precedes their
+    first 'purchase', how many converted within the window — the
+    time-to-convert funnel constraint.  One filtered groupby reduces
+    events to per-user first-touch timestamps (conditional Min over the
+    two types), block partials fold to four driver scalars."""
+    from ray.data.aggregate import Min
+
+    from dynaalign_ray.joins import collect_arrow
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    BIG = np.int64(2**62)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("ts").cast(pa.int64()), dtype=np.int64)
+        et = b.column("event_type").to_pylist()
+        is_s = np.array([t == "signup" for t in et])
+        is_p = np.array([t == "purchase" for t in et])
+        keep = is_s | is_p
+        return pa.table(
+            {
+                "user_id": b.column("user_id").filter(pa.array(keep)),
+                "s_ts": pa.array(np.where(is_s, ts, BIG)[keep], pa.int64()),
+                "p_ts": pa.array(np.where(is_p, ts, BIG)[keep], pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id", num_partitions=num_partitions)
+        .aggregate(Min("s_ts", alias_name="s"), Min("p_ts", alias_name="p"))
+    )
+    win_us = window_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("s"), dtype=np.int64)
+        p = np.asarray(b.column("p"), dtype=np.int64)
+        has_s = s < BIG
+        has_p = p < BIG
+        ordered = has_s & has_p & (s <= p)
+        timed = ordered & (p - s <= win_us)
+        return pa.table(
+            {
+                "n_signup": pa.array([int(has_s.sum())], pa.int64()),
+                "n_ordered_pairs": pa.array([int(ordered.sum())], pa.int64()),
+                "n_converted_in_window": pa.array([int(timed.sum())], pa.int64()),
+            }
+        )
+
+    t = collect_arrow(
+        per_user.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return pa.table(
+        {
+            c: pa.array([int(np.asarray(t.column(c), dtype=np.int64).sum())], pa.int64())
+            for c in ["n_signup", "n_ordered_pairs", "n_converted_in_window"]
+        }
+    )
+
+
+def events_bounce_rate(sf_dir: str, gap_s: int = 1800, num_partitions: int = 8):
+    """SESSIONIZED bounce rate per user: sessions split at inactivity
+    gaps > ``gap_s``; a bounce is a single-event session.  One keyed
+    repartition + lexsort; session boundaries are one vectorized gap
+    compare and bounces fall out of the session-length bincount.  The
+    rate divides exact ints."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap_us = gap_s * 1_000_000
+
+    def sess_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_sessions", pa.int64()),
+                ("n_bounces", pa.int64()),
+                ("bounce_rate", pa.float64()),
+            ]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        n = len(uid)
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess_id = np.cumsum(new_sess) - 1
+        sess_len = np.bincount(sess_id)
+        sess_user = uid[new_sess]
+        users, inv = np.unique(sess_user, return_inverse=True)
+        n_sessions = np.bincount(inv).astype(np.int64)
+        n_bounces = np.zeros(len(users), dtype=np.int64)
+        np.add.at(n_bounces, inv, (sess_len == 1).astype(np.int64))
+        from dynaalign_ray.pipelines.relational import round4
+
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_bounces": pa.array(n_bounces, pa.int64()),
+                "bounce_rate": round4(
+                    n_bounces.astype(np.float64) / n_sessions.astype(np.float64)
+                ),
+            }
+        )
+
+    return ev.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
+        sess_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def orders_dow_revenue(sf_dir: str, num_partitions: int = 8):
+    """Revenue seasonality by DAY OF WEEK, with the weekday derived by
+    PURE INTEGER arithmetic mirrored in the oracle ((epoch_days + 4) % 7,
+    0 = Monday) — no date_part dialect dependence anywhere.  One
+    exact-cents groupby over a 7-row key."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("o_orderdate").cast(pa.int64()), dtype=np.int64)
+        days = d // day_us
+        dow = (days + 3) % 7  # 1970-01-01 was a Thursday; 0 = Monday
+        cents = np.asarray(
+            pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                pa.int64(),
+            ),
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "dow": pa.array(dow, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dow", num_partitions=num_partitions)
+        .aggregate(Sum("cents", alias_name="rev_cents"), Count(alias_name="n_orders"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b.column("rev_cents"), dtype=np.float64)
+        return pa.table(
+            {
+                "dow": b.column("dow"),
+                "n_orders": b.column("n_orders").cast(pa.int64()),
+                "revenue": round4(cents / 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -722,3 +722,95 @@ class TestLorenzDeciles:
             assert got.loc[k, "cum_docs"] == m
             assert got.loc[k, "cum_chars"] == int(xs[:m].sum())
         assert got.loc[10, "share"] == 1.0
+
+
+class TestTimedConversion:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_timed_conversion
+
+        rows = [
+            # user 1: signup then purchase 30 min later -> in window
+            ("2024-01-01T00:00:00", 1, "signup", 0.0),
+            ("2024-01-01T00:30:00", 1, "purchase", 0.0),
+            # user 2: signup then purchase 2 h later -> ordered, not timed
+            ("2024-01-01T00:00:00", 2, "signup", 0.0),
+            ("2024-01-01T02:00:00", 2, "purchase", 0.0),
+            # user 3: purchase BEFORE signup -> not ordered
+            ("2024-01-01T00:00:00", 3, "purchase", 0.0),
+            ("2024-01-01T01:00:00", 3, "signup", 0.0),
+            # user 4: signup only
+            ("2024-01-01T00:00:00", 4, "signup", 0.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = events_timed_conversion(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_signup"] == 4
+        assert got["n_ordered_pairs"] == 2
+        assert got["n_converted_in_window"] == 1
+
+
+class TestBounceRate:
+    def test_sessions_and_bounces(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_bounce_rate
+
+        rows = [
+            # user 1: two events 1 min apart (one session), then a lone
+            # event 2 h later (bounce) -> 2 sessions, 1 bounce
+            ("2024-01-01T00:00:00", 1, "a", 0.0),
+            ("2024-01-01T00:01:00", 1, "a", 0.0),
+            ("2024-01-01T02:00:00", 1, "a", 0.0),
+            ("2024-01-01T00:00:00", 2, "a", 0.0),
+        ]
+        _write_events(tmp_path, rows)
+        got = events_bounce_rate(str(tmp_path)).to_pandas().set_index("user_id")
+        assert got.loc[1, "n_sessions"] == 2 and got.loc[1, "n_bounces"] == 1
+        assert got.loc[1, "bounce_rate"] == 0.5
+        assert got.loc[2, "n_sessions"] == 1 and got.loc[2, "bounce_rate"] == 1.0
+
+
+class TestDowRevenue:
+    def test_known_weekday(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import orders_dow_revenue
+
+        # 2024-01-01 was a Monday -> dow 0; 2024-01-04 Thursday -> dow 3
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderdate": pa.array(
+                        [np.datetime64("2024-01-01", "us"), np.datetime64("2024-01-04", "us")],
+                        pa.timestamp("us"),
+                    ),
+                    "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        got = orders_dow_revenue(str(tmp_path)).to_pandas().set_index("dow")
+        assert got.loc[0, "revenue"] == 10.0
+        assert got.loc[3, "revenue"] == 20.0
+
+
+class TestDedupSavings:
+    def test_cross_source_cluster(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import doc_dedup_savings
+
+        rows = [
+            (0, "same text", "s1", 9),
+            (1, "same text", "s2", 9),  # dup, dropped, charged to s2
+            (2, "unique", "s2", 6),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                    "lang": pa.array(["en"] * 3),
+                    "source": pa.array([r[2] for r in rows]),
+                    "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = doc_dedup_savings(str(tmp_path)).to_pandas().set_index("source")
+        assert got.loc["s1", "kept"] == 1 and got.loc["s1", "dropped"] == 0
+        assert got.loc["s2", "kept"] == 1 and got.loc["s2", "dropped"] == 1
+        assert got.loc["s2", "dropped_chars"] == 9
