@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bounce_rate": r.events_bounce_rate,  # sessionized single-event share
         "orders_dow_revenue": r.orders_dow_revenue,  # weekday seasonality, integer dow
         "doc_dedup_savings": c.doc_dedup_savings,  # dedup ROI by source
+        "doc_cluster_size_gini": c.doc_cluster_size_gini,  # flagship cluster-size inequality
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2916,6 +2917,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Gini of the flagship near-dup cluster-size distribution: the
+        # same recursive-CTE CC as doc_neardup_clusters feeds the
+        # rank-weighted Gini form (tie order irrelevant — see
+        # doc_length_gini).
+        "doc_cluster_size_gini": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT a, b FROM inter
+                JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+                WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM e
+                    UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.node
+            ),
+            cc AS (
+                SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            cs AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS x
+                FROM cc GROUP BY cluster_id
+            ),
+            sized AS (
+                SELECT x, row_number() OVER (ORDER BY x) AS rn FROM cs
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS total,
+                       CAST(sum(rn * x) AS BIGINT) AS s
+                FROM sized
+            )
+            SELECT n AS n_clusters, total AS n_docs,
+                   round(CAST(2 * s - (n + 1) * total AS DOUBLE)
+                         / CAST(n * total AS DOUBLE) * 10000) / 10000 AS gini
+            FROM agg
         """,
         # Timed funnel: per-user first-touch Mins, then three counts.
         "events_timed_conversion": """

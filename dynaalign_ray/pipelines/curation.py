@@ -4885,3 +4885,51 @@ def doc_dedup_savings(sf_dir: str, num_partitions: int = 8):
             Sum("dropped_chars", alias_name="dropped_chars"),
         )
     )
+
+
+def doc_cluster_size_gini(sf_dir: str, num_partitions: int = 8):
+    """GINI of the flagship near-dup CLUSTER-SIZE distribution — are
+    duplicates spread thin or concentrated in a few mega-clusters (the
+    boilerplate-farm indicator that decides salting strategy)?  Composes
+    the flagship MinHash-LSH clustering with the histogram Gini: cluster
+    sizes from one groupby over the labels, then the exact closed form
+    over equal-size runs (see doc_length_gini).  Singleton docs count as
+    size-1 clusters, matching the oracle's CC over all docs."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.joins import collect_arrow
+    from dynaalign_ray.pipelines.neardup import near_dedup
+    from dynaalign_ray.pipelines.relational import round4
+
+    cfg = DedupConfig(shingle_k=3)
+    res = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=cfg,
+        num_partitions=num_partitions,
+    )
+    sizes = (
+        res.clusters.groupby("cluster_id", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="sz"))
+        .groupby("sz", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="cnt"))
+    )
+    hist = collect_arrow(sizes)  # size-histogram grain: #distinct sizes rows
+    vals = np.asarray(hist.column("sz"), dtype=np.int64)
+    cnts = np.asarray(hist.column("cnt"), dtype=np.int64)
+    o = np.argsort(vals)
+    vals, cnts = vals[o], cnts[o]
+    n = int(cnts.sum())
+    total = int((vals * cnts).sum())
+    p = 0
+    s = 0
+    for v, c in zip(vals.tolist(), cnts.tolist()):
+        s += v * (c * p + c * (c + 1) // 2)
+        p += c
+    gini = (2 * s - (n + 1) * total) / (n * total) if n and total else 0.0
+    return pa.table(
+        {
+            "n_clusters": pa.array([n], pa.int64()),
+            "n_docs": pa.array([total], pa.int64()),
+            "gini": round4(np.array([gini])),
+        }
+    )
