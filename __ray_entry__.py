@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dow_revenue": r.orders_dow_revenue,  # weekday seasonality, integer dow
         "doc_dedup_savings": c.doc_dedup_savings,  # dedup ROI by source
         "doc_cluster_size_gini": c.doc_cluster_size_gini,  # flagship cluster-size inequality
+        "doc_top_term_coverage": c.doc_top_term_coverage,  # head-heaviness of the term dist
+        "supplier_part_diversity": r.supplier_part_diversity,  # Simpson assortment index
+        "supplier_balance_zscore": r.supplier_balance_zscore,  # per-nation outlier screen
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2917,6 +2920,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Top-k term coverage: (count DESC, term ASC) total order; the
+        # cumulative share divides exact ints.
+        "doc_top_term_coverage": """
+            WITH tc AS (
+                SELECT w AS term, CAST(count(*) AS BIGINT) AS n FROM (
+                    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+                    FROM documents
+                ) WHERE length(w) >= 1 GROUP BY w
+            ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tc),
+            top AS (
+                SELECT term, n,
+                       row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+                FROM tc ORDER BY n DESC, term ASC LIMIT 10
+            )
+            SELECT rank, term, n,
+                   round(CAST(sum(n) OVER (ORDER BY rank
+                                           ROWS UNBOUNDED PRECEDING)
+                              AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                         * 10000) / 10000 AS cum_coverage
+            FROM top, tot
+        """,
+        # Simpson diversity 1 - sum n_i(n_i-1)/(N(N-1)) over exact ints;
+        # suppliers with a single lineitem are excluded (undefined index).
+        "supplier_part_diversity": """
+            WITH p AS (
+                SELECT l_suppkey, l_partkey, CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1, 2
+            ), g AS (
+                SELECT l_suppkey,
+                       CAST(sum(n) AS BIGINT) AS n_items,
+                       CAST(count(*) AS BIGINT) AS n_parts,
+                       CAST(sum(n * (n - 1)) AS BIGINT) AS sq
+                FROM p GROUP BY l_suppkey
+                HAVING sum(n) > 1
+            )
+            SELECT l_suppkey, n_items, n_parts,
+                   round((1.0 - CAST(sq AS DOUBLE)
+                          / (CAST(n_items AS DOUBLE)
+                             * CAST(n_items - 1 AS DOUBLE)))
+                         * 10000) / 10000 AS simpson
+            FROM g
+        """,
+        # Per-nation z-scores: mean and population std re-derived from the
+        # SAME exact int sums in the identical float tree on both sides.
+        "supplier_balance_zscore": """
+            WITH v AS (
+                SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS nk,
+                       CAST(round(s_acctbal * 100) AS BIGINT) AS c
+                FROM supplier
+            ), g AS (
+                SELECT nk, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS sx,
+                       CAST(sum(c * c) AS BIGINT) AS sxx
+                FROM v GROUP BY nk
+            )
+            SELECT s_suppkey, nk,
+                   round(CASE WHEN sqrt(greatest(
+                                  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                  0.0)) / CAST(n AS DOUBLE) > 0
+                        THEN (CAST(c AS DOUBLE)
+                              - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (sqrt(greatest(
+                                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                   0.0)) / CAST(n AS DOUBLE))
+                        ELSE 0.0 END * 10000) / 10000 AS zscore
+            FROM v JOIN g USING (nk)
         """,
         # Gini of the flagship near-dup cluster-size distribution: the
         # same recursive-CTE CC as doc_neardup_clusters feeds the

@@ -4933,3 +4933,64 @@ def doc_cluster_size_gini(sf_dir: str, num_partitions: int = 8):
             "gini": round4(np.array([gini])),
         }
     )
+
+
+def doc_top_term_coverage(sf_dir: str, k: int = 10, num_partitions: int = 8):
+    """What fraction of ALL corpus tokens do the top-k terms cover — the
+    head-heaviness probe behind stopword lists and vocab truncation.
+    One tokenize pass pre-aggregates per block, one narrow groupby gives
+    global term counts, the top-k is the per-block partial pattern
+    (count DESC, term ASC — total order), and coverage divides two exact
+    int64s."""
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.exec import partial_topk
+    from dynaalign_ray.joins import collect_arrow
+    from dynaalign_ray.pipelines.relational import round4
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in text.split():
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    global_counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total_t = collect_arrow(
+        global_counts.map_batches(
+            lambda b: pa.table(
+                {"t": pa.array([int(np.asarray(b.column("n"), dtype=np.int64).sum())], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    total = int(np.asarray(total_t.column("t"), dtype=np.int64).sum())
+    top = partial_topk(
+        global_counts, [("n", "descending"), ("term", "ascending")], k
+    )
+    top_t = top if isinstance(top, pa.Table) else collect_arrow(top)
+    n = np.asarray(top_t.column("n"), dtype=np.int64)
+    order = np.lexsort((np.array(top_t.column("term").to_pylist()), -n))
+    terms = [top_t.column("term").to_pylist()[i] for i in order]
+    n = n[order]
+    cum = np.cumsum(n)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(n) + 1, dtype=np.int64)),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "cum_coverage": round4(cum.astype(np.float64) / float(total)),
+        }
+    )

@@ -4480,3 +4480,129 @@ def orders_dow_revenue(sf_dir: str, num_partitions: int = 8):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def supplier_part_diversity(sf_dir: str, num_partitions: int = 8):
+    """SIMPSON DIVERSITY of each supplier's part mix: the probability two
+    random lineitems of a supplier name different parts,
+    1 - sum n_i(n_i-1) / (N(N-1)) — the assortment-concentration audit.
+    One (supplier, part) groupby bounds everything at distinct-pair
+    grain; per-supplier sufficient sums are exact int64 (one keyed
+    repartition); the index divides exact ints."""
+    from ray.data.aggregate import Count
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    pairs = li.groupby(["l_suppkey", "l_partkey"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="n")
+    )
+
+    def per_supplier(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("l_suppkey", pa.int64()),
+                ("n_items", pa.int64()),
+                ("n_parts", pa.int64()),
+                ("simpson", pa.float64()),
+            ]
+        ).empty_table()
+        if b.num_rows == 0:
+            return empty
+        order = pc.sort_indices(b, sort_keys=[("l_suppkey", "ascending")])
+        t = b.take(order)
+        s = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        n = np.asarray(t.column("n"), dtype=np.int64)
+        first = np.empty(len(s), dtype=bool)
+        first[0] = True
+        first[1:] = s[1:] != s[:-1]
+        seg = np.cumsum(first) - 1
+        n_seg = int(seg[-1]) + 1
+        tot = np.zeros(n_seg, dtype=np.int64)
+        np.add.at(tot, seg, n)
+        sq = np.zeros(n_seg, dtype=np.int64)
+        np.add.at(sq, seg, n * (n - 1))
+        parts = np.bincount(seg).astype(np.int64)
+        keep = tot > 1
+        simpson = 1.0 - sq[keep].astype(np.float64) / (
+            tot[keep].astype(np.float64) * (tot[keep] - 1).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "l_suppkey": pa.array(s[first][keep], pa.int64()),
+                "n_items": pa.array(tot[keep], pa.int64()),
+                "n_parts": pa.array(parts[keep], pa.int64()),
+                "simpson": round4(simpson),
+            }
+        )
+
+    return pairs.repartition(num_blocks=num_partitions, keys=["l_suppkey"]).map_batches(
+        per_supplier, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def supplier_balance_zscore(sf_dir: str, num_partitions: int = 8):
+    """Per-nation account-balance Z-SCORES (population std): the outlier
+    screen for fat-finger balances.  Nation-level sufficient statistics
+    (n, sum, sum-of-squares over exact cents) come from one tiny
+    groupby; every supplier's z re-derives mean and std from the SAME
+    exact ints in one mirrored float tree (std uses the
+    sqrt((n*sxx - sx^2))/n population form; zero-variance nations emit
+    z = 0)."""
+    from ray.data.aggregate import Count, Sum
+
+    from dynaalign_ray.joins import collect_arrow
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.cast(
+                pc.round(pc.multiply(b.column("s_acctbal"), pa.scalar(100.0))),
+                pa.int64(),
+            ),
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "nk": b.column("s_nationkey").cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "sq": pa.array(cents * cents, pa.int64()),
+            }
+        )
+
+    ints = sup.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    stats_t = collect_arrow(
+        ints.groupby("nk", num_partitions=num_partitions).aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="sx"),
+            Sum("sq", alias_name="sxx"),
+        )
+    )  # nation-grain
+    nk = np.asarray(stats_t.column("nk"), dtype=np.int64)
+    n = np.asarray(stats_t.column("n"), dtype=np.int64)
+    sx = np.asarray(stats_t.column("sx"), dtype=np.int64)
+    sxx = np.asarray(stats_t.column("sxx"), dtype=np.int64)
+    stat_map = {int(k): (int(a), int(b_), int(c_)) for k, a, b_, c_ in zip(nk, n, sx, sxx)}
+
+    def z_block(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("nk"), dtype=np.int64)
+        cents = np.asarray(b.column("cents"), dtype=np.int64)
+        nn = np.array([stat_map[int(x)][0] for x in k], dtype=np.float64)
+        sxv = np.array([stat_map[int(x)][1] for x in k], dtype=np.float64)
+        sxxv = np.array([stat_map[int(x)][2] for x in k], dtype=np.float64)
+        mean = sxv / nn
+        var_num = nn * sxxv - sxv * sxv
+        std = np.sqrt(np.maximum(var_num, 0.0)) / nn
+        z = np.where(std > 0.0, (cents.astype(np.float64) - mean) / np.where(std > 0.0, std, 1.0), 0.0)
+        from dynaalign_ray.pipelines.relational import round4
+
+        return pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "nk": b.column("nk"),
+                "zscore": round4(z),
+            }
+        )
+
+    out = ints.map_batches(z_block, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["s_suppkey", "nk", "zscore"])

@@ -814,3 +814,73 @@ class TestDedupSavings:
         assert got.loc["s1", "kept"] == 1 and got.loc["s1", "dropped"] == 0
         assert got.loc["s2", "kept"] == 1 and got.loc["s2", "dropped"] == 1
         assert got.loc["s2", "dropped_chars"] == 9
+
+
+class TestTopTermCoverage:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import doc_top_term_coverage
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a a a b b c", "a b d"]),
+                    "lang": pa.array(["en"] * 2),
+                    "source": pa.array(["s"] * 2),
+                    "n_chars": pa.array([11, 5], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = doc_top_term_coverage(str(tmp_path), k=2).to_pandas()
+        # counts: a=4, b=3, c=1, d=1; total 9
+        assert list(got["term"]) == ["a", "b"]
+        assert list(got["n"]) == [4, 3]
+        assert got.iloc[1]["cum_coverage"] == round(7 / 9, 4)
+
+
+class TestSimpsonDiversity:
+    def test_single_part_supplier_zero(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import supplier_part_diversity
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_suppkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                    "l_partkey": pa.array([7, 7, 7, 8, 9], pa.int64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        got = (
+            supplier_part_diversity(str(tmp_path)).to_pandas().set_index("l_suppkey")
+        )
+        assert got.loc[1, "simpson"] == 0.0  # all same part
+        assert got.loc[2, "simpson"] == 1.0  # all different parts
+
+
+class TestBalanceZscore:
+    def test_matches_numpy(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import supplier_balance_zscore
+
+        rng = np.random.default_rng(31)
+        bal = np.round(rng.uniform(-100, 1000, 40), 2)
+        nk = rng.integers(0, 3, 40)
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array(range(40), pa.int64()),
+                    "s_nationkey": pa.array(nk, pa.int32()),
+                    "s_acctbal": pa.array(bal, pa.float64()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        got = supplier_balance_zscore(str(tmp_path)).to_pandas().set_index("s_suppkey")
+        cents = np.round(bal * 100)
+        for k in range(3):
+            m = nk == k
+            mu, sd = cents[m].mean(), cents[m].std()  # population std
+            for i in np.nonzero(m)[0]:
+                want = (cents[i] - mu) / sd
+                assert abs(got.loc[i, "zscore"] - want) < 5e-4
