@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_term_coverage": c.doc_top_term_coverage,  # head-heaviness of the term dist
         "supplier_part_diversity": r.supplier_part_diversity,  # Simpson assortment index
         "supplier_balance_zscore": r.supplier_balance_zscore,  # per-nation outlier screen
+        "doc_shingle_df_hist": c.doc_shingle_df_hist,  # boilerplate profile (df histogram)
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2920,6 +2921,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Shingle document-frequency histogram: the engine's hashed
+        # per-doc-distinct shingles vs the oracle's string-space walk —
+        # counts agree iff the hash kernel is set-equivalent.
+        "doc_shingle_df_hist": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ),
+            df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df
+                   FROM s GROUP BY sh)
+            SELECT df, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM df GROUP BY df
         """,
         # Top-k term coverage: (count DESC, term ASC) total order; the
         # cumulative share divides exact ints.

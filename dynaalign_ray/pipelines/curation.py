@@ -4994,3 +4994,49 @@ def doc_top_term_coverage(sf_dir: str, k: int = 10, num_partitions: int = 8):
             "cum_coverage": round4(cum.astype(np.float64) / float(total)),
         }
     )
+
+
+def doc_shingle_df_hist(sf_dir: str, k: int = 3, num_partitions: int = 8):
+    """Document-frequency HISTOGRAM of the distinct word-k-shingles — the
+    boilerplate profile that sizes LSH bucket salting (a fat df tail
+    means hot buckets).  Two narrow groupbys: per-doc-distinct shingle
+    hashes -> df per shingle -> shingle count per df value.  The shuffle
+    never carries strings (the same hashed-shingle kernel as the MinHash
+    stage); the oracle walks the same distinct-shingle CTE in string
+    space, exercising hash-set equivalence end to end."""
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.shingles import batch_shingle_hashes
+
+    def distinct_shingles(batch: pa.Table) -> pa.Table:
+        hashes, counts = batch_shingle_hashes(batch.column("text"), k=k, mode="word")
+        doc_ids = np.repeat(
+            np.asarray(batch.column("doc_id"), dtype=np.int64), counts
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sh": pa.array(hashes.astype(np.int64), pa.int64()),
+            }
+        )
+        # per-doc distinct via one lexsort + adjacent-dup drop
+        order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending"), ("sh", "ascending")])
+        t = t.take(order)
+        d = np.asarray(t.column("doc_id"), dtype=np.int64)
+        s = np.asarray(t.column("sh"), dtype=np.int64)
+        keep = np.empty(len(d), dtype=bool)
+        if len(d):
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        return t.filter(pa.array(keep))
+
+    df = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(distinct_shingles, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sh", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="df"))
+    )
+    return (
+        df.groupby("df", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_shingles"))
+    )

@@ -884,3 +884,31 @@ class TestBalanceZscore:
             for i in np.nonzero(m)[0]:
                 want = (cents[i] - mu) / sd
                 assert abs(got.loc[i, "zscore"] - want) < 5e-4
+
+
+class TestShingleDfHist:
+    def test_hand_computed(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.curation import doc_shingle_df_hist
+
+        texts = [
+            "a b c d",      # shingles: "a b c", "b c d"
+            "a b c e",      # shingles: "a b c", "b c e"
+            "x y",          # < 3 tokens: no shingles
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * len(texts)),
+                    "source": pa.array(["s"] * len(texts)),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = doc_shingle_df_hist(str(tmp_path)).to_pandas().set_index("df")
+        # df=1: "b c d", "b c e" -> 2 shingles; df=2: "a b c" -> 1
+        assert got.loc[1, "n_shingles"] == 2
+        assert got.loc[2, "n_shingles"] == 1
+        assert len(got) == 2
