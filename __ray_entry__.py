@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_diversity": r.supplier_part_diversity,  # Simpson assortment index
         "supplier_balance_zscore": r.supplier_balance_zscore,  # per-nation outlier screen
         "doc_shingle_df_hist": c.doc_shingle_df_hist,  # boilerplate profile (df histogram)
+        "doc_langid_confusion": c.doc_langid_confusion,  # label-vs-prediction matrix
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -418,6 +419,26 @@ def _textstats_oracles() -> dict[str, str]:
             SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM pred GROUP BY pred_lang
         """
+    # Confusion matrix: the SAME generated predictor SQL, with the labeled
+    # lang carried through and grouped against the prediction.
+    confusion = f"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       {score_cols},
+                       CAST(len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS DOUBLE)
+                       / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS cjk_ratio
+                FROM documents
+            ), pred AS (
+                SELECT doc_id, lang,
+                       CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+                            WHEN {best} < 0.01 THEN 'unknown'
+                            {argmax_case}
+                            ELSE '{langs[-1]}' END AS pred_lang
+                FROM s
+            )
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY lang, pred_lang
+        """
     # Tiered funnel: the full five-tier chain (filter -> doc-exact ->
     # chunk-exact -> byte-span -> near) composed in ONE statement, each tier
     # reusing its already-proven oracle form over the survivor set the
@@ -615,6 +636,7 @@ def _textstats_oracles() -> dict[str, str]:
     return {
         "doc_quality": quality,
         "doc_langid_counts": langid,
+        "doc_langid_confusion": confusion,
         "doc_curation_funnel": funnel,
         "doc_tiered_funnel": tiered,
         "doc_neardup_best_keep": best_keep,

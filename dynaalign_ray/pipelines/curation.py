@@ -5040,3 +5040,31 @@ def doc_shingle_df_hist(sf_dir: str, k: int = 3, num_partitions: int = 8):
         df.groupby("df", num_partitions=num_partitions)
         .aggregate(Count(alias_name="n_shingles"))
     )
+
+
+def doc_langid_confusion(sf_dir: str, num_partitions: int = 8):
+    """CONFUSION MATRIX of the heuristic language-ID against the labeled
+    lang column — the model-evaluation shape (which languages get
+    mistaken for which).  The same LangIdActor the histogram query uses,
+    with the label carried through the batch (row order is preserved by
+    the vectorized actor); one (label, prediction) groupby ends it."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from dynaalign_ray.functions.textstats import LangIdActor
+
+    class _LangIdWithLabel(LangIdActor):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            return out.append_column("lang", batch.column("lang"))
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    pred = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        _LangIdWithLabel,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(2, max(2, ncpu // 2)),
+    )
+    return pred.groupby(["lang", "pred_lang"], num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_docs")
+    )
