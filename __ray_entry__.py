@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_zscore": r.supplier_balance_zscore,  # per-nation outlier screen
         "doc_shingle_df_hist": c.doc_shingle_df_hist,  # boilerplate profile (df histogram)
         "doc_langid_confusion": c.doc_langid_confusion,  # label-vs-prediction matrix
+        "orders_gap_histogram": r.orders_gap_histogram,  # reorder-cadence profile
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2943,6 +2944,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Inter-order gap histogram: whole-day floor division over
+        # consecutive per-customer orders, (date, orderkey) total order.
+        "orders_gap_histogram": """
+            WITH g AS (
+                SELECT (epoch_us(lead(o_orderdate) OVER w)
+                        - epoch_us(o_orderdate)) // 86400000000 AS gap_days
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            )
+            SELECT CAST(gap_days AS BIGINT) AS gap_days,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM g WHERE gap_days IS NOT NULL
+            GROUP BY gap_days
         """,
         # Shingle document-frequency histogram: the engine's hashed
         # per-doc-distinct shingles vs the oracle's string-space walk —

@@ -4606,3 +4606,51 @@ def supplier_balance_zscore(sf_dir: str, num_partitions: int = 8):
 
     out = ints.map_batches(z_block, batch_format="pyarrow", zero_copy_batch=True)
     return out.select_columns(["s_suppkey", "nk", "zscore"])
+
+
+def orders_gap_histogram(sf_dir: str, num_partitions: int = 8):
+    """Histogram of per-customer INTER-ORDER gaps in whole days — the
+    reorder-cadence profile.  One keyed repartition + lexsort gives each
+    customer's consecutive order gaps vectorized; floor division to days
+    and one narrow groupby count end it.  All integers."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    day_us = 86_400_000_000
+
+    def gaps_block(b: pa.Table) -> pa.Table:
+        empty = pa.schema([("gap_days", pa.int64())]).empty_table()
+        if b.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "ck": b.column("o_custkey"),
+                "d": b.column("o_orderdate").cast(pa.int64()),
+                "ok": b.column("o_orderkey"),
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("ck", "ascending"),
+                ("d", "ascending"),
+                ("ok", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        ck = np.asarray(t.column("ck"), dtype=np.int64)
+        d = np.asarray(t.column("d"), dtype=np.int64)
+        if len(ck) < 2:
+            return empty
+        same = ck[1:] == ck[:-1]
+        gaps = (d[1:] - d[:-1])[same] // day_us
+        return pa.table({"gap_days": pa.array(gaps, pa.int64())})
+
+    return (
+        orders.repartition(num_blocks=num_partitions, keys=["o_custkey"])
+        .map_batches(
+            gaps_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("gap_days", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_gaps"))
+    )
