@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shingle_df_hist": c.doc_shingle_df_hist,  # boilerplate profile (df histogram)
         "doc_langid_confusion": c.doc_langid_confusion,  # label-vs-prediction matrix
         "orders_gap_histogram": r.orders_gap_histogram,  # reorder-cadence profile
+        "events_hour_of_day": r.events_hour_of_day,  # 24-bucket activity profile
         # --- relational surface (r3 green)
         "q1_pricing": r.q1_pricing,
         "revenue_by_nation": r.revenue_by_nation,
@@ -2944,6 +2945,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
             FROM v a JOIN v b ON a.w < b.w
             WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        # Hour-of-day profile: dialect-free integer hour; avg divides the
+        # ROUNDED sum by the exact count (engine-wide derived-avg rule).
+        "events_hour_of_day": """
+            WITH p AS (
+                SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), g AS (
+                SELECT CAST(hour AS BIGINT) AS hour,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       round(CAST(sum(cents) AS DOUBLE) / 100.0
+                             * 10000) / 10000 AS total_value
+                FROM p GROUP BY hour
+            )
+            SELECT hour, n_events, total_value,
+                   round(total_value / CAST(n_events AS DOUBLE)
+                         * 10000) / 10000 AS avg_value
+            FROM g
         """,
         # Inter-order gap histogram: whole-day floor division over
         # consecutive per-customer orders, (date, orderkey) total order.

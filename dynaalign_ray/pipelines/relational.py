@@ -4654,3 +4654,53 @@ def orders_gap_histogram(sf_dir: str, num_partitions: int = 8):
         .groupby("gap_days", num_partitions=num_partitions)
         .aggregate(Count(alias_name="n_gaps"))
     )
+
+
+def events_hour_of_day(sf_dir: str, num_partitions: int = 8):
+    """Activity profile by HOUR OF DAY (0-23), with the hour derived by
+    pure integer arithmetic mirrored in the oracle ((epoch_us //
+    3600e6) % 24 — dialect-free, floor-safe).  One exact-cents groupby
+    over a 24-row key; the mean derives from the rounded sum per the
+    engine-wide derived_avg rule."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    hour_us = 3_600_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("ts").cast(pa.int64()), dtype=np.int64)
+        cents = np.asarray(
+            pc.cast(
+                pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))), pa.int64()
+            ),
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "hour": pa.array((ts // hour_us) % 24, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b.column("sum_cents"), dtype=np.float64)
+        n = np.asarray(b.column("n_events"), dtype=np.float64)
+        total = round4(cents / 100.0)
+        return pa.table(
+            {
+                "hour": b.column("hour"),
+                "n_events": b.column("n_events").cast(pa.int64()),
+                "total_value": total,
+                # derived-avg rule: divide the ROUNDED sum (bit-identical
+                # on both sides) by the exact count
+                "avg_value": round4(np.asarray(total, dtype=np.float64) / n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
