@@ -912,3 +912,20 @@ class TestShingleDfHist:
         assert got.loc[1, "n_shingles"] == 2
         assert got.loc[2, "n_shingles"] == 1
         assert len(got) == 2
+
+
+class TestHourOfDay:
+    def test_bucketing_and_means(self, ray_session, tmp_path):
+        from dynaalign_ray.pipelines.relational import events_hour_of_day
+
+        rows = [
+            ("2024-01-01T05:10:00", 1, "a", 1.00),
+            ("2024-01-02T05:50:00", 2, "a", 3.00),  # same hour bucket (5)
+            ("2024-01-01T23:59:59", 3, "a", 7.00),
+        ]
+        _write_events(tmp_path, rows)
+        got = events_hour_of_day(str(tmp_path)).to_pandas().set_index("hour")
+        assert got.loc[5, "n_events"] == 2
+        assert got.loc[5, "total_value"] == 4.0
+        assert got.loc[5, "avg_value"] == 2.0
+        assert got.loc[23, "n_events"] == 1 and got.loc[23, "total_value"] == 7.0
