@@ -36,12 +36,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from dynaalign_ray.pipelines import webpages as w
 
     # ORDER MATTERS: the driver's per-round correctness harness runs this
-    # dict in order and stops at a 50-query cap (observed r01-r03).
-    # Round-4 ordering (VERDICT r3 "Next round" #1): the FLAGSHIP first,
-    # then every oracle-backed entry the driver has never hash-checked,
-    # then this round's new entries, then the r3-hash-green set as the
-    # regression signal; previously-green and rows-only entries last.
-    return {
+    # dict in order and stops at a 50-query cap (observed r01-r04).
+    # Round-5 ordering (VERDICT r4 "Next round" #1): the dict below keeps
+    # its round-4 layout for readability, but _R5_WINDOW below reorders it
+    # so the 52 oracle-backed queries that have never appeared in any
+    # driver CORRECTNESS window come first (all 52 verified green against
+    # DuckDB at sf0.01 via scripts/check_oracles.py before this reorder).
+    q = {
         # --- 1. flagship (recursive-CTE CC oracle; never driver-reached
         #        in r1-r3 because 29 new queries pushed it past the cap)
         "doc_neardup_clusters": c.doc_neardup_clusters,
@@ -272,6 +273,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_neardup": c.media_video_neardup,  # Y4M temporal-SimHash pairs
         "media_image_in_video": c.media_image_in_video,  # cross-modal frame match
     }
+    ordered = {name: q[name] for name in _R5_WINDOW if name in q}
+    ordered.update({name: fn for name, fn in q.items() if name not in ordered})
+    return ordered
+
+
+# Round-5 driver-window priority: the 52 oracle-backed queries() entries
+# that never appeared in CORRECTNESS_r01-r04 (cross-referenced from those
+# JSON files), least-recently-added first.  The driver checks the first 50
+# per round; the two entries most redundantly covered by pytest
+# (orders_dow_revenue, events_hour_of_day — both trivial integer-bucket
+# groupbys added late in round 4) are placed at slots 51-52 so they are
+# the ones to miss the cap.  Everything after the window keeps its
+# round-4 relative order, so previously-green entries remain available as
+# regression picks.
+_R5_WINDOW = [
+    "doc_jaccard_degrees",
+    "events_value_percent_rank",
+    "events_transition_counts",
+    "returnflag_priority_counts",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "two_nation_volume",
+    "nation_market_share",
+    "returned_item_ranking",
+    "q6_forecast_revenue",
+    "suppliers_kept_waiting",
+    "events_type_cooccur",
+    "vocab_edit_pairs",
+    "events_time_weighted_value",
+    "user_event_paths",
+    "active_user_set_ops",
+    "lineitem_qty_discount_corr",
+    "events_dau_wau",
+    "doc_bfs_depths",
+    "doc_rank_by_source",
+    "orders_profile",
+    "embedding_label_centroid",
+    "events_user_drawdown",
+    "doc_length_gini",
+    "part_size_price_spearman",
+    "part_size_price_kendall",
+    "orders_benford_digits",
+    "orders_lineitem_integrity",
+    "events_peak_5min",
+    "lang_source_chi_cells",
+    "events_longest_streak",
+    "source_vocab_overlap",
+    "lineitem_weighted_median_price",
+    "events_active_time",
+    "doc_best_match",
+    "doc_lorenz_deciles",
+    "events_timed_conversion",
+    "events_bounce_rate",
+    "doc_dedup_savings",
+    "doc_cluster_size_gini",
+    "doc_top_term_coverage",
+    "supplier_part_diversity",
+    "supplier_balance_zscore",
+    "doc_shingle_df_hist",
+    "doc_langid_confusion",
+    "orders_gap_histogram",
+    "customers_with_returns",
+    "orders_above_cust_avg",
+    "orders_dow_revenue",
+    "events_hour_of_day",
+]
 
 
 _PAGES_CTE = """

@@ -26,7 +26,14 @@ set similarity to string edit distance.
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
+
+# 64-bit polynomial-hash constants for the batched variant-key kernel
+# (wrap-around uint64 arithmetic; FNV-1a prime as the odd multiplier)
+_POLY_P = np.uint64(1099511628211)
+_POLY_OFFSET = np.uint64(14695981039346656037)
 
 
 def deletion_variants(word: str, d: int = 2) -> list[str]:
@@ -44,6 +51,81 @@ def deletion_variants(word: str, d: int = 2) -> list[str]:
                     nxt.append(v)
         frontier = nxt
     return sorted(seen)
+
+
+def deletion_variant_keys(
+    words: list[str], d: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched deletion-neighborhood keys: for every word, one 63-bit hash
+    key per DISTINCT <=d-deletion variant, returned as aligned arrays
+    ``(word_index, key)``.
+
+    Two words share a key exactly when they share a variant STRING (modulo
+    64-bit polynomial-hash collisions, which can only ADD candidate pairs
+    that the exact DP verify then removes — recall is unaffected), so this
+    replaces per-word ``deletion_variants`` + string hashing in the
+    similarity join without changing its verified output.
+
+    Vectorized shape: the whole column is decoded in ONE codepoint pass
+    ("".join -> utf-32 -> np.frombuffer), then words are processed per
+    exact length with numpy-only inner ops — prefix polynomial hashes once
+    per length, and per deletion-position combination one O(n_words)
+    segment fold.  Total scalar-loop count equals the per-word variant
+    count (sum of C(L, k) over k <= d), the same asymptotic work as the
+    string generator, but every step is a batch op instead of Python
+    string slicing."""
+    n = len(words)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    cp = np.frombuffer("".join(words).encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+
+    out_idx: list[np.ndarray] = []
+    out_key: list[np.ndarray] = []
+    for length in np.unique(lens):
+        L = int(length)
+        rows = np.flatnonzero(lens == L)
+        m = len(rows)
+        if L == 0:
+            # empty word: its only variant is itself
+            out_idx.append(rows)
+            out_key.append(np.full(m, _POLY_OFFSET, dtype=np.uint64))
+            continue
+        M = cp[starts[rows][:, None] + np.arange(L)[None, :]]  # (m, L)
+        # prefix hashes ph[:, t] = poly-hash of the first t codepoints
+        # (+1 keeps codepoint 0 distinguishable from absence)
+        ph = np.zeros((m, L + 1), dtype=np.uint64)
+        for t in range(L):
+            ph[:, t + 1] = ph[:, t] * _POLY_P + (M[:, t] + np.uint64(1))
+        ppow = np.ones(L + 1, dtype=np.uint64)
+        for t in range(L):
+            ppow[t + 1] = ppow[t] * _POLY_P
+        for k in range(min(d, L) + 1):
+            for comb in combinations(range(L), k):
+                h = np.full(m, _POLY_OFFSET, dtype=np.uint64)
+                prev = 0
+                for pos in (*comb, L):
+                    seglen = pos - prev
+                    h = h * ppow[seglen] + (ph[:, pos] - ph[:, prev] * ppow[seglen])
+                    prev = pos + 1
+                out_idx.append(rows)
+                out_key.append(h)
+
+    idx = np.concatenate(out_idx)
+    key = (np.concatenate(out_key) & np.uint64((1 << 63) - 1)).astype(np.int64)
+    # distinct variants per word: repeated characters make different
+    # deletion-position sets collapse to the same string — drop duplicates
+    order = np.lexsort((key, idx))
+    idx = idx[order]
+    key = key[order]
+    keep = np.empty(len(idx), dtype=bool)
+    keep[0] = True
+    keep[1:] = (idx[1:] != idx[:-1]) | (key[1:] != key[:-1])
+    return idx[keep], key[keep]
 
 
 def levenshtein_batch(a_words: list[str], b_words: list[str]) -> np.ndarray:

@@ -1501,26 +1501,14 @@ def doc_winnow_fingerprints(sf_dir: str, kgram: int = 16, window: int = 8):
 
     def winnow_block(batch: pa.Table) -> pa.Table:
         from dynaalign_ray.hashing import to_id63
-        from dynaalign_ray.stages.substring import _gram_hashes, _winnow
+        from dynaalign_ray.stages.substring import winnow_batch
 
         doc_ids = np.asarray(batch.column("doc_id")).astype(np.int64)
-        out_doc, out_fp = [], []
-        for i, text in enumerate(batch.column("text").to_pylist()):
-            fps = _winnow(_gram_hashes(text, kgram), window)
-            if len(fps):
-                out_fp.append(to_id63(fps))
-                out_doc.append(np.full(len(fps), doc_ids[i], dtype=np.int64))
-        if not out_doc:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "fingerprint": pa.array([], pa.int64()),
-                }
-            )
+        doc_idx, fps = winnow_batch(batch.column("text"), kgram, window)
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
-                "fingerprint": pa.array(np.concatenate(out_fp), type=pa.int64()),
+                "doc_id": pa.array(doc_ids[doc_idx], type=pa.int64()),
+                "fingerprint": pa.array(to_id63(fps), type=pa.int64()),
             }
         )
 
@@ -4146,7 +4134,11 @@ def embedding_pq_topk(sf_dir: str, k: int = 5, n_queries: int = 5, m: int = 8):
 
 
 def vocab_edit_pairs(
-    sf_dir: str, max_dist: int = 2, min_len: int = 3, num_partitions: int = 8
+    sf_dir: str,
+    max_dist: int = 2,
+    min_len: int = 3,
+    num_partitions: int = 8,
+    hot_bucket_cap: int = 20_000,
 ):
     """Edit-distance similarity join over the corpus vocabulary: every
     unordered pair of distinct tokens (length >= ``min_len``) within
@@ -4161,16 +4153,24 @@ def vocab_edit_pairs(
     2. each word emits <= 1 + L + C(L, 2) deletion-variant hash keys
        (d = 2) — constant fan-out per word;
     3. repartition on the variant key; per-block bucket pairing emits
-       candidate pairs (bucket members share a variant; bucket size is
-       bounded by the variants' preimage count, a language constant —
-       no pair cap is applied, so recall stays 1.0 by construction);
+       candidate pairs (bucket members share a variant).  Most buckets
+       stay small, but ULTRA-SHORT variants are not bounded by a language
+       constant: a 1-char variant of 3-letter words collects every such
+       word sharing that letter, so hot buckets GROW WITH VOCAB and their
+       C(m, 2) pairing is quadratic in m.  No silent pair cap is applied
+       (recall stays 1.0 by construction); instead any bucket larger than
+       ``hot_bucket_cap`` raises loudly with the offending variant length
+       and the knobs (min_len / max_dist / hot_bucket_cap) that bound it —
+       a skipped or sampled bucket would silently lose pairs;
     4. one (w1, w2) groupby dedupes pairs that share several variants;
     5. the exact batched Levenshtein DP verifies, keeping dist <= d.
     """
     from ray.data.aggregate import Count
 
-    from dynaalign_ray.functions.editdist import deletion_variants, levenshtein_batch
-    from dynaalign_ray.hashing import hash_strings, to_id63
+    from dynaalign_ray.functions.editdist import (
+        deletion_variant_keys,
+        levenshtein_batch,
+    )
 
     def distinct_words(batch: pa.Table) -> pa.Table:
         words: set[str] = set()
@@ -4189,17 +4189,16 @@ def vocab_edit_pairs(
     )
 
     def emit_variants(batch: pa.Table) -> pa.Table:
-        out_w: list[str] = []
-        out_v: list[str] = []
-        for w in batch.column("word").to_pylist():
-            for v in deletion_variants(w, max_dist):
-                out_w.append(w)
-                out_v.append(v)
-        vkey = to_id63(hash_strings(out_v))
+        # batched kernel: one codepoint pass over the whole column, keys
+        # by vectorized segment-fold polynomial hashing — bucket structure
+        # matches string-variant equality (hash collisions only add
+        # candidates the DP verify removes)
+        words_col = batch.column("word").combine_chunks()
+        idx, vkey = deletion_variant_keys(words_col.to_pylist(), max_dist)
         return pa.table(
             {
                 "vkey": pa.array(vkey, type=pa.int64()),
-                "word": pa.array(out_w, type=pa.string()),
+                "word": words_col.take(pa.array(idx, type=pa.int64())),
             }
         )
 
@@ -4224,6 +4223,16 @@ def vocab_edit_pairs(
         for i in range(1, n + 1):
             if i == n or vk[i] != vk[start]:
                 run = words[start:i]
+                if len(run) > hot_bucket_cap:
+                    raise ValueError(
+                        "vocab_edit_pairs: variant bucket of "
+                        f"{len(run)} words (shortest member "
+                        f"{min(map(len, run))!r} chars) exceeds "
+                        f"hot_bucket_cap={hot_bucket_cap}; its C(m,2) "
+                        "pairing would be quadratic — raise min_len, "
+                        "lower max_dist, or raise hot_bucket_cap "
+                        "explicitly"
+                    )
                 # words are sorted within the bucket, so w1 < w2 holds and
                 # duplicates (same word via two variant paths) are adjacent
                 for x in range(len(run)):

@@ -3704,7 +3704,18 @@ def events_user_drawdown(sf_dir: str, num_partitions: int = 8):
         first[0] = True
         first[1:] = uid[1:] != uid[:-1]
         seg = np.cumsum(first) - 1
-        encoded = seg * 1_000_000_000 + cents  # cents << 10^9: monotone in seg
+        # the packed cummax below is only monotone across segment
+        # boundaries when 0 <= cents < 10^9: a negative value would leak
+        # the previous user's running max into the next segment, so the
+        # non-negativity assumption is enforced loudly, not assumed
+        if n and (int(cents.min()) < 0 or int(cents.max()) >= 1_000_000_000):
+            raise ValueError(
+                "events_user_drawdown: event values must satisfy "
+                "0 <= round(value*100) < 10^9 for the packed cummax "
+                f"(got min={cents.min()} max={cents.max()} cents); "
+                "rebase values to non-negative before this stage"
+            )
+        encoded = seg * 1_000_000_000 + cents  # cents in [0, 10^9): monotone in seg
         run_max = np.maximum.accumulate(encoded) - seg * 1_000_000_000
         return pa.table(
             {
@@ -4045,9 +4056,27 @@ def events_peak_5min(sf_dir: str, num_partitions: int = 8):
         first[1:] = uid[1:] != uid[:-1]
         seg = np.cumsum(first) - 1
         # encode (segment, time) into one sorted key so ONE searchsorted
-        # does every per-user window-start lookup; spans < 2^40 us fit
-        BIG = np.int64(1) << 50
-        enc = seg * BIG + (ts - ts.min())
+        # does every per-user window-start lookup.  Segments are packed
+        # DENSELY: each segment's times are rebased to its own start and
+        # shifted past the previous segment's span plus a (win_us + 1)
+        # guard gap, so enc is monotone, windows never cross a segment
+        # boundary, and the key stays bounded by sum(per-user spans) +
+        # n_users * (win_us + 1) — no fixed 2^50 stride that would
+        # silently overflow int64 past 8191 users per block.
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n) - 1
+        seg_min = ts[starts]
+        span = ts[ends] - seg_min
+        base = np.zeros(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            base[1:] = np.cumsum(span[:-1] + win_us + 1)
+        if int(base[-1]) + int(span[-1]) >= (1 << 62):
+            raise ValueError(
+                "events_peak_5min: packed window key would exceed 2^62 "
+                f"(sum of per-user spans across {len(starts)} users); "
+                "raise num_partitions so fewer users land in one block"
+            )
+        enc = base[seg] + (ts - seg_min[seg])
         lo = np.searchsorted(enc, enc - win_us, side="left")
         # RANGE ... AND CURRENT ROW includes ALL peers of the current ts
         # (rows tied on the order key count even past the row position)
@@ -4437,7 +4466,7 @@ def events_bounce_rate(sf_dir: str, gap_s: int = 1800, num_partitions: int = 8):
 
 def orders_dow_revenue(sf_dir: str, num_partitions: int = 8):
     """Revenue seasonality by DAY OF WEEK, with the weekday derived by
-    PURE INTEGER arithmetic mirrored in the oracle ((epoch_days + 4) % 7,
+    PURE INTEGER arithmetic mirrored in the oracle ((epoch_days + 3) % 7,
     0 = Monday) — no date_part dialect dependence anywhere.  One
     exact-cents groupby over a 7-row key."""
     from ray.data.aggregate import Count, Sum

@@ -303,9 +303,12 @@ _FLOAT_WIDENING = {"halffloat": 0, "float": 1, "double": 2}
 
 def _unify_types(a, b):
     """Widest-common Arrow type for schema evolution: integer widths
-    promote upward, ints promote to the float present, float widths
-    promote upward, anything-vs-null keeps the non-null type; any other
-    mismatch is a loud error (silent coercion corrupts data)."""
+    promote upward, float widths promote upward, int-vs-float promotes to
+    float64 (union-by-name semantics a la Spark's int+float -> double: a
+    narrower float could not represent wide int values and the align cast
+    would raise on any int64 outside its mantissa), anything-vs-null keeps
+    the non-null type; any other mismatch is a loud error (silent coercion
+    corrupts data)."""
     import pyarrow as pa
 
     if a.equals(b):
@@ -319,10 +322,10 @@ def _unify_types(a, b):
         return a if _INT_WIDENING[sa] >= _INT_WIDENING[sb] else b
     if sa in _FLOAT_WIDENING and sb in _FLOAT_WIDENING:
         return a if _FLOAT_WIDENING[sa] >= _FLOAT_WIDENING[sb] else b
-    if sa in _INT_WIDENING and sb in _FLOAT_WIDENING:
-        return b
-    if sa in _FLOAT_WIDENING and sb in _INT_WIDENING:
-        return a
+    if (sa in _INT_WIDENING and sb in _FLOAT_WIDENING) or (
+        sa in _FLOAT_WIDENING and sb in _INT_WIDENING
+    ):
+        return pa.float64()
     raise ValueError(f"cannot unify evolved column types {a} vs {b}")
 
 

@@ -72,29 +72,130 @@ def _winnow(grams: np.ndarray, w: int) -> np.ndarray:
     return np.unique(sw.min(axis=1))
 
 
+def _gram_hashes_batch(col, kgram: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling gram hashes for a WHOLE Arrow string column in one pass over
+    the concatenated utf-8 data buffer (zero-copy, no Python strings) —
+    bit-identical to ``_gram_hashes`` per doc.
+
+    Why one global pass is exact: with global prefix sums over P-powers,
+    the window hash at global byte position g is
+    (pre[g+kgram] - pre[g]) * P^-g; for a doc starting at byte s the
+    doc-local value at i = g - s carries P^-(s+i) after its own prefix
+    rebase, and the P^s factors cancel — the two expressions are equal in
+    the 2^64 ring.  Windows crossing a doc boundary are masked out exactly
+    as the shingle window-combine does.
+
+    Returns (hashes concatenated in doc order, per-doc gram counts with
+    counts[d] == max(byte_len(d) - kgram + 1, 0))."""
+    from dynaalign_ray.shingles import varlen_offsets
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n_docs = len(col)
+    if n_docs == 0:
+        return np.empty(0, dtype=U64), np.zeros(0, dtype=np.int64)
+    offs = varlen_offsets(col).astype(np.int64)
+    lens = np.diff(offs)
+    counts = np.maximum(lens - kgram + 1, 0)
+    bufs = col.buffers()
+    if bufs[2] is None:
+        return np.empty(0, dtype=U64), counts
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    b = data[offs[0] : offs[-1]].astype(U64)
+    n = len(b)
+    if n < kgram:
+        return np.empty(0, dtype=U64), counts
+    pows = np.ones(n, dtype=U64)
+    np.multiply.accumulate(np.full(n - 1, _P, dtype=U64), out=pows[1:])
+    pre = np.zeros(n + 1, dtype=U64)
+    np.cumsum(b * pows, out=pre[1:], dtype=U64)
+    win = pre[kgram:] - pre[:-kgram]
+    m = n - kgram + 1
+    inv = np.ones(m, dtype=U64)
+    if m > 1:
+        np.multiply.accumulate(np.full(m - 1, _PINV, dtype=U64), out=inv[1:])
+    h = mix64(win * inv)
+    ends = np.cumsum(lens)  # doc-end byte positions, local to the slice
+    starts_idx = np.arange(m, dtype=np.int64)
+    doc_of = np.searchsorted(ends, starts_idx, side="right")
+    valid = (starts_idx + kgram) <= ends[doc_of]
+    return h[valid], counts
+
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _sliding_min_1d(a: np.ndarray, w: int) -> np.ndarray:
+    """Min of every window of w consecutive values, O(n) (block prefix/
+    suffix mins — the two-pass deque replacement), never O(n*w)."""
+    n = len(a)
+    if w <= 1:
+        return a
+    m = n - w + 1
+    if m <= 0:
+        return a[:0]
+    pad = (-n) % w
+    ap = np.concatenate([a, np.full(pad, _U64_MAX, dtype=U64)]) if pad else a
+    blocks = ap.reshape(-1, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[:m], pref[w - 1 : w - 1 + m])
+
+
+def winnow_batch(col, kgram: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprints for a whole Arrow string column, batched:
+    one zero-copy gram pass (``_gram_hashes_batch``), one O(total grams)
+    sliding-min, one lexsort for the per-doc distinct — no per-doc Python.
+
+    Returns (doc_index, fingerprint_u64) rows, distinct per doc, with the
+    exact anchor SETS of ``_winnow(_gram_hashes(text, kgram), w)``."""
+    grams, gcounts = _gram_hashes_batch(col, kgram)
+    n_docs = len(gcounts)
+    gends = np.cumsum(gcounts)
+    gstarts = gends - gcounts
+    total = int(gends[-1]) if n_docs else 0
+    parts_doc: list[np.ndarray] = []
+    parts_val: list[np.ndarray] = []
+    # docs with 0 < grams < w: the single min over all their grams
+    # (_winnow's small path; == w docs produce the identical single
+    # window via the sliding path below)
+    nonempty = gcounts > 0
+    small = nonempty & (gcounts < w)
+    if small.any():
+        mins_all = np.minimum.reduceat(grams, gstarts[nonempty])
+        parts_doc.append(np.flatnonzero(small))
+        parts_val.append(mins_all[small[nonempty]])
+    if total >= w:
+        sm = _sliding_min_1d(grams, w)
+        starts_idx = np.arange(len(sm), dtype=np.int64)
+        doc_of = np.searchsorted(gends, starts_idx, side="right")
+        valid = (starts_idx + w) <= gends[doc_of]
+        parts_doc.append(doc_of[valid])
+        parts_val.append(sm[valid])
+    if not parts_doc:
+        return np.zeros(0, dtype=np.int64), np.empty(0, dtype=U64)
+    doc_idx = np.concatenate(parts_doc)
+    vals = np.concatenate(parts_val)
+    order = np.lexsort((vals, doc_idx))
+    doc_idx = doc_idx[order]
+    vals = vals[order]
+    keep = np.empty(len(doc_idx), dtype=bool)
+    keep[0] = True
+    keep[1:] = (doc_idx[1:] != doc_idx[:-1]) | (vals[1:] != vals[:-1])
+    return doc_idx[keep], vals[keep]
+
+
 def fingerprint_batch(batch: pa.Table, *, min_len: int) -> pa.Table:
-    """docs -> (anchor, doc_id) winnowing fingerprint rows."""
+    """docs -> (anchor, doc_id) winnowing fingerprint rows — the batched
+    winnower (one zero-copy gram pass + O(n) sliding min over the whole
+    column), anchor sets identical to the per-doc ``_winnow`` path."""
     kgram = max(min_len // 2, 16)
     w = min_len - kgram + 1
     doc_ids = np.asarray(batch.column("doc_id")).astype(np.int64)
-    out_anchor: list[np.ndarray] = []
-    out_doc: list[np.ndarray] = []
-    for i, text in enumerate(batch.column("text").to_pylist()):
-        anchors = _winnow(_gram_hashes(text, kgram), w)
-        if len(anchors):
-            out_anchor.append(to_id63(anchors))
-            out_doc.append(np.full(len(anchors), doc_ids[i], dtype=np.int64))
-    if not out_anchor:
-        return pa.table(
-            {
-                "anchor": pa.array([], type=pa.int64()),
-                "doc_id": pa.array([], type=pa.int64()),
-            }
-        )
+    doc_idx, anchors = winnow_batch(batch.column("text"), kgram, w)
     return pa.table(
         {
-            "anchor": pa.array(np.concatenate(out_anchor), type=pa.int64()),
-            "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+            "anchor": pa.array(to_id63(anchors), type=pa.int64()),
+            "doc_id": pa.array(doc_ids[doc_idx], type=pa.int64()),
         }
     )
 
@@ -155,20 +256,26 @@ def verify_substring_batch(batch: pa.Table, *, min_len: int) -> pa.Table:
     need = min_len - kgram + 1  # consecutive same-diagonal matches required
     a_ids = np.asarray(batch.column("a")).astype(np.int64)
     b_ids = np.asarray(batch.column("b")).astype(np.int64)
-    ta, tb = batch.column("text_a"), batch.column("text_b")
-    grams: dict[int, np.ndarray] = {}
-
-    def doc_grams(doc_id: int, col, i: int) -> np.ndarray:
-        g = grams.get(doc_id)
-        if g is None:
-            g = _gram_hashes(col[i].as_py(), kgram)
-            grams[doc_id] = g
-        return g
+    ta = batch.column("text_a").combine_chunks()
+    tb = batch.column("text_b").combine_chunks()
+    # gram hashes for every DISTINCT doc of the batch in one batched pass
+    # (docs appear in many candidate pairs); slices index the shared array
+    ids_all = np.concatenate([a_ids, b_ids])
+    uniq_ids, first_idx = np.unique(ids_all, return_index=True)
+    texts_all = pa.chunked_array([ta, tb]).combine_chunks()
+    hashes, gcounts = _gram_hashes_batch(
+        texts_all.take(pa.array(first_idx, type=pa.int64())), kgram
+    )
+    gends = np.cumsum(gcounts)
+    grams = {
+        int(uniq_ids[i]): hashes[gends[i] - gcounts[i] : gends[i]]
+        for i in range(len(uniq_ids))
+    }
 
     out_a, out_b, out_len = [], [], []
     for i in range(batch.num_rows):
-        ga = doc_grams(int(a_ids[i]), ta, i)
-        gb = doc_grams(int(b_ids[i]), tb, i)
+        ga = grams[int(a_ids[i])]
+        gb = grams[int(b_ids[i])]
         if len(ga) == 0 or len(gb) == 0:
             continue
         best = _longest_diagonal_run(ga, gb)

@@ -7,7 +7,11 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from dynaalign_ray.functions.editdist import deletion_variants, levenshtein_batch
+from dynaalign_ray.functions.editdist import (
+    deletion_variant_keys,
+    deletion_variants,
+    levenshtein_batch,
+)
 
 
 def lev_ref(s: str, t: str) -> int:
@@ -63,6 +67,38 @@ class TestDeletionBlocking:
     def test_known_variants(self):
         assert deletion_variants("ab", 2) == ["", "a", "ab", "b"]
         assert "prt" in deletion_variants("part", 1)
+
+
+class TestBatchedVariantKeys:
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(WORD, min_size=1, max_size=15, unique=True), st.integers(0, 3))
+    def test_group_structure_matches_string_variants(self, vocab, d):
+        """Two words share a batched key iff they share a variant string,
+        and per-word key counts equal per-word distinct-variant counts
+        (no 64-bit collisions at this scale)."""
+        idx, key = deletion_variant_keys(vocab, d)
+        got_per_word = {
+            i: {int(k) for k in key[idx == i]} for i in range(len(vocab))
+        }
+        want_per_word = {i: set(deletion_variants(w, d)) for i, w in enumerate(vocab)}
+        for i in range(len(vocab)):
+            assert len(got_per_word[i]) == len(want_per_word[i])
+        for a in range(len(vocab)):
+            for b in range(a + 1, len(vocab)):
+                share_key = bool(got_per_word[a] & got_per_word[b])
+                share_str = bool(want_per_word[a] & want_per_word[b])
+                assert share_key == share_str
+
+    def test_empty_and_unicode(self):
+        idx, key = deletion_variant_keys([], 2)
+        assert idx.shape == (0,) and key.shape == (0,)
+        # unicode words: "héllo" minus one char reaches "hello"? no —
+        # but "héllo" and "hxllo" share the deletion variant "hllo"
+        idx, key = deletion_variant_keys(["héllo", "hxllo"], 1)
+        k0 = {int(k) for k in key[idx == 0]}
+        k1 = {int(k) for k in key[idx == 1]}
+        assert k0 & k1
+        assert (key >= 0).all()
 
 
 class TestFixtureJoin:

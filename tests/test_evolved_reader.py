@@ -48,6 +48,19 @@ class TestEvolvedSchema:
         )
         assert evolved_schema([a, b]).field("x").type == pa.float64()
 
+    def test_int64_plus_float32_promotes_to_float64(self, tmp_path):
+        # a narrow float must not win over a wide int: int64 values
+        # outside float32's 2^24 mantissa would fail the align cast
+        big = 1 << 40
+        a = _write(
+            tmp_path / "a.parquet", pa.table({"x": pa.array([big], pa.int64())})
+        )
+        b = _write(
+            tmp_path / "b.parquet", pa.table({"x": pa.array([1.5], pa.float32())})
+        )
+        assert evolved_schema([a, b]).field("x").type == pa.float64()
+        assert evolved_schema([b, a]).field("x").type == pa.float64()
+
     def test_incompatible_types_raise(self, tmp_path):
         a = _write(tmp_path / "a.parquet", pa.table({"x": pa.array([1], pa.int64())}))
         b = _write(tmp_path / "b.parquet", pa.table({"x": pa.array(["s"])}))

@@ -42,6 +42,56 @@ class TestWinnowGuarantee:
             assert len(w)  # never empty when grams exist
 
 
+class TestBatchedWinnower:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.text(alphabet="abcdef x", min_size=0, max_size=90), max_size=12),
+        st.integers(4, 20),
+        st.integers(1, 10),
+    )
+    def test_matches_per_doc_path(self, docs, kgram, window):
+        """winnow_batch (one zero-copy pass + O(n) sliding min) returns
+        the exact per-doc anchor sets of _winnow(_gram_hashes(...))."""
+        from dynaalign_ray.stages.substring import (
+            _gram_hashes,
+            _gram_hashes_batch,
+            _winnow,
+            winnow_batch,
+        )
+
+        col = pa.array(docs, type=pa.string())
+        hashes, counts = _gram_hashes_batch(col, kgram)
+        ends = np.cumsum(counts)
+        for i, doc in enumerate(docs):
+            want = _gram_hashes(doc, kgram)
+            got = hashes[ends[i] - counts[i] : ends[i]]
+            assert np.array_equal(got, want), f"doc {i} gram hashes differ"
+        doc_idx, fps = winnow_batch(col, kgram, window)
+        for i, doc in enumerate(docs):
+            want_set = set(_winnow(_gram_hashes(doc, kgram), window).tolist())
+            got_set = set(fps[doc_idx == i].tolist())
+            assert got_set == want_set, f"doc {i} fingerprints differ"
+
+    def test_sliding_min_matches_naive(self):
+        from dynaalign_ray.stages.substring import _sliding_min_1d
+
+        rng = np.random.Generator(np.random.PCG64(7))
+        for n in (1, 5, 17, 64, 100):
+            a = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+            for w in (1, 2, 3, 7, n, n + 3):
+                got = _sliding_min_1d(a, w)
+                m = n - w + 1
+                if w <= 1:
+                    assert np.array_equal(got, a)
+                elif m <= 0:
+                    assert len(got) == 0
+                else:
+                    want = np.array(
+                        [a[i : i + w].min() for i in range(m)], dtype=np.uint64
+                    )
+                    assert np.array_equal(got, want)
+
+
 class TestMedianGapProperty:
     @settings(max_examples=30, deadline=None)
     @given(
