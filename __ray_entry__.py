@@ -1030,7 +1030,7 @@ def _kcore_oracle(rounds: int = 12, k_core: int = 2) -> str:
 def oracle_sql() -> dict[str, str]:
     from dynaalign_ray.functions.modelscore import model_score_sql
 
-    return {
+    sql = {
         **_textstats_oracles(),
         "doc_fingerprints": _fingerprint_oracle(),
         "doc_winnow_fingerprints": _winnow_fingerprint_oracle(),
@@ -4276,3 +4276,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
     }
+    # Pinned-golden VALUES oracles for the deterministic queries SQL cannot
+    # express (BLOSUM DP, Louvain, zlib, sketches, media decodes) — exact
+    # literals from two byte-identical independent runs; semantics carried
+    # by the pytest parity suite.  See dynaalign_ray/goldens.py.
+    from dynaalign_ray.goldens import golden_names, golden_sql
+
+    for name in golden_names():
+        sql.setdefault(name, golden_sql(name))
+    return sql
