@@ -149,16 +149,22 @@ def fingerprint_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
     fingerprint (min winnowing gram hash; equal for byte-identical docs,
     robust to where the doc sits in the batch)."""
     from dynaalign_ray.hashing import content_hash, to_id63
-    from dynaalign_ray.stages.substring import _gram_hashes
+    from dynaalign_ray.stages.substring import _gram_hashes_batch
 
-    texts = batch.column(col).to_pylist()
-    fps = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        g = _gram_hashes(t, 16)
-        if len(g):
-            fps[i] = int(to_id63(np.array([g.min()], dtype=np.uint64))[0])
-        else:
-            fps[i] = int(content_hash([t])[0])
+    col_arr = batch.column(col)
+    n = len(col_arr)
+    hashes, counts = _gram_hashes_batch(col_arr, 16)
+    fps = np.empty(n, dtype=np.int64)
+    has_grams = counts > 0
+    if has_grams.any():
+        ends = np.cumsum(counts)
+        mins = np.minimum.reduceat(hashes, (ends - counts)[has_grams])
+        fps[has_grams] = to_id63(mins)
+    if not has_grams.all():
+        # short docs (< kgram bytes) fall back to the content hash
+        short_idx = np.flatnonzero(~has_grams)
+        short = col_arr.take(pa.array(short_idx, type=pa.int64()))
+        fps[short_idx] = content_hash(short.to_pylist())
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

@@ -50,7 +50,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from dynaalign_ray.stages.substring import _gram_hashes
 
 _POS_BITS = 26  # byte offset within doc (64 MiB cap per doc)
 _POS_CAP = 1 << _POS_BITS
@@ -58,29 +57,30 @@ _DOC_CAP = 1 << (63 - _POS_BITS)
 
 
 def window_keys_batch(batch: pa.Table, *, k: int) -> pa.Table:
-    """docs -> (win_hash, enc) rows for every stride-1 k-byte window."""
+    """docs -> (win_hash, enc) rows for every stride-1 k-byte window —
+    one zero-copy batched gram pass over the whole column
+    (``_gram_hashes_batch``), no per-doc Python."""
+    from dynaalign_ray.stages.substring import _gram_hashes_batch
+
     doc_ids = np.asarray(batch.column("doc_id")).astype(np.int64)
     if len(doc_ids) and int(doc_ids.max()) >= _DOC_CAP:
         raise ValueError(f"doc_id >= 2^{63 - _POS_BITS}: enc key would overflow")
-    out_h: list[np.ndarray] = []
-    out_e: list[np.ndarray] = []
-    for i, text in enumerate(batch.column("text").to_pylist()):
-        g = _gram_hashes(text, k)
-        if not len(g):
-            continue
-        if len(g) > _POS_CAP:
-            raise ValueError(f"doc longer than 2^{_POS_BITS} bytes: raise _POS_BITS")
-        out_h.append((g >> np.uint64(1)).astype(np.int64))
-        out_e.append(
-            doc_ids[i] * _POS_CAP + np.arange(len(g), dtype=np.int64)
-        )
-    if not out_h:
+    hashes, counts = _gram_hashes_batch(batch.column("text"), k)
+    if len(counts) and int(counts.max()) > _POS_CAP:
+        raise ValueError(f"doc longer than 2^{_POS_BITS} bytes: raise _POS_BITS")
+    if not len(hashes):
         empty = pa.array([], type=pa.int64())
         return pa.table({"win_hash": empty, "enc": empty})
+    ends = np.cumsum(counts)
+    # per-window doc index and within-doc position, all vectorized
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(len(hashes), dtype=np.int64) - np.repeat(ends - counts, counts)
     return pa.table(
         {
-            "win_hash": pa.array(np.concatenate(out_h), type=pa.int64()),
-            "enc": pa.array(np.concatenate(out_e), type=pa.int64()),
+            "win_hash": pa.array(
+                (hashes >> np.uint64(1)).astype(np.int64), type=pa.int64()
+            ),
+            "enc": pa.array(doc_ids[doc_idx] * _POS_CAP + pos, type=pa.int64()),
         }
     )
 
@@ -202,22 +202,29 @@ class _ApplySpanDedup:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from dynaalign_ray.stages.substring import _gram_hashes_batch
+
         k = self.k
         doc_ids = np.asarray(batch.column("doc_id")).astype(np.int64)
-        texts = batch.column("text").to_pylist()
-        starts_per_doc = []
-        for i, text in enumerate(texts):
-            g = _gram_hashes(text, k)
-            h = (g >> np.uint64(1)).astype(np.int64)
-            if len(self.dup_hashes) and len(h):
-                pos = np.minimum(
-                    np.searchsorted(self.dup_hashes, h), len(self.dup_hashes) - 1
-                )
-                enc = doc_ids[i] * _POS_CAP + np.arange(len(h), dtype=np.int64)
-                lose = (self.dup_hashes[pos] == h) & (self.winner_enc[pos] != enc)
-            else:
-                lose = np.zeros(len(h), dtype=bool)
-            starts_per_doc.append(np.flatnonzero(lose))
+        hashes, counts = _gram_hashes_batch(batch.column("text"), k)
+        h = (hashes >> np.uint64(1)).astype(np.int64)
+        ends = np.cumsum(counts)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        win_pos = np.arange(len(h), dtype=np.int64) - np.repeat(ends - counts, counts)
+        if len(self.dup_hashes) and len(h):
+            pos = np.minimum(
+                np.searchsorted(self.dup_hashes, h), len(self.dup_hashes) - 1
+            )
+            enc = doc_ids[doc_idx] * _POS_CAP + win_pos
+            lose = (self.dup_hashes[pos] == h) & (self.winner_enc[pos] != enc)
+        else:
+            lose = np.zeros(len(h), dtype=bool)
+        starts_per_doc = [
+            win_pos[(ends[i] - counts[i]) : ends[i]][
+                lose[(ends[i] - counts[i]) : ends[i]]
+            ]
+            for i in range(len(counts))
+        ]
         return _cut_rows(batch, starts_per_doc, k)
 
 
