@@ -23,26 +23,43 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _flat_tokens(batch: pa.Table, col: str) -> tuple[pa.Array, np.ndarray]:
+    """One whitespace-split pass over the column -> (nonempty flat tokens,
+    per-token doc index) — the shared Arrow-native tokenizer of this
+    module (empty tokens dropped to match Python str.split)."""
+    toks = pc.utf8_split_whitespace(batch.column(col))
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    counts = np.diff(np.asarray(toks.offsets).astype(np.int64))
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    if len(keep) and not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+    return flat, doc_of
 
 
 def doc_distinct_token_df_block(batch: pa.Table, *, col: str = "text") -> pa.Table:
     """Per-block PARTIAL document-frequency counts: each doc contributes
-    each of its distinct tokens once."""
-    toks: list[str] = []
-    for text in batch.column(col).to_pylist():
-        if text:
-            toks.extend(set(text.split()))
-    if not toks:
-        return pa.table(
-            {"t": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-        )
-    arr = np.array(toks, dtype=object)
-    keys, counts = np.unique(arr, return_counts=True)
+    each of its distinct tokens once — Arrow-native (split once, (doc,
+    token) distinct via empty-aggregate group_by, then value_counts)."""
+    empty = pa.table({"t": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    flat, doc_of = _flat_tokens(batch, col)
+    if len(doc_of) == 0:
+        return empty
+    distinct = (
+        pa.table({"d": pa.array(doc_of, type=pa.int64()), "t": flat})
+        .group_by(["d", "t"])
+        .aggregate([])
+    )
+    vc = pc.value_counts(distinct.column("t"))
     return pa.table(
-        {
-            "t": pa.array(keys.tolist(), type=pa.string()),
-            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
-        }
+        {"t": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
     )
 
 
@@ -85,23 +102,42 @@ def cooccur_pairs_block(batch: pa.Table, *, top_ref, col: str = "text") -> pa.Ta
     out_schema = pa.schema([("pair_code", pa.int64()), ("n", pa.int64())])
     if w < 2 or batch.num_rows == 0:
         return out_schema.empty_table()
-    codes_per_doc: list[np.ndarray] = []
-    for text in batch.column(col).to_pylist():
-        if not text:
-            continue
-        uniq = np.array(sorted(set(text.split())), dtype=object)
-        pos = np.searchsorted(top, uniq)
-        pos_c = np.minimum(pos, w - 1)
-        hit = top[pos_c] == uniq
-        idx = pos_c[hit]  # sorted ascending, distinct
-        m = len(idx)
-        if m >= 2:
-            ai, bi = np.triu_indices(m, k=1)
-            codes_per_doc.append(idx[ai] * w + idx[bi])
-    if not codes_per_doc:
+    # Arrow-native: one split pass, hash-lookup every token's top-W index
+    # (pc.index_in — value_set is the sorted top array, so index order ==
+    # binary string order), distinct (doc, idx) via one np.unique on a
+    # packed code, then SEGMENT-VECTORIZED triu pair emission: each
+    # element pairs with its same-doc successors via repeat/offset
+    # arithmetic — no per-doc Python.
+    flat, doc_of = _flat_tokens(batch, col)
+    if len(doc_of) == 0:
         return out_schema.empty_table()
-    flat = np.concatenate(codes_per_doc)
-    keys, counts = np.unique(flat, return_counts=True)
+    ipos = pc.index_in(flat, value_set=pa.array(top.tolist(), type=pa.string()))
+    hit = np.asarray(ipos.is_valid())
+    if not hit.any():
+        return out_schema.empty_table()
+    idx = np.asarray(ipos.fill_null(0)).astype(np.int64)[hit]
+    d = doc_of[hit]
+    packed = np.unique(d * np.int64(w) + idx)  # distinct, sorted by (d, idx)
+    d2 = packed // w
+    i2 = packed % w
+    n = len(packed)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = d2[1:] != d2[:-1]
+    seg = np.cumsum(first) - 1
+    m_of = np.bincount(seg).astype(np.int64)  # distinct-top-token count per doc
+    starts = np.cumsum(m_of) - m_of
+    pos = np.arange(n, dtype=np.int64) - starts[seg]
+    rep = m_of[seg] - 1 - pos  # successors each element pairs with
+    total = int(rep.sum())
+    if total == 0:
+        return out_schema.empty_table()
+    a_idx = np.repeat(np.arange(n, dtype=np.int64), rep)
+    ends = np.cumsum(rep)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(ends - rep, rep)
+    b_idx = a_idx + 1 + offs
+    codes = i2[a_idx] * np.int64(w) + i2[b_idx]
+    keys, counts = np.unique(codes, return_counts=True)
     return pa.table(
         {
             "pair_code": pa.array(keys.astype(np.int64), type=pa.int64()),

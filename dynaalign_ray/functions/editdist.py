@@ -128,6 +128,25 @@ def deletion_variant_keys(
     return idx[keep], key[keep]
 
 
+def _codepoint_matrix(words: list[str], lens: np.ndarray, maxlen: int) -> np.ndarray:
+    """(n, maxlen) 0-padded codepoint matrix in one decode pass — ONE
+    "".join + utf-32 frombuffer plus offset gathers, no per-word numpy
+    calls (0 never equals a real character, so padding is inert)."""
+    n = len(words)
+    out = np.zeros((n, max(maxlen, 1)), dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    cp = np.frombuffer("".join(words).encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    starts = np.cumsum(lens) - lens
+    cols = np.arange(max(maxlen, 1), dtype=np.int64)
+    valid = cols[None, :] < lens[:, None]
+    out[valid] = cp[(starts[:, None] + cols[None, :])[valid]]
+    return out
+
+
 def levenshtein_batch(a_words: list[str], b_words: list[str]) -> np.ndarray:
     """Exact Levenshtein distance for each aligned pair, as one batched DP.
 
@@ -143,19 +162,8 @@ def levenshtein_batch(a_words: list[str], b_words: list[str]) -> np.ndarray:
     lb = np.fromiter((len(w) for w in b_words), dtype=np.int64, count=n)
     ma = int(la.max())
     mb = int(lb.max())
-    # codepoint matrices, 0-padded (0 never equals a real character)
-    A = np.zeros((n, max(ma, 1)), dtype=np.int64)
-    B = np.zeros((n, max(mb, 1)), dtype=np.int64)
-    for i, w in enumerate(a_words):
-        if w:
-            A[i, : len(w)] = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32).astype(
-                np.int64
-            )
-    for i, w in enumerate(b_words):
-        if w:
-            B[i, : len(w)] = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32).astype(
-                np.int64
-            )
+    A = _codepoint_matrix(a_words, la, ma)
+    B = _codepoint_matrix(b_words, lb, mb)
     prev = np.tile(np.arange(mb + 1, dtype=np.int64), (n, 1))
     # capture each pair's dp row at step i == len(a): for i beyond len(a)
     # the row keeps evolving, so freeze it when its own string ends

@@ -1944,13 +1944,30 @@ def doc_vocab(sf_dir: str, k: int = 3, num_partitions: int = 8):
     from ray.data.aggregate import Count
 
     def emit(batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch.column("text").to_pylist():
-            toks = text.split()
-            out.extend(
-                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        # Arrow-native k-shingle strings: split once, window by offset
+        # arithmetic, join the k shifted token gathers element-wise —
+        # no per-doc Python (empty tokens dropped to match str.split)
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        counts = np.diff(np.asarray(toks.offsets).astype(np.int64))
+        nonempty = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        if len(nonempty) and not nonempty.all():
+            doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            flat = flat.filter(pa.array(nonempty))
+            counts = np.bincount(doc_of[nonempty], minlength=len(counts)).astype(
+                np.int64
             )
-        return pa.table({"shingle": pa.array(out, type=pa.string())})
+        ends = np.cumsum(counts)
+        total = int(ends[-1]) if len(counts) else 0
+        nwin = total - k + 1
+        if nwin <= 0:
+            return pa.table({"shingle": pa.array([], type=pa.string())})
+        w = np.arange(nwin, dtype=np.int64)
+        doc_of_w = np.searchsorted(ends, w, side="right")
+        w = w[(w + k) <= ends[doc_of_w]]
+        parts = [flat.take(pa.array(w + j, type=pa.int64())) for j in range(k)]
+        return pa.table({"shingle": pc.binary_join_element_wise(*parts, " ")})
 
     ds = _docs(sf_dir, ["text"]).map_batches(
         emit, batch_format="pyarrow", zero_copy_batch=True
@@ -4173,12 +4190,12 @@ def vocab_edit_pairs(
     )
 
     def distinct_words(batch: pa.Table) -> pa.Table:
-        words: set[str] = set()
-        for text in batch.column("text").to_pylist():
-            for w in text.split():
-                if len(w) >= min_len:
-                    words.add(w)
-        return pa.table({"word": pa.array(sorted(words), type=pa.string())})
+        # Arrow-native tokenize: split + length filter + per-block unique
+        # (Python str.split and utf8_split_whitespace agree on unicode
+        # whitespace; empty tokens fall to the min_len filter)
+        flat = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text")))
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+        return pa.table({"word": pc.unique(flat.filter(keep))})
 
     vocab = (
         _docs(sf_dir, ["text"])
@@ -4586,22 +4603,26 @@ def source_vocab_overlap(sf_dir: str, min_len: int = 1, num_partitions: int = 8)
     from dynaalign_ray.joins import collect_arrow
 
     def edges(batch: pa.Table) -> pa.Table:
-        out_w: list[str] = []
-        out_s: list[str] = []
-        seen: set[tuple[str, str]] = set()
-        srcs = batch.column("source").to_pylist()
-        for text, s in zip(batch.column("text").to_pylist(), srcs):
-            for w in text.split():
-                if len(w) >= min_len and (w, s) not in seen:
-                    seen.add((w, s))
-                    out_w.append(w)
-                    out_s.append(s)
-        return pa.table(
-            {
-                "word": pa.array(out_w, pa.string()),
-                "source": pa.array(out_s, pa.string()),
-            }
+        # Arrow-native (word, source) edge emitter: split once, broadcast
+        # the source per token by offset repeat, length-filter, and use an
+        # empty-aggregate group_by as the per-block distinct (empty tokens
+        # fall to the >= max(min_len, 1) filter, matching str.split)
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        counts = np.diff(np.asarray(toks.offsets).astype(np.int64))
+        src = batch.column("source").combine_chunks() if isinstance(
+            batch.column("source"), pa.ChunkedArray
+        ) else batch.column("source")
+        src_flat = src.take(
+            pa.array(
+                np.repeat(np.arange(len(counts), dtype=np.int64), counts),
+                type=pa.int64(),
+            )
         )
+        keep = pc.greater_equal(pc.utf8_length(flat), max(min_len, 1))
+        t = pa.table({"word": flat.filter(keep), "source": src_flat.filter(keep)})
+        return t.group_by(["word", "source"]).aggregate([])
 
     edge_ds = (
         _docs(sf_dir, ["text", "source"])
@@ -4958,14 +4979,15 @@ def doc_top_term_coverage(sf_dir: str, k: int = 10, num_partitions: int = 8):
     from dynaalign_ray.pipelines.relational import round4
 
     def term_counts(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for text in batch.column("text").to_pylist():
-            for w in text.split():
-                counts[w] = counts.get(w, 0) + 1
+        # Arrow-native per-block pre-aggregate: split + flatten +
+        # value_counts (empty tokens dropped to match str.split)
+        flat = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text")))
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
         return pa.table(
             {
-                "term": pa.array(list(counts.keys()), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "term": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
             }
         )
 
