@@ -4232,40 +4232,43 @@ def vocab_edit_pairs(
         )
         t = b.take(order)
         vk = np.asarray(t.column("vkey"), dtype=np.int64)
-        words = t.column("word").to_pylist()
-        out1: list[str] = []
-        out2: list[str] = []
-        start = 0
+        words = t.column("word")
         n = len(vk)
-        for i in range(1, n + 1):
-            if i == n or vk[i] != vk[start]:
-                run = words[start:i]
-                if len(run) > hot_bucket_cap:
-                    raise ValueError(
-                        "vocab_edit_pairs: variant bucket of "
-                        f"{len(run)} words (shortest member "
-                        f"{min(map(len, run))!r} chars) exceeds "
-                        f"hot_bucket_cap={hot_bucket_cap}; its C(m,2) "
-                        "pairing would be quadratic — raise min_len, "
-                        "lower max_dist, or raise hot_bucket_cap "
-                        "explicitly"
-                    )
-                # words are sorted within the bucket, so w1 < w2 holds and
-                # duplicates (same word via two variant paths) are adjacent
-                for x in range(len(run)):
-                    for y in range(x + 1, len(run)):
-                        if run[x] != run[y]:
-                            out1.append(run[x])
-                            out2.append(run[y])
-                start = i
-        if not out1:
+        boundary = np.ones(n, dtype=bool)
+        boundary[1:] = vk[1:] != vk[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
+        m_of = ends - starts
+        if int(m_of.max()) > hot_bucket_cap:
+            bi = int(np.argmax(m_of))
+            run = words.slice(starts[bi], m_of[bi])
+            raise ValueError(
+                "vocab_edit_pairs: variant bucket of "
+                f"{int(m_of[bi])} words (shortest member "
+                f"{int(pc.min(pc.utf8_length(run)).as_py())} chars) exceeds "
+                f"hot_bucket_cap={hot_bucket_cap}; its C(m,2) "
+                "pairing would be quadratic — raise min_len, "
+                "lower max_dist, or raise hot_bucket_cap explicitly"
+            )
+        # segment-vectorized triu over every bucket at once (words sorted
+        # within a bucket, so w1 <= w2 positionally; equal-word pairs from
+        # duplicate variant paths are filtered after the gather)
+        bucket_of = np.repeat(np.arange(len(starts), dtype=np.int64), m_of)
+        rows = np.flatnonzero(m_of[bucket_of] >= 2)
+        if len(rows) == 0:
             return empty
-        return pa.table(
-            {
-                "w1": pa.array(out1, type=pa.string()),
-                "w2": pa.array(out2, type=pa.string()),
-            }
-        )
+        rep = ends[bucket_of[rows]] - rows - 1
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        a_rows = np.repeat(rows, rep)
+        e2 = np.cumsum(rep)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(e2 - rep, rep)
+        b_rows = a_rows + 1 + offs
+        w1 = words.take(pa.array(a_rows, type=pa.int64()))
+        w2 = words.take(pa.array(b_rows, type=pa.int64()))
+        neq = pc.not_equal(w1, w2)
+        return pa.table({"w1": w1.filter(neq), "w2": w2.filter(neq)})
 
     candidates = (
         variants.repartition(num_blocks=num_partitions, keys=["vkey"])

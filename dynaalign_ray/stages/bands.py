@@ -226,29 +226,47 @@ def emit_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
     boundary[1:] = keys[1:] != keys[:-1]
     starts = np.flatnonzero(boundary)
     ends = np.append(starts[1:], len(keys))
+    m_of = ends - starts
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m < 2:
-            continue
+    # SMALL buckets (2 <= m <= pair_cap): one segment-vectorized triu for
+    # every bucket at once — each row pairs with its same-bucket successors
+    # via repeat/offset arithmetic.  Millions of size-2 buckets per block
+    # make a per-bucket Python loop the stage's real cost; this emits the
+    # identical pair set with a handful of array ops.
+    small_b = (m_of >= 2) & (m_of <= pair_cap)
+    if small_b.any():
+        bucket_of = np.repeat(np.arange(len(starts), dtype=np.int64), m_of)
+        rows_small = small_b[bucket_of]
+        idxs = np.flatnonzero(rows_small)
+        end_of_row = ends[bucket_of[idxs]]
+        rep = end_of_row - idxs - 1  # successors each row pairs with
+        total = int(rep.sum())
+        if total:
+            a_rows = np.repeat(idxs, rep)
+            e2 = np.cumsum(rep)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(e2 - rep, rep)
+            b_rows = a_rows + 1 + offs
+            # bucket members are sorted ascending & distinct, so a < b holds
+            out_a.append(docs[a_rows])
+            out_b.append(docs[b_rows])
+    # BIG buckets (m > pair_cap): star edges around a hub — rare by
+    # construction (salting keeps buckets near salt_cap), so the loop only
+    # visits the handful of oversized ones.
+    for bi in np.flatnonzero(m_of > pair_cap):
+        s, e = starts[bi], ends[bi]
         bucket = docs[s:e]  # sorted ascending, distinct
-        if m <= pair_cap:
-            ai, bi = np.triu_indices(m, k=1)
-            out_a.append(bucket[ai])
-            out_b.append(bucket[bi])
-        else:
-            # bounded hub diversity: 4 hub variants across bands/sub-buckets.
-            # One shared hub risks isolation (see docstring); one hub PER
-            # band inflates the deduped star-edge set ~num_bands-fold
-            # (measured 1.02M -> 2.41M verified edges at 600k pages).  Four
-            # gives isolation probability p^4 at ~3 extra edges per doc.
-            hub_seed = np.uint64(keys[s]) % np.uint64(4)
-            hub_pos = int(np.argmin(mix64(bucket.astype(U64) ^ hub_seed)))
-            hub = bucket[hub_pos]
-            rest = np.concatenate([bucket[:hub_pos], bucket[hub_pos + 1 :]])
-            out_a.append(np.minimum(rest, hub))
-            out_b.append(np.maximum(rest, hub))
+        # bounded hub diversity: 4 hub variants across bands/sub-buckets.
+        # One shared hub risks isolation (see docstring); one hub PER
+        # band inflates the deduped star-edge set ~num_bands-fold
+        # (measured 1.02M -> 2.41M verified edges at 600k pages).  Four
+        # gives isolation probability p^4 at ~3 extra edges per doc.
+        hub_seed = np.uint64(keys[s]) % np.uint64(4)
+        hub_pos = int(np.argmin(mix64(bucket.astype(U64) ^ hub_seed)))
+        hub = bucket[hub_pos]
+        rest = np.concatenate([bucket[:hub_pos], bucket[hub_pos + 1 :]])
+        out_a.append(np.minimum(rest, hub))
+        out_b.append(np.maximum(rest, hub))
     if not out_a:
         return pa.table(
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
