@@ -190,6 +190,31 @@ def find_hot_band_keys(
     return keys[order], ns[order]
 
 
+def segment_triu_rows(
+    starts: np.ndarray, ends: np.ndarray, select_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs (a_rows, b_rows) of the within-bucket upper triangle
+    for every SELECTED bucket of a sorted-run layout — segment-vectorized
+    (each row pairs with its same-bucket successors via repeat/offset
+    arithmetic), shared by the band / simhash / ssjoin pair emitters."""
+    empty = np.zeros(0, dtype=np.int64)
+    m_of = ends - starts
+    if not select_b.any():
+        return empty, empty
+    bucket_of = np.repeat(np.arange(len(starts), dtype=np.int64), m_of)
+    rows = np.flatnonzero(select_b[bucket_of])
+    if len(rows) == 0:
+        return empty, empty
+    rep = ends[bucket_of[rows]] - rows - 1
+    total = int(rep.sum())
+    if total == 0:
+        return empty, empty
+    a_rows = np.repeat(rows, rep)
+    e2 = np.cumsum(rep)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(e2 - rep, rep)
+    return a_rows, a_rows + 1 + offs
+
+
 def emit_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
     """Per-hash-partition candidate-pair emission (runs after
     ``repartition(keys=["band_key"])``, whole block per call).
@@ -235,21 +260,11 @@ def emit_pairs_block(batch: pa.Table, *, pair_cap: int) -> pa.Table:
     # make a per-bucket Python loop the stage's real cost; this emits the
     # identical pair set with a handful of array ops.
     small_b = (m_of >= 2) & (m_of <= pair_cap)
-    if small_b.any():
-        bucket_of = np.repeat(np.arange(len(starts), dtype=np.int64), m_of)
-        rows_small = small_b[bucket_of]
-        idxs = np.flatnonzero(rows_small)
-        end_of_row = ends[bucket_of[idxs]]
-        rep = end_of_row - idxs - 1  # successors each row pairs with
-        total = int(rep.sum())
-        if total:
-            a_rows = np.repeat(idxs, rep)
-            e2 = np.cumsum(rep)
-            offs = np.arange(total, dtype=np.int64) - np.repeat(e2 - rep, rep)
-            b_rows = a_rows + 1 + offs
-            # bucket members are sorted ascending & distinct, so a < b holds
-            out_a.append(docs[a_rows])
-            out_b.append(docs[b_rows])
+    a_rows, b_rows = segment_triu_rows(starts, ends, small_b)
+    if len(a_rows):
+        # bucket members are sorted ascending & distinct, so a < b holds
+        out_a.append(docs[a_rows])
+        out_b.append(docs[b_rows])
     # BIG buckets (m > pair_cap): star edges around a hub — rare by
     # construction (salting keeps buckets near salt_cap), so the loop only
     # visits the handful of oversized ones.

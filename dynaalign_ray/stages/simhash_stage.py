@@ -70,17 +70,28 @@ def emit_simhash_pairs_block(batch: pa.Table, *, pair_cap: int, max_hamming: int
     boundary[1:] = keys[1:] != keys[:-1]
     starts = np.flatnonzero(boundary)
     ends = np.append(starts[1:], len(keys))
+    m_of = ends - starts
     out_a, out_b, out_h = [], [], []
-    for s, e in zip(starts, ends):
+    # small buckets: one segment-vectorized triu + Hamming filter for the
+    # whole block (the shared bands.segment_triu_rows kernel)
+    from dynaalign_ray.stages.bands import segment_triu_rows
+
+    a_rows, b_rows = segment_triu_rows(
+        starts, ends, (m_of >= 2) & (m_of <= pair_cap)
+    )
+    if len(a_rows):
+        ham = _popcount64(sims[a_rows] ^ sims[b_rows])
+        keep = ham <= max_hamming
+        out_a.append(docs[a_rows][keep])
+        out_b.append(docs[b_rows][keep])
+        out_h.append(ham[keep].astype(np.int64))
+    # oversized buckets (rare): star edges around the first member
+    for bi_ in np.flatnonzero(m_of > pair_cap):
+        s, e = starts[bi_], ends[bi_]
         m = e - s
-        if m < 2:
-            continue
         d, v = docs[s:e], sims[s:e]
-        if m <= pair_cap:
-            ai, bi = np.triu_indices(m, k=1)
-        else:
-            ai = np.zeros(m - 1, dtype=np.int64)
-            bi = np.arange(1, m, dtype=np.int64)
+        ai = np.zeros(m - 1, dtype=np.int64)
+        bi = np.arange(1, m, dtype=np.int64)
         ham = _popcount64(v[ai] ^ v[bi])
         keep = ham <= max_hamming
         out_a.append(d[ai][keep])

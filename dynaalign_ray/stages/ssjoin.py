@@ -136,26 +136,25 @@ def prefix_candidates_block(batch: pa.Table, *, threshold: float) -> pa.Table:
     boundary[1:] = tok[1:] != tok[:-1]
     starts = np.flatnonzero(boundary)
     ends = np.append(starts[1:], len(tok))
-    out_a: list[np.ndarray] = []
-    out_b: list[np.ndarray] = []
     tau_eps = threshold - 1e-9
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m < 2:
-            continue
-        bucket_doc = doc[s:e]  # ascending within a token; a doc can repeat
-        # if two of its shingle hashes fold to the same 63-bit key
-        bucket_n = n[s:e]
-        ai, bi = np.triu_indices(m, k=1)
-        na, nb = bucket_n[ai], bucket_n[bi]
-        keep = (np.minimum(na, nb) >= tau_eps * np.maximum(na, nb)) & (
-            bucket_doc[ai] != bucket_doc[bi]  # fold collision -> no self-pair
-        )
-        if keep.any():
-            out_a.append(bucket_doc[ai[keep]])
-            out_b.append(bucket_doc[bi[keep]])
-    if not out_a:
+    # one segment-vectorized triu over every token bucket (shared
+    # bands.segment_triu_rows kernel); docs ascend within a token and a
+    # doc can repeat if two of its shingle hashes fold to the same 63-bit
+    # key, so self-pairs are filtered after the gather
+    from dynaalign_ray.stages.bands import segment_triu_rows
+
+    m_of = ends - starts
+    a_rows, b_rows = segment_triu_rows(starts, ends, m_of >= 2)
+    if len(a_rows) == 0:
         return out_schema.empty_table()
+    na, nb = n[a_rows], n[b_rows]
+    keep = (np.minimum(na, nb) >= tau_eps * np.maximum(na, nb)) & (
+        doc[a_rows] != doc[b_rows]
+    )
+    if not keep.any():
+        return out_schema.empty_table()
+    out_a = [doc[a_rows[keep]]]
+    out_b = [doc[b_rows[keep]]]
     return pa.table(
         {
             "a": pa.array(np.concatenate(out_a), type=pa.int64()),
@@ -256,26 +255,32 @@ def containment_candidates_block(batch: pa.Table) -> pa.Table:
     boundary[1:] = tok[1:] != tok[:-1]
     starts = np.flatnonzero(boundary)
     ends = np.append(starts[1:], len(tok))
-    out_a: list[np.ndarray] = []
-    out_b: list[np.ndarray] = []
-    for s, e in zip(starts, ends):
-        r = role[s:e]
-        probes = np.flatnonzero(r == 0)
-        index = np.flatnonzero(r == 1)
-        if len(probes) == 0 or len(index) == 0:
-            continue
-        pd_, pn = doc[s:e][probes], n[s:e][probes]
-        id_, inn = doc[s:e][index], n[s:e][index]
-        pi, ii = np.meshgrid(
-            np.arange(len(probes)), np.arange(len(index)), indexing="ij"
-        )
-        keep = (pn[pi] <= inn[ii]) & (pd_[pi] != id_[ii])
-        if keep.any():
-            da, db = pd_[pi[keep]], id_[ii[keep]]
-            out_a.append(np.minimum(da, db))
-            out_b.append(np.maximum(da, db))
-    if not out_a:
+    # segment-vectorized probe x index cross product: rows are sorted
+    # (tok, role, doc), so each bucket holds its probes (role 0) first,
+    # then its index rows (role 1) — every probe row pairs with its
+    # bucket's index span via repeat/offset arithmetic, no per-bucket
+    # Python
+    m_of = ends - starts
+    bucket_of = np.repeat(np.arange(len(starts), dtype=np.int64), m_of)
+    is_probe = role == 0
+    p_cnt = np.bincount(bucket_of[is_probe], minlength=len(starts)).astype(np.int64)
+    i_cnt = m_of - p_cnt
+    i_start = starts + p_cnt
+    probe_rows = np.flatnonzero(is_probe)
+    rep = i_cnt[bucket_of[probe_rows]]
+    total = int(rep.sum())
+    if total == 0:
         return out_schema.empty_table()
+    a_rows = np.repeat(probe_rows, rep)
+    e2 = np.cumsum(rep)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(e2 - rep, rep)
+    b_rows = i_start[bucket_of[a_rows]] + offs
+    keep = (n[a_rows] <= n[b_rows]) & (doc[a_rows] != doc[b_rows])
+    if not keep.any():
+        return out_schema.empty_table()
+    da, db = doc[a_rows[keep]], doc[b_rows[keep]]
+    out_a = [np.minimum(da, db)]
+    out_b = [np.maximum(da, db)]
     return pa.table(
         {
             "a": pa.array(np.concatenate(out_a), type=pa.int64()),
