@@ -1179,20 +1179,20 @@ def triangle_counts_from_edges(edges, docs_ds, num_partitions: int = 8):
         dst = np.asarray(b.column("dst"), dtype=np.int64)
         order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
-        bounds = np.concatenate(
-            [[0], np.nonzero(np.diff(src))[0] + 1, [len(src)]]
-        )
-        k1s, k2s, srcs = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            m = e - s
-            if m < 2:
-                continue
-            ai, bi = np.triu_indices(m, k=1)
-            # dst is id-sorted within the group, so (k1, k2) is already
-            # in the canonical a < b edge form for the membership probe
-            k1s.append(dst[s + ai])
-            k2s.append(dst[s + bi])
-            srcs.append(np.full(len(ai), src[s], dtype=np.int64))
+        # segment-vectorized per-source wedge triu (shared kernel); dst is
+        # id-sorted within the group, so (k1, k2) is already in the
+        # canonical a < b edge form for the membership probe
+        from dynaalign_ray.stages.bands import segment_triu_rows
+
+        n = len(src)
+        boundary = np.ones(n, dtype=bool)
+        boundary[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
+        a_rows, b_rows = segment_triu_rows(starts, ends, (ends - starts) >= 2)
+        k1s = [dst[a_rows]] if len(a_rows) else []
+        k2s = [dst[b_rows]] if len(a_rows) else []
+        srcs = [src[a_rows]] if len(a_rows) else []
         if not k1s:
             return wedge_schema.empty_table()
         k1 = np.concatenate(k1s)
@@ -4657,26 +4657,25 @@ def source_vocab_overlap(sf_dir: str, min_len: int = 1, num_partitions: int = 8)
             b, sort_keys=[("word", "ascending"), ("source", "ascending")]
         )
         t = b.take(order)
-        words = t.column("word").to_pylist()
-        srcs = t.column("source").to_pylist()
-        out_a: list[str] = []
-        out_b: list[str] = []
-        start = 0
-        n = len(words)
-        for i in range(1, n + 1):
-            if i == n or words[i] != words[start]:
-                run = srcs[start:i]
-                for x in range(len(run)):
-                    for y in range(x + 1, len(run)):
-                        out_a.append(run[x])
-                        out_b.append(run[y])
-                start = i
-        if not out_a:
+        # segment-vectorized per-word source-pair triu (shared kernel);
+        # word-run boundaries computed on the sorted string column
+        from dynaalign_ray.stages.bands import segment_triu_rows
+
+        words_col = t.column("word").combine_chunks()
+        n = len(words_col)
+        neq = pc.not_equal(words_col.slice(1), words_col.slice(0, n - 1))
+        boundary = np.ones(n, dtype=bool)
+        boundary[1:] = np.asarray(neq)
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
+        a_rows, b_rows = segment_triu_rows(starts, ends, (ends - starts) >= 2)
+        if len(a_rows) == 0:
             return empty
+        src_col = t.column("source").combine_chunks()
         return pa.table(
             {
-                "source_a": pa.array(out_a, pa.string()),
-                "source_b": pa.array(out_b, pa.string()),
+                "source_a": src_col.take(pa.array(a_rows, type=pa.int64())),
+                "source_b": src_col.take(pa.array(b_rows, type=pa.int64())),
             }
         )
 

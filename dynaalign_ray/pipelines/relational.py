@@ -3194,29 +3194,22 @@ def events_type_cooccur(sf_dir: str, num_partitions: int = 8):
         )
         t = b.take(order)
         uid = np.asarray(t.column("user_id"), dtype=np.int64)
-        types = t.column("event_type").to_pylist()
-        out_a: list[str] = []
-        out_b: list[str] = []
-        start = 0
+        # segment-vectorized per-user type-pair triu (shared
+        # bands.segment_triu_rows kernel); types gathered via Arrow take
+        from dynaalign_ray.stages.bands import segment_triu_rows
+
         n = len(uid)
-        # per-user runs are short (|event types| is small); the pair loop is
-        # over type pairs, not rows
-        for i in range(1, n + 1):
-            if i == n or uid[i] != uid[start]:
-                run = types[start:i]
-                for x in range(len(run)):
-                    for y in range(x + 1, len(run)):
-                        out_a.append(run[x])
-                        out_b.append(run[y])
-                start = i
-        if not out_a:
+        boundary = np.ones(n, dtype=bool)
+        boundary[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
+        a_rows, b_rows = segment_triu_rows(starts, ends, (ends - starts) >= 2)
+        if len(a_rows) == 0:
             return empty
-        return pa.table(
-            {
-                "type_a": pa.array(out_a, type=pa.string()),
-                "type_b": pa.array(out_b, type=pa.string()),
-            }
-        )
+        types_col = t.column("event_type").combine_chunks()
+        out_a = types_col.take(pa.array(a_rows, type=pa.int64()))
+        out_b = types_col.take(pa.array(b_rows, type=pa.int64()))
+        return pa.table({"type_a": out_a, "type_b": out_b})
 
     pairs = edges.repartition(num_blocks=num_partitions, keys=["user_id"]).map_batches(
         pairs_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
