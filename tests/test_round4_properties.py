@@ -42,6 +42,33 @@ class TestWinnowGuarantee:
             assert len(w)  # never empty when grams exist
 
 
+class TestSegmentTriu:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(0, 7), min_size=0, max_size=12),
+        st.integers(1, 6),
+    )
+    def test_matches_per_bucket_triu(self, sizes, cap):
+        """segment_triu_rows == the naive per-bucket np.triu_indices loop
+        for every bucket-size layout and selection cap."""
+        from dynaalign_ray.stages.bands import segment_triu_rows
+
+        sizes_arr = np.array(sizes, dtype=np.int64)
+        ends = np.cumsum(sizes_arr)
+        starts = ends - sizes_arr
+        select = (sizes_arr >= 2) & (sizes_arr <= cap)
+        got_a, got_b = segment_triu_rows(starts, ends, select)
+        want_a, want_b = [], []
+        for s, e, sel in zip(starts, ends, select):
+            if not sel:
+                continue
+            ai, bi = np.triu_indices(e - s, k=1)
+            want_a.extend((s + ai).tolist())
+            want_b.extend((s + bi).tolist())
+        assert got_a.tolist() == want_a
+        assert got_b.tolist() == want_b
+
+
 class TestBatchedWinnower:
     @settings(max_examples=40, deadline=None)
     @given(
