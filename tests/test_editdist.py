@@ -101,6 +101,36 @@ class TestBatchedVariantKeys:
         assert (key >= 0).all()
 
 
+class TestHotBucketGuard:
+    def test_oversized_variant_bucket_raises_loudly(self, ray_session, tmp_path):
+        """A variant bucket past hot_bucket_cap must raise with the
+        bounding knobs named — never silently drop or sample pairs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+        import ray
+
+        from dynaalign_ray.pipelines.curation import vocab_edit_pairs
+
+        # every 3-letter word built from one repeated letter pool shares
+        # the 1-char deletion variants of its letters at max_dist=2
+        words = [a + b + "q" for a in "abcdefgh" for b in "abcdefgh"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array([" ".join(words)]),
+                    "lang": pa.array(["en"]),
+                    "source": pa.array(["s"]),
+                    "n_chars": pa.array([1], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        with pytest.raises(ray.exceptions.RayTaskError, match="hot_bucket_cap"):
+            vocab_edit_pairs(str(tmp_path), hot_bucket_cap=5).count()
+
+
 class TestFixtureJoin:
     def test_fixture_pairs_match_bruteforce(self, ray_session, tmp_path):
         """The full pipeline on a small parquet fixture equals the O(n^2)
