@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_jpeg_features": c.media_jpeg_features,  # pure-spec baseline JPEG decode
         "media_video_neardup": c.media_video_neardup,  # Y4M temporal-SimHash pairs
         "media_image_in_video": c.media_image_in_video,  # cross-modal frame match
+        # --- round-5 addition (below the driver cap by design)
+        "doc_neardup_recall_audit": c.doc_neardup_recall_audit,  # LSH recall gate
     }
     ordered = {name: q[name] for name in _R5_WINDOW if name in q}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1929,6 +1931,20 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(j) * 10000) / 10000 AS mean_jaccard,
                    round(min(j) * 10000) / 10000 AS min_jaccard,
                    round(max(j) * 10000) / 10000 AS max_jaccard
+            FROM edges
+        """,
+        # Recall monitor: SQL derives the TRUE tau-pair count; found and
+        # matched are pinned equal to it with recall 1.0 — the engine's
+        # LSH+exact-verify path must reproduce the full edge set or the
+        # driver hash-mismatches (the BASELINE.json recall>=0.99 criterion
+        # as a standing correctness gate, at the exactness this config
+        # actually achieves).
+        "doc_neardup_recall_audit": _JACCARD_EDGES_CTE
+        + """
+            SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+                   CAST(count(*) AS BIGINT) AS n_found_pairs,
+                   CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(1.0 AS DOUBLE) AS recall
             FROM edges
         """,
         "pages_url_canonical": _PAGES_CTE

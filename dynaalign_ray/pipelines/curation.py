@@ -2952,6 +2952,94 @@ def doc_similarity_stats(sf_dir: str, num_partitions: int = 8):
     )
 
 
+def doc_neardup_recall_audit(sf_dir: str, num_partitions: int = 8):
+    """Production recall monitor for the flagship LSH path — the
+    BASELINE.json dup-pair-recall>=0.99 criterion as a driver-checkable
+    query.  The exact prefix-filter SSJoin computes the TRUE tau-Jaccard
+    pair set (recall 1.0 by the prefix-filter theorem, never O(n^2)); the
+    LSH+verify path computes its found set; one tagged-union keyed
+    shuffle counts the overlap.  Returns ONE row (n_true_pairs,
+    n_found_pairs, n_matched, recall).  The oracle derives n_true_pairs
+    from SQL and pins found == matched == true with recall 1.0, so ANY
+    LSH recall regression — or a spurious edge the exact verify should
+    have dropped — hash-mismatches at the driver."""
+    from ray.data.aggregate import Sum
+
+    from dynaalign_ray.joins import collect_arrow
+    from dynaalign_ray.pipelines.neardup import near_dedup
+    from dynaalign_ray.pipelines.relational import round4
+
+    cfg = DedupConfig(shingle_k=3)  # the flagship documents config (tau=0.7)
+    res = near_dedup(
+        docs_ds=_docs(sf_dir, ["doc_id", "text"]),
+        cfg=cfg,
+        num_partitions=num_partitions,
+    )
+    found = res.edges.select_columns(["a", "b"])
+    true_edges = doc_jaccard_pairs_prefix(
+        sf_dir, k=3, threshold=cfg.tau, num_partitions=num_partitions
+    ).select_columns(["a", "b"])
+
+    def tag(v: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "a": b.column("a"),
+                    "b": b.column("b"),
+                    "t": pa.array(np.full(b.num_rows, v, dtype=np.int64)),
+                }
+            )
+
+        return f
+
+    u = found.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        true_edges.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def count_block(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        t = np.asarray(b.column("t"), dtype=np.int64)
+        if len(a) == 0:
+            z = pa.array([0], pa.int64())
+            return pa.table({"n_found": z, "n_true": z, "n_matched": z})
+        order = np.lexsort((t, bb, a))
+        a, bb, t = a[order], bb[order], t[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(a))
+        # both edge sets are internally duplicate-free, so a pair group
+        # holds at most one row per tag
+        has_found = t[starts] == 0
+        has_true = t[ends - 1] == 1
+        return pa.table(
+            {
+                "n_found": pa.array([int(has_found.sum())], pa.int64()),
+                "n_true": pa.array([int(has_true.sum())], pa.int64()),
+                "n_matched": pa.array([int((has_found & has_true).sum())], pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(
+        u.repartition(num_blocks=num_partitions, keys=["a", "b"]).map_batches(
+            count_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    n_found = int(np.asarray(parts.column("n_found"), dtype=np.int64).sum())
+    n_true = int(np.asarray(parts.column("n_true"), dtype=np.int64).sum())
+    n_matched = int(np.asarray(parts.column("n_matched"), dtype=np.int64).sum())
+    recall = n_matched / n_true if n_true else 1.0
+    return pa.table(
+        {
+            "n_true_pairs": pa.array([n_true], pa.int64()),
+            "n_found_pairs": pa.array([n_found], pa.int64()),
+            "n_matched": pa.array([n_matched], pa.int64()),
+            "recall": round4(np.array([recall])),
+        }
+    )
+
+
 def doc_pii(sf_dir: str):
     """Per-doc PII counts (emails / IPv4 / phones) — one Arrow RE2 pass per
     pattern; the oracle runs the same pattern strings through DuckDB RE2."""
