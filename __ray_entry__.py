@@ -272,8 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_jpeg_features": c.media_jpeg_features,  # pure-spec baseline JPEG decode
         "media_video_neardup": c.media_video_neardup,  # Y4M temporal-SimHash pairs
         "media_image_in_video": c.media_image_in_video,  # cross-modal frame match
-        # --- round-5 addition (below the driver cap by design)
+        # --- round-5 additions (below the driver cap by design)
         "doc_neardup_recall_audit": c.doc_neardup_recall_audit,  # LSH recall gate
+        "media_codec_summary": c.media_codec_summary,  # GIF/PNG/JPEG decode gate
     }
     ordered = {name: q[name] for name in _R5_WINDOW if name in q}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -2640,6 +2640,53 @@ def media_jpeg_features(sf_dir: str, num_partitions: int = 4):
     return _media_codec_features(sf_dir, num_partitions, JPEG_TYPE, encode)
 
 
+def media_codec_summary(sf_dir: str, num_partitions: int = 4):
+    """Driver-checkable scalar form of the compressed-codec decode paths:
+    GIF + PNG + baseline JPEG feature vectors (the three list-column
+    rows-only queries) summarized to per-media (f_mean, f_min, f_max)
+    round4 scalars.  Corpus and pure-spec codecs are deterministic, so
+    the pinned-golden oracle gates all three decoders at the driver —
+    a changed Huffman table, LZW width bump or scanline filter shows up
+    as a hash mismatch here."""
+    from dynaalign_ray.pipelines.relational import round4
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("media_id", pa.int64()),
+                    ("media_type", pa.string()),
+                    ("f_mean", pa.float64()),
+                    ("f_min", pa.float64()),
+                    ("f_max", pa.float64()),
+                ]
+            ).empty_table()
+        f = batch.column("feature").combine_chunks()
+        arr = np.asarray(f.values, dtype=np.float64).reshape(batch.num_rows, -1)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "media_type": batch.column("media_type"),
+                "f_mean": round4(arr.mean(axis=1)),
+                "f_min": round4(arr.min(axis=1)),
+                "f_max": round4(arr.max(axis=1)),
+            }
+        )
+
+    # each codec pipeline materializes SEQUENTIALLY before the union: a
+    # lazy 3-way union of actor-pool stages reserves 3 pools of CPUs at
+    # once and deadlocks small clusters (the chained-actor-pool hazard
+    # functions/pq.py measured); outputs are row-bounded, so the
+    # materialize is a few hundred rows per codec
+    parts = [
+        media_gif_features(sf_dir, num_partitions).materialize(),
+        media_png_features(sf_dir, num_partitions).materialize(),
+        media_jpeg_features(sf_dir, num_partitions).materialize(),
+    ]
+    ds = parts[0].union(parts[1], parts[2])
+    return ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def media_features(sf_dir: str, num_partitions: int = 4):
     """REAL multimodal decode under the driver (rows-only): a deterministic
     media corpus sized from the documents table (one media row per two docs;

@@ -43,6 +43,7 @@ SF_BOUND = [
     "embedding_pq_topk",
     "events_type_users_approx",
     "media_features",
+    "media_codec_summary",
     "media_image_neardup",
     "media_audio_neardup",
     "media_video_neardup",
