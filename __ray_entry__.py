@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 additions (below the driver cap by design)
         "doc_neardup_recall_audit": c.doc_neardup_recall_audit,  # LSH recall gate
         "media_codec_summary": c.media_codec_summary,  # GIF/PNG/JPEG decode gate
+        "pages_warc_roundtrip": w.pages_warc_roundtrip,  # WARC container gate
     }
     ordered = {name: q[name] for name in _R5_WINDOW if name in q}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1947,6 +1948,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_matched,
                    CAST(1.0 AS DOUBLE) AS recall
             FROM edges
+        """,
+        # WARC container roundtrip: SQL mirrors the derived-pages url /
+        # warc_us arithmetic (the _PAGES_CTE expressions) and the html
+        # byte length (12-byte + 14-byte wrapper around the utf-8 text);
+        # html_match is pinned TRUE — the engine must prove the parsed
+        # bytes equal the pre-write bytes or the driver hash-mismatches.
+        "pages_warc_roundtrip": """
+            SELECT 'https://WWW.Site' || CAST(((doc_id // 3) % 20) AS VARCHAR)
+                     || '.Example/dir' || CAST(((doc_id // 3) % 7) AS VARCHAR)
+                     || '/page-' || CAST((doc_id // 3) AS VARCHAR)
+                     || CASE (doc_id % 3) WHEN 1 THEN '?utm_source=feed'
+                                          WHEN 2 THEN '#section-2' ELSE '' END AS url,
+                   CAST(1704067200000000 + doc_id * 900000000
+                        + (doc_id * 37) % 1000 AS BIGINT) AS warc_us,
+                   CAST(strlen(text) + 26 AS BIGINT) AS html_len,
+                   TRUE AS html_match
+            FROM documents
         """,
         "pages_url_canonical": _PAGES_CTE
         + """

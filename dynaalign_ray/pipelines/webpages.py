@@ -842,3 +842,143 @@ def pages_crawl_diff(sf_dir: str, num_partitions: int = 8):
     return added.union(
         j2.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def pages_warc_roundtrip(sf_dir: str, num_partitions: int = 4):
+    """WARC container roundtrip under the driver (sources/warc.py): the
+    standard derived pages (same url/warc_us synthesis as every pages_*
+    query; html = a fixed 26-byte wrapper around the doc text) are
+    written as record-per-member ``.warc.gz`` shards under /tmp, read
+    back through :func:`dynaalign_ray.sources.warc.read_warc`, and
+    verified per page against the pre-write bytes through one int63-
+    routed hash join (string equality re-checked in-block — the
+    route-only-hash discipline).  Output (url, warc_us, html_len,
+    html_match); the oracle mirrors url/warc_us/html_len arithmetic in
+    SQL and pins html_match TRUE, so any writer or parser defect —
+    missed record, truncated body, date drift, byte corruption —
+    hash-mismatches at the driver.  Shard files are deterministic bytes
+    at deterministic names, so concurrent or repeated runs rewrite
+    identical content."""
+    import os
+
+    from dynaalign_ray.hashing import hash_strings, to_id63
+    from dynaalign_ray.joins import collect_arrow, hash_join
+    from dynaalign_ray.sources.warc import read_warc, write_warc
+
+    out_dir = f"/tmp/dynaalign_warc_rt/{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def derive_with_html(batch: pa.Table) -> pa.Table:
+        pages = derive_pages(batch)
+        html = pc.binary_join_element_wise(
+            "<html><body>", batch.column("text"), "</body></html>", ""
+        )
+        return pages.append_column("html", html.cast(pa.binary()))
+
+    expected = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        derive_with_html, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        path = os.path.join(out_dir, f"part-{int(ids.min()):012d}.warc.gz")
+        write_warc(
+            pa.table(
+                {
+                    "url": batch.column("url"),
+                    "warc_ts": pc.cast(
+                        batch.column("warc_us"), pa.timestamp("us")
+                    ),
+                    "html": batch.column("html"),
+                }
+            ),
+            path,
+        )
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    paths_t = collect_arrow(
+        expected.map_batches(
+            write_shard, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    paths = sorted(paths_t.column("path").to_pylist())
+
+    def key_parsed(b: pa.Table) -> pa.Table:
+        urls = b.column("url")
+        return pa.table(
+            {
+                "ukey": pa.array(
+                    to_id63(hash_strings(urls.to_pylist())), pa.int64()
+                ),
+                "url_p": urls,
+                "warc_us_p": b.column("warc_ts").cast(pa.int64()),
+                "html_p": b.column("html"),
+            }
+        )
+
+    def key_expected(b: pa.Table) -> pa.Table:
+        urls = b.column("url")
+        return pa.table(
+            {
+                "ukey": pa.array(
+                    to_id63(hash_strings(urls.to_pylist())), pa.int64()
+                ),
+                "url_e": urls,
+                "warc_us_e": b.column("warc_us"),
+                "html_e": b.column("html"),
+            }
+        )
+
+    parsed_k = read_warc(paths).map_batches(
+        key_parsed, batch_format="pyarrow", zero_copy_batch=True
+    )
+    expected_k = expected.map_batches(
+        key_expected, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(
+        parsed_k,
+        expected_k,
+        left_on="ukey",
+        right_on="ukey",
+        left_schema=pa.schema(
+            [
+                ("ukey", pa.int64()),
+                ("url_p", pa.string()),
+                ("warc_us_p", pa.int64()),
+                ("html_p", pa.binary()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("ukey", pa.int64()),
+                ("url_e", pa.string()),
+                ("warc_us_e", pa.int64()),
+                ("html_e", pa.binary()),
+            ]
+        ),
+        num_partitions=num_partitions,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        # the route hash placed rows; exact string equality delimits the
+        # real match (a cross-url hash collision must not pass silently)
+        same_url = pc.equal(b.column("url_p"), b.column("url_e"))
+        t = b.filter(same_url)
+        match = pc.and_(
+            pc.equal(t.column("html_p"), t.column("html_e")),
+            pc.equal(t.column("warc_us_p"), t.column("warc_us_e")),
+        )
+        return pa.table(
+            {
+                "url": t.column("url_p"),
+                "warc_us": t.column("warc_us_p"),
+                "html_len": pc.cast(
+                    pc.binary_length(t.column("html_p")), pa.int64()
+                ),
+                "html_match": match,
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
