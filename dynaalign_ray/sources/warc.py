@@ -239,3 +239,124 @@ def read_warc(paths: list[str] | str):
     return rd.read_binary_files(paths).map_batches(
         parse, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+WET_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("text", pa.string()),
+    ]
+)
+
+
+def parse_wet_bytes(data: bytes) -> pa.Table:
+    """WET file bytes -> pa.Table(url, warc_ts, text).
+
+    WET is the extracted-text form of a crawl: the same WARC container,
+    but records are ``WARC-Type: conversion`` whose block IS the plain
+    utf-8 text (no HTTP envelope).  Invalid utf-8 raises — a WET record
+    is text by definition, silent replacement would corrupt dedup."""
+    if data[:2] == _GZIP_MAGIC:
+        data = gzip.decompress(data)
+    urls: list[str] = []
+    tss: list[int] = []
+    texts: list[str] = []
+    view = memoryview(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"wet: expected a WARC/ version line at byte {pos}, "
+                f"got {data[pos : pos + 16]!r}"
+            )
+        hdr_end = data.find(_HDR_END, pos)
+        if hdr_end < 0:
+            raise ValueError(f"wet: unterminated record header at byte {pos}")
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode()
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError(f"wet: record at byte {pos} has no Content-Length")
+        block_start = hdr_end + 4
+        block_end = block_start + length
+        if block_end > n:
+            raise ValueError(
+                f"wet: truncated record at byte {pos}: block needs "
+                f"{length} bytes, file has {n - block_start}"
+            )
+        if headers.get("warc-type") == "conversion":
+            urls.append(headers.get("warc-target-uri", ""))
+            tss.append(_us_from_iso(headers.get("warc-date", "1970-01-01T00:00:00Z")))
+            texts.append(bytes(view[block_start:block_end]).decode("utf-8"))
+        pos = block_end
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
+        },
+        schema=WET_SCHEMA,
+    )
+
+
+def write_wet(
+    table: pa.Table, path: str, *, gzip_per_record: bool = True, version: str = "1.1"
+) -> str:
+    """(url, warc_ts, text) rows -> one WET file (conversion records)."""
+    from dynaalign_ray.hashing import hash_strings
+
+    urls = table.column("url").to_pylist()
+    ts_col = table.column("warc_ts")
+    us = (
+        np.asarray(ts_col.cast(pa.int64()), dtype=np.int64)
+        if pa.types.is_timestamp(ts_col.type)
+        else np.asarray(ts_col, dtype=np.int64)
+    )
+    texts = table.column("text").to_pylist()
+    rid = hash_strings(urls, seed=0x3A9D) if urls else np.zeros(0, dtype=np.uint64)
+    with open(path, "wb") as out:
+        for i, (url, text) in enumerate(zip(urls, texts)):
+            rec = _record(
+                [
+                    ("WARC-Type", "conversion"),
+                    ("WARC-Target-URI", url),
+                    ("WARC-Date", _iso_from_us(int(us[i]))),
+                    ("WARC-Record-ID", f"<urn:uuid:{int(rid[i]):032x}>"),
+                    ("Content-Type", "text/plain"),
+                ],
+                text.encode("utf-8"),
+                version,
+            )
+            out.write(gzip.compress(rec, mtime=0) if gzip_per_record else rec)
+    return path
+
+
+def read_wet(paths: list[str] | str):
+    """WET file paths -> ray Dataset(url, warc_ts, text) — the direct
+    docs-bearing source for text pipelines (``near_dedup(docs_ds=...)``
+    after a doc_id projection); same scan shape as :func:`read_warc`."""
+    import ray.data as rd
+
+    from dynaalign_ray.exec import configure_context
+
+    configure_context()
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_wet_bytes(m.as_py()) for m in batch.column("bytes")]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return WET_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
+
+    return rd.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True
+    )

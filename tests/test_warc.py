@@ -122,3 +122,74 @@ class TestEndToEnd:
         )
         cm = {r["doc_id"]: r["cluster_id"] for r in from_mem.clusters.take_all()}
         assert cw == cm and len(cw) == 200
+
+
+class TestWet:
+    def test_roundtrip(self, tmp_path):
+        from dynaalign_ray.sources.warc import parse_wet_bytes, write_wet
+
+        pages, _ = generate_pages(30, seed=42)
+        from dynaalign_ray.extract import extract_text
+
+        texts = [extract_text(h) for h in pages.column("html").to_pylist()]
+        wet = pa.table(
+            {
+                "url": pages.column("url"),
+                "warc_ts": pages.column("warc_ts"),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        path = write_wet(wet, str(tmp_path / "a.wet.gz"))
+        got = parse_wet_bytes(open(path, "rb").read())
+        assert got.column("url").to_pylist() == wet.column("url").to_pylist()
+        assert got.column("text").to_pylist() == texts
+        assert np.array_equal(
+            np.asarray(got.column("warc_ts").cast(pa.int64())),
+            np.asarray(wet.column("warc_ts").cast(pa.int64())),
+        )
+
+    def test_unicode_text_and_invalid_utf8(self, tmp_path):
+        from dynaalign_ray.sources.warc import parse_wet_bytes, write_wet
+
+        wet = pa.table(
+            {
+                "url": pa.array(["https://e.x/u"], pa.string()),
+                "warc_ts": pa.array([1704067200000000], pa.timestamp("us")),
+                "text": pa.array(["héllo wörld — ünïcode"], pa.string()),
+            }
+        )
+        path = write_wet(wet, str(tmp_path / "u.wet.gz"), gzip_per_record=False)
+        got = parse_wet_bytes(open(path, "rb").read())
+        assert got.column("text").to_pylist() == ["héllo wörld — ünïcode"]
+        # invalid utf-8 in a conversion block must raise, not replace
+        bad_body = b"\xff\xfe broken"
+        rec = (
+            b"WARC/1.1\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://e.x/b\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(bad_body)}\r\n\r\n".encode()
+            + bad_body
+            + b"\r\n\r\n"
+        )
+        with pytest.raises(UnicodeDecodeError):
+            parse_wet_bytes(rec)
+
+    def test_read_wet_feeds_docs(self, ray_session, tmp_path):
+        from dynaalign_ray.sources.warc import read_wet, write_wet
+
+        wet = pa.table(
+            {
+                "url": pa.array([f"https://e.x/{i}" for i in range(12)]),
+                "warc_ts": pa.array(
+                    [1704067200000000 + i for i in range(12)], pa.timestamp("us")
+                ),
+                "text": pa.array([f"doc number {i} body" for i in range(12)]),
+            }
+        )
+        paths = [
+            write_wet(wet.slice(0, 6), str(tmp_path / "p0.wet.gz")),
+            write_wet(wet.slice(6, 6), str(tmp_path / "p1.wet.gz")),
+        ]
+        df = read_wet(paths).to_pandas().sort_values("url").reset_index(drop=True)
+        assert len(df) == 12
+        assert set(df.columns) == {"url", "warc_ts", "text"}
